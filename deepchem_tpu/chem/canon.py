@@ -1,0 +1,205 @@
+"""Canonical atom ranking and SMILES output (pure Python).
+
+Provides a deterministic canonical SMILES for a :class:`Molecule`.  The
+canonical form is internally consistent (same molecule graph -> same string)
+which is all the framework needs for scaffold grouping and dataset dedup
+(reference uses RDKit ``MolToSmiles`` for the same purpose, e.g. in
+``deepchem/splits/splitters.py:1276`` scaffold generation).  It is not
+guaranteed to match RDKit's canonical output byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from .mol import (Molecule, ORGANIC_SUBSET, BOND_SINGLE, BOND_DOUBLE,
+                  BOND_TRIPLE, BOND_QUADRUPLE, BOND_AROMATIC)
+
+_BOND_SYM = {BOND_SINGLE: '', BOND_DOUBLE: '=', BOND_TRIPLE: '#',
+             BOND_QUADRUPLE: '$'}
+
+
+def canonical_ranks(mol: Molecule) -> List[int]:
+    """Canonical atom ranks via iterative neighborhood refinement
+    (Weininger-style CANGEN without the NP-hard tie handling; determinstic
+    tie-break by invariant tuple then refinement history)."""
+    n = mol.num_atoms
+    if n == 0:
+        return []
+    invariants = []
+    for a in mol.atoms:
+        invariants.append((a.atomic_num, a.degree, a.total_hs,
+                           a.formal_charge, int(a.is_aromatic),
+                           int(a.in_ring), a.isotope))
+    # initial ranks from sorted unique invariants
+    order = sorted(set(invariants))
+    rank = [order.index(inv) for inv in invariants]
+    for _ in range(2 * n):
+        keys = []
+        for i in range(n):
+            nbr = sorted((round(b.order * 2), rank[b.other(i)])
+                         for b in mol.atom_bonds(i))
+            keys.append((rank[i], tuple(nbr)))
+        uniq = sorted(set(keys))
+        new_rank = [uniq.index(k) for k in keys]
+        if new_rank == rank:
+            break
+        rank = new_rank
+    # break remaining ties deterministically (lowest atom index in each tie
+    # class gets the lower rank), then re-refine once
+    while len(set(rank)) < n:
+        seen: Dict[int, int] = {}
+        tie_class = None
+        for i in range(n):
+            if rank[i] in seen:
+                tie_class = rank[i]
+                break
+            seen[rank[i]] = i
+        assert tie_class is not None
+        first = min(i for i in range(n) if rank[i] == tie_class)
+        rank = [r * 2 + (0 if (i == first) else 1) if r == tie_class
+                else r * 2 for i, r in enumerate(rank)]
+        # re-normalize + refine
+        uniq = sorted(set(rank))
+        rank = [uniq.index(r) for r in rank]
+        for _ in range(n):
+            keys = []
+            for i in range(n):
+                nbr = sorted((round(b.order * 2), rank[b.other(i)])
+                             for b in mol.atom_bonds(i))
+                keys.append((rank[i], tuple(nbr)))
+            uniq2 = sorted(set(keys))
+            new_rank = [uniq2.index(k) for k in keys]
+            if new_rank == rank:
+                break
+            rank = new_rank
+    return rank
+
+
+def _atom_token(mol: Molecule, idx: int) -> str:
+    a = mol.atoms[idx]
+    sym = a.symbol
+    plain = (sym in ORGANIC_SUBSET and a.formal_charge == 0 and
+             a.isotope == 0 and a.explicit_hs < 0 and not a.chirality and
+             a.num_radical_electrons == 0)
+    if a.is_aromatic:
+        sym_out = sym.lower()
+    else:
+        sym_out = sym
+    if plain:
+        return sym_out
+    body = ''
+    if a.isotope:
+        body += str(a.isotope)
+    body += sym_out
+    h = a.total_hs
+    if h == 1:
+        body += 'H'
+    elif h > 1:
+        body += f'H{h}'
+    c = a.formal_charge
+    if c == 1:
+        body += '+'
+    elif c == -1:
+        body += '-'
+    elif c > 1:
+        body += f'+{c}'
+    elif c < -1:
+        body += f'-{-c}'
+    return f'[{body}]'
+
+
+def mol_to_smiles(mol: Molecule, canonical: bool = True) -> str:
+    """Write SMILES.  With ``canonical=True`` atoms are visited in canonical
+    rank order so the output is unique per molecule graph."""
+    n = mol.num_atoms
+    if n == 0:
+        return ''
+    rank = canonical_ranks(mol) if canonical else list(range(n))
+    visited = [False] * n
+    ring_num_of_bond: Dict[int, int] = {}
+    next_ring = [1]
+    out: List[str] = []
+
+    # Precompute ring-closure bonds via DFS spanning tree
+    def component_smiles(root: int) -> str:
+        tokens: List[str] = []
+        # first pass: DFS spanning tree in canonical child order (mirrors the
+        # write DFS below); every non-tree bond is a ring closure
+        seen = {root}
+        tree_bonds = set()
+        comp_bonds = set()
+        stack = [(root, iter(sorted(mol.atom_bonds(root),
+                                    key=lambda bb: rank[bb.other(root)])))]
+        while stack:
+            u, it = stack[-1]
+            for b in it:
+                comp_bonds.add(b.index)
+                v = b.other(u)
+                if v not in seen:
+                    seen.add(v)
+                    tree_bonds.add(b.index)
+                    stack.append((v, iter(sorted(
+                        mol.atom_bonds(v),
+                        key=lambda bb: rank[bb.other(v)]))))
+                    break
+            else:
+                stack.pop()
+        back_edges = comp_bonds - tree_bonds
+
+        def bond_sym(b) -> str:
+            if b.is_aromatic:
+                return ''
+            s = _BOND_SYM.get(b.order, '')
+            # explicit single bond between two aromatic atoms (biphenyl)
+            if (s == '' and mol.atoms[b.a1].is_aromatic and
+                    mol.atoms[b.a2].is_aromatic and not b.is_aromatic):
+                s = '-'
+            return s
+
+        def dfs(u: int, from_bond: int) -> None:
+            visited[u] = True
+            tokens.append(_atom_token(mol, u))
+            # ring closures at this atom, in canonical neighbor-rank order;
+            # numbers are assigned at first encounter so output labels are
+            # traversal-ordered (stable across input atom orderings)
+            for b in sorted(mol.atom_bonds(u),
+                            key=lambda bb: rank[bb.other(u)]):
+                if b.index in back_edges and b.index != from_bond:
+                    if b.index not in ring_num_of_bond:
+                        ring_num_of_bond[b.index] = next_ring[0]
+                        next_ring[0] += 1
+                    num = ring_num_of_bond[b.index]
+                    tokens.append(bond_sym(b) +
+                                  (str(num) if num < 10 else f'%{num:02d}'))
+            children = []
+            for b in sorted(mol.atom_bonds(u),
+                            key=lambda bb: rank[bb.other(u)]):
+                v = b.other(u)
+                if not visited[v] and b.index not in back_edges:
+                    children.append((b, v))
+            for ci, (b, v) in enumerate(children):
+                last = ci == len(children) - 1
+                if not last:
+                    tokens.append('(')
+                tokens.append(bond_sym(b))
+                dfs(v, b.index)
+                if not last:
+                    tokens.append(')')
+        dfs(root, -1)
+        return ''.join(tokens)
+
+    import sys
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 4 * n + 100))
+    try:
+        pieces = []
+        roots = []
+        for comp in mol.components():
+            root = min(comp, key=lambda i: rank[i])
+            roots.append(root)
+        for root in roots:
+            pieces.append(component_smiles(root))
+        return '.'.join(pieces)
+    finally:
+        sys.setrecursionlimit(old_limit)

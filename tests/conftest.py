@@ -1,0 +1,14 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Mirrors the multi-device CPU testing strategy the SURVEY recommends
+(SURVEY.md section 4): sharding/pjit paths are validated without TPU
+hardware by asking XLA for 8 host-platform devices.
+"""
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ.setdefault('JAX_ENABLE_X64', '0')
