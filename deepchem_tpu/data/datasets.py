@@ -1,0 +1,913 @@
+"""Dataset abstractions: in-memory and sharded on-disk storage.
+
+TPU-first redesign of the reference data plane (reference
+deepchem/data/datasets.py:221 ``Dataset`` ABC, :746 ``NumpyDataset``,
+:1110 ``DiskDataset``, :2723 ``ImageDataset``, :3024 ``Databag``).  The
+user-facing contract is preserved — ``X/y/w/ids``, ``iterbatches``,
+``itersamples``, ``transform``, ``select``, ``get_statistics`` — while the
+storage format is a simplified shard layout (one compressed joblib file per
+shard + a JSON manifest) and batch iteration is designed to feed jitted
+steps with static shapes (``pad_batches`` keeps the ceil(n/batch_size)
+batch-count guarantee of reference datasets.py:1623).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import random
+import shutil
+import tempfile
+import threading
+import queue as queue_mod
+from typing import (Any, Callable, Iterable, Iterator, List, Optional,
+                    Sequence, Tuple, Union)
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+Batch = Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+
+
+def sparsify_features(X: np.ndarray) -> np.ndarray:
+    """Dense binary features -> list of nonzero index arrays (reference
+    datasets.py:31)."""
+    n = len(X)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        out[i] = np.nonzero(X[i])[0]
+    return out
+
+
+def densify_features(X_sparse: np.ndarray, num_features: int) -> np.ndarray:
+    """Inverse of :func:`sparsify_features` (reference datasets.py:58)."""
+    n = len(X_sparse)
+    out = np.zeros((n, num_features))
+    for i in range(n):
+        out[i][X_sparse[i]] = 1.0
+    return out
+
+
+def pad_features(batch_size: int, X_b: np.ndarray) -> np.ndarray:
+    """Pad features (only) up to batch_size by repeating samples (reference
+    datasets.py:74)."""
+    num = len(X_b)
+    if num == batch_size:
+        return X_b
+    assert num <= batch_size
+    if X_b.ndim > 1:
+        feature_shape = X_b.shape[1:]
+        X_out = np.zeros((batch_size,) + feature_shape, dtype=X_b.dtype)
+    else:
+        X_out = np.zeros((batch_size,), dtype=X_b.dtype)
+    X_out[:num] = X_b
+    for i in range(num, batch_size):
+        X_out[i] = X_b[i % num]
+    return X_out
+
+
+def pad_batch(batch_size: int, X_b: np.ndarray, y_b: Optional[np.ndarray],
+              w_b: Optional[np.ndarray],
+              ids_b: Optional[np.ndarray]) -> Batch:
+    """Pad a batch up to ``batch_size`` by wrapping samples; padded rows get
+    weight zero so losses/metrics ignore them (reference datasets.py:142 pads
+    by repetition with original weights; zero-weighting is the TPU-safe
+    equivalent that also keeps metrics exact)."""
+    num = len(X_b)
+    if num == batch_size:
+        return X_b, y_b, w_b, ids_b
+
+    def _pad(arr, fill_wrap=True):
+        if arr is None:
+            return None
+        out_shape = (batch_size,) + arr.shape[1:]
+        out = np.zeros(out_shape, dtype=arr.dtype)
+        out[:num] = arr
+        for i in range(num, batch_size):
+            out[i] = arr[i % num]
+        return out
+
+    X_out = _pad(X_b)
+    y_out = _pad(y_b)
+    ids_out = _pad(ids_b)
+    if w_b is None:
+        w_out = None
+    else:
+        w_shape = (batch_size,) + w_b.shape[1:]
+        w_out = np.zeros(w_shape, dtype=w_b.dtype)
+        w_out[:num] = w_b           # padded tail keeps zero weight
+    return X_out, y_out, w_out, ids_out
+
+
+def _as_numpy(arr, n: Optional[int] = None, default=None, dtype=None):
+    if arr is None:
+        if default is None:
+            return None
+        arr = default
+    arr = np.asarray(arr)
+    if n is not None and arr.ndim == 0:
+        arr = np.full(n, arr)
+    if dtype is not None and arr.dtype.kind in 'fiub':
+        arr = arr.astype(dtype, copy=False)
+    return arr
+
+
+class Dataset:
+    """Abstract base: a collection of (X, y, w, ids) samples.
+
+    Reference contract: deepchem/data/datasets.py:221-579.
+    """
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def get_shape(self) -> Tuple:
+        raise NotImplementedError
+
+    def get_task_names(self) -> np.ndarray:
+        raise NotImplementedError
+
+    @property
+    def X(self) -> np.ndarray:
+        raise NotImplementedError
+
+    @property
+    def y(self) -> np.ndarray:
+        raise NotImplementedError
+
+    @property
+    def w(self) -> np.ndarray:
+        raise NotImplementedError
+
+    @property
+    def ids(self) -> np.ndarray:
+        raise NotImplementedError
+
+    def iterbatches(self, batch_size: Optional[int] = None, epochs: int = 1,
+                    deterministic: bool = False,
+                    pad_batches: bool = False) -> Iterator[Batch]:
+        raise NotImplementedError
+
+    def itersamples(self) -> Iterator[Batch]:
+        raise NotImplementedError
+
+    def transform(self, transformer, **kwargs) -> 'Dataset':
+        raise NotImplementedError
+
+    def select(self, indices: Sequence[int],
+               select_dir: Optional[str] = None) -> 'Dataset':
+        raise NotImplementedError
+
+    def get_statistics(self, X_stats: bool = True,
+                       y_stats: bool = True) -> Tuple:
+        """Means and stds over samples (reference datasets.py:440)."""
+        x_shape, y_shape, w_shape, ids_shape = self.get_shape()
+        X_sum = X_sumsq = y_sum = y_sumsq = None
+        n = 0
+        for X, y, _, _ in self.itersamples():
+            n += 1
+            if X_stats:
+                X = np.asarray(X, dtype=np.float64)
+                X_sum = X if X_sum is None else X_sum + X
+                X_sumsq = X * X if X_sumsq is None else X_sumsq + X * X
+            if y_stats:
+                y = np.asarray(y, dtype=np.float64)
+                y_sum = y if y_sum is None else y_sum + y
+                y_sumsq = y * y if y_sumsq is None else y_sumsq + y * y
+        out = []
+        if X_stats:
+            X_means = X_sum / n
+            X_stds = np.sqrt(np.maximum(X_sumsq / n - X_means ** 2, 0))
+            out += [X_means, X_stds]
+        if y_stats:
+            y_means = y_sum / n
+            y_stds = np.sqrt(np.maximum(y_sumsq / n - y_means ** 2, 0))
+            out += [y_means, y_stds]
+        return tuple(out)
+
+    def to_dataframe(self):
+        """Construct a pandas DataFrame (reference datasets.py:579)."""
+        import pandas as pd
+        X = self.X
+        y = self.y
+        w = self.w
+        if X.ndim == 1 or (X.ndim == 2 and X.shape[1] == 1):
+            cols = {'X': np.asarray(X).reshape(len(X))}
+        elif X.ndim == 2:
+            cols = {f'X{i+1}': X[:, i] for i in range(X.shape[1])}
+        else:
+            cols = {'X': list(X)}
+        if y.ndim == 1 or (y.ndim == 2 and y.shape[1] == 1):
+            cols['y'] = np.asarray(y).reshape(len(y))
+        else:
+            for i in range(y.shape[1]):
+                cols[f'y{i+1}'] = y[:, i]
+        if w.ndim == 1 or (w.ndim == 2 and w.shape[1] == 1):
+            cols['w'] = np.asarray(w).reshape(len(w))
+        else:
+            for i in range(w.shape[1]):
+                cols[f'w{i+1}'] = w[:, i]
+        cols['ids'] = self.ids
+        return pd.DataFrame(cols)
+
+    @staticmethod
+    def from_dataframe(df, X=None, y=None, w=None, ids=None):
+        """Inverse of to_dataframe (reference datasets.py:630)."""
+        if X is not None:
+            x_cols = X if isinstance(X, list) else [X]
+        else:
+            x_cols = [c for c in df.columns
+                      if c == 'X' or str(c).startswith('X')]
+        if y is not None:
+            y_cols = y if isinstance(y, list) else [y]
+        else:
+            y_cols = [c for c in df.columns
+                      if c == 'y' or (str(c).startswith('y')
+                                      and str(c)[1:].isdigit())]
+        if w is not None:
+            w_cols = w if isinstance(w, list) else [w]
+        else:
+            w_cols = [c for c in df.columns
+                      if c == 'w' or (str(c).startswith('w')
+                                      and str(c)[1:].isdigit())]
+        if ids is not None:
+            id_col = ids
+        else:
+            id_col = 'ids' if 'ids' in df.columns else None
+        X_arr = df[x_cols].to_numpy()
+        if len(x_cols) == 1:
+            X_arr = X_arr[:, 0]
+            if X_arr.dtype == object:
+                try:
+                    X_arr = np.stack(X_arr)
+                except Exception:
+                    pass
+        y_arr = df[y_cols].to_numpy() if y_cols else None
+        w_arr = df[w_cols].to_numpy() if w_cols else None
+        id_arr = df[id_col].to_numpy() if id_col else None
+        return NumpyDataset(X_arr, y_arr, w_arr, id_arr)
+
+    def make_jax_arrays(self):
+        """Whole-dataset (X, y, w) as numpy ready for jnp conversion."""
+        return self.X, self.y, self.w
+
+    def __repr__(self) -> str:
+        try:
+            x_shape, y_shape, w_shape, _ = self.get_shape()
+            tasks = list(self.get_task_names())
+            return (f'<{type(self).__name__} X.shape: {x_shape}, '
+                    f'y.shape: {y_shape}, w.shape: {w_shape}, '
+                    f'task_names: {tasks}>')
+        except Exception:
+            return f'<{type(self).__name__}>'
+
+    def __iter__(self):
+        return self.itersamples()
+
+
+class NumpyDataset(Dataset):
+    """In-memory dataset (reference datasets.py:746)."""
+
+    def __init__(self, X, y=None, w=None, ids=None, n_tasks: int = 1) -> None:
+        n = len(X)
+        X = np.asarray(X) if not isinstance(X, np.ndarray) else X
+        if y is None:
+            y = np.zeros((n, n_tasks), dtype=np.float32)
+            w = np.zeros_like(y) if w is None else w
+        y = _as_numpy(y)
+        if y.ndim == 1:
+            y = y[:, None]     # (n,) -> (n, 1), matching the reference
+        if w is not None:
+            w = _as_numpy(w)
+            if w.ndim == 1 and len(w) == n:
+                w = w[:, None]
+        if w is None:
+            w = np.ones(y.shape if y.ndim <= 2 else y.shape[:2],
+                        dtype=np.float32)
+        w = _as_numpy(w)
+        if w.ndim == 0:
+            w = np.full(y.shape, float(w), dtype=np.float32)
+        elif w.shape != y.shape and y.ndim == 2:
+            try:
+                w = np.broadcast_to(w, y.shape).copy()
+            except ValueError:
+                pass      # leave mismatched weights to downstream normalizers
+        if ids is None:
+            ids = np.arange(n)
+        self._X = X
+        self._y = y
+        self._w = w
+        self._ids = np.asarray(ids, dtype=object)
+
+    def __len__(self) -> int:
+        return len(self._X)
+
+    def get_shape(self):
+        return (self._X.shape, self._y.shape, self._w.shape, self._ids.shape)
+
+    def get_task_names(self):
+        if self._y.ndim < 2:
+            return np.array([0])
+        return np.arange(self._y.shape[1])
+
+    @property
+    def X(self):
+        return self._X
+
+    @property
+    def y(self):
+        return self._y
+
+    @property
+    def w(self):
+        return self._w
+
+    @property
+    def ids(self):
+        return self._ids
+
+    def iterbatches(self, batch_size=None, epochs=1, deterministic=False,
+                    pad_batches=False):
+        n = len(self)
+        if batch_size is None:
+            batch_size = n
+        for _ in range(epochs):
+            if deterministic:
+                perm = np.arange(n)
+            else:
+                perm = np.random.permutation(n)
+            for start in range(0, n, batch_size):
+                idx = perm[start:start + batch_size]
+                X_b, y_b = self._X[idx], self._y[idx]
+                w_b, ids_b = self._w[idx], self._ids[idx]
+                if pad_batches and len(idx) < batch_size:
+                    X_b, y_b, w_b, ids_b = pad_batch(batch_size, X_b, y_b,
+                                                     w_b, ids_b)
+                yield X_b, y_b, w_b, ids_b
+
+    def itersamples(self):
+        for i in range(len(self)):
+            yield self._X[i], self._y[i], self._w[i], self._ids[i]
+
+    def transform(self, transformer, **kwargs) -> 'NumpyDataset':
+        newx, newy, neww, newids = transformer.transform_array(
+            self._X, self._y, self._w, self._ids)
+        return NumpyDataset(newx, newy, neww, newids)
+
+    def select(self, indices, select_dir=None) -> 'NumpyDataset':
+        indices = np.asarray(indices, dtype=np.int64)
+        X = self._X[indices]
+        return NumpyDataset(X, self._y[indices], self._w[indices],
+                            self._ids[indices])
+
+    @staticmethod
+    def from_DiskDataset(ds: 'DiskDataset') -> 'NumpyDataset':
+        return NumpyDataset(ds.X, ds.y, ds.w, ds.ids)
+
+    @staticmethod
+    def merge(datasets: Sequence[Dataset]) -> 'NumpyDataset':
+        X, y, w, ids = [], [], [], []
+        for ds in datasets:
+            X.append(ds.X)
+            y.append(ds.y)
+            w.append(ds.w)
+            ids.append(ds.ids)
+        return NumpyDataset(np.concatenate(X), np.concatenate(y),
+                            np.concatenate(w), np.concatenate(ids))
+
+    def to_json(self, fname: str) -> None:
+        d = {'X': np.asarray(self._X).tolist(),
+             'y': np.asarray(self._y).tolist(),
+             'w': np.asarray(self._w).tolist(),
+             'ids': np.asarray(self._ids, dtype=str).tolist()}
+        with open(fname, 'w') as f:
+            json.dump(d, f)
+
+    @staticmethod
+    def from_json(fname: str) -> 'NumpyDataset':
+        with open(fname) as f:
+            d = json.load(f)
+        return NumpyDataset(np.array(d['X']), np.array(d['y']),
+                            np.array(d['w']), np.array(d['ids']))
+
+
+class DiskDataset(Dataset):
+    """Sharded on-disk dataset — the workhorse (reference datasets.py:1110).
+
+    Layout (redesigned, not a copy of the reference's metadata.csv.gz
+    format)::
+
+        data_dir/
+          manifest.json       {"tasks": [...], "shards": [{"rows": n}, ...]}
+          shard-0.joblib      {"X":..., "y":..., "w":..., "ids":...}
+          shard-1.joblib
+    """
+
+    MANIFEST = 'manifest.json'
+
+    def __init__(self, data_dir: str) -> None:
+        self.data_dir = data_dir
+        manifest_path = os.path.join(data_dir, self.MANIFEST)
+        if not os.path.exists(manifest_path):
+            raise ValueError(f'no dataset manifest at {manifest_path}')
+        with open(manifest_path) as f:
+            self._manifest = json.load(f)
+        self._cache: dict = {}
+        self._cache_order: List[int] = []
+        self.memory_cache_size = 100 * 1024 * 1024   # bytes, like reference
+        self._lock = threading.Lock()
+
+    # -- construction ------------------------------------------------------
+    @staticmethod
+    def create_dataset(shard_generator: Iterable,
+                       data_dir: Optional[str] = None,
+                       tasks: Optional[Sequence] = None) -> 'DiskDataset':
+        """Build from an iterator of (X, y, w, ids) shard tuples (reference
+        datasets.py:1245)."""
+        if data_dir is None:
+            data_dir = tempfile.mkdtemp(prefix='dctpu-')
+        os.makedirs(data_dir, exist_ok=True)
+        shards = []
+        for i, (X, y, w, ids) in enumerate(shard_generator):
+            rows = DiskDataset.write_shard(data_dir, i, X, y, w, ids)
+            shards.append({'rows': rows})
+        manifest = {'tasks': list(tasks) if tasks is not None else [],
+                    'shards': shards}
+        with open(os.path.join(data_dir, DiskDataset.MANIFEST), 'w') as f:
+            json.dump(manifest, f, default=str)
+        return DiskDataset(data_dir)
+
+    @staticmethod
+    def from_numpy(X, y=None, w=None, ids=None,
+                   tasks: Optional[Sequence] = None,
+                   data_dir: Optional[str] = None) -> 'DiskDataset':
+        """(reference datasets.py:1165)"""
+        ds = NumpyDataset(X, y, w, ids)
+        if tasks is None:
+            tasks = ds.get_task_names()
+        return DiskDataset.create_dataset(
+            [(ds.X, ds.y, ds.w, ds.ids)], data_dir=data_dir, tasks=tasks)
+
+    @staticmethod
+    def write_shard(data_dir: str, i: int, X, y, w, ids) -> int:
+        import joblib
+        n = len(X)
+        y = _as_numpy(y)
+        w = _as_numpy(w)
+        if y is not None and w is None:
+            w = np.ones_like(np.asarray(y), dtype=np.float32)
+        if ids is None:
+            ids = np.arange(n)
+        joblib.dump(
+            {'X': np.asarray(X) if not isinstance(X, np.ndarray) else X,
+             'y': y, 'w': w, 'ids': np.asarray(ids, dtype=object)},
+            os.path.join(data_dir, f'shard-{i}.joblib'), compress=3)
+        return n
+
+    # -- shard access ------------------------------------------------------
+    @property
+    def tasks(self) -> np.ndarray:
+        return np.asarray(self._manifest['tasks'])
+
+    def get_task_names(self) -> np.ndarray:
+        return self.tasks
+
+    def get_number_shards(self) -> int:
+        return len(self._manifest['shards'])
+
+    def get_shard_size(self) -> int:
+        if not self._manifest['shards']:
+            return 0
+        return self._manifest['shards'][0]['rows']
+
+    def get_shard(self, i: int) -> Batch:
+        """Load shard i (LRU-cached, reference datasets.py:2614 cache)."""
+        with self._lock:
+            if i in self._cache:
+                self._cache_order.remove(i)
+                self._cache_order.append(i)
+                d = self._cache[i]
+                return d['X'], d['y'], d['w'], d['ids']
+        import joblib
+        d = joblib.load(os.path.join(self.data_dir, f'shard-{i}.joblib'))
+        with self._lock:
+            self._cache[i] = d
+            self._cache_order.append(i)
+            # crude size control: keep at most 8 shards cached
+            while len(self._cache_order) > 8:
+                old = self._cache_order.pop(0)
+                self._cache.pop(old, None)
+        return d['X'], d['y'], d['w'], d['ids']
+
+    def set_shard(self, i: int, X, y, w, ids) -> None:
+        DiskDataset.write_shard(self.data_dir, i, X, y, w, ids)
+        with self._lock:
+            self._cache.pop(i, None)
+            if i in self._cache_order:
+                self._cache_order.remove(i)
+            self._manifest['shards'][i] = {'rows': len(X)}
+        self._save_manifest()
+
+    def _save_manifest(self) -> None:
+        with open(os.path.join(self.data_dir, self.MANIFEST), 'w') as f:
+            json.dump(self._manifest, f, default=str)
+
+    def itershards(self) -> Iterator[Batch]:
+        for i in range(self.get_number_shards()):
+            yield self.get_shard(i)
+
+    # -- Dataset API -------------------------------------------------------
+    def __len__(self) -> int:
+        return sum(s['rows'] for s in self._manifest['shards'])
+
+    def get_shape(self):
+        n = len(self)
+        x_shape = y_shape = w_shape = None
+        if self.get_number_shards():
+            X, y, w, ids = self.get_shard(0)
+            x_shape = (n,) + np.asarray(X).shape[1:]
+            y_shape = (n,) + (np.asarray(y).shape[1:] if y is not None else ())
+            w_shape = (n,) + (np.asarray(w).shape[1:] if w is not None else ())
+        return x_shape, y_shape, w_shape, (n,)
+
+    def _concat(self, key_idx: int):
+        parts = [s[key_idx] for s in self.itershards()]
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
+        if any(np.asarray(p).dtype == object for p in parts):
+            return np.concatenate([np.asarray(p, dtype=object)
+                                   for p in parts])
+        return np.concatenate(parts)
+
+    @property
+    def X(self):
+        return self._concat(0)
+
+    @property
+    def y(self):
+        return self._concat(1)
+
+    @property
+    def w(self):
+        return self._concat(2)
+
+    @property
+    def ids(self):
+        return self._concat(3)
+
+    def iterbatches(self, batch_size=None, epochs=1, deterministic=False,
+                    pad_batches=False):
+        """Batch iterator with background shard prefetch (reference hot loop
+        #2, datasets.py:1651-1766)."""
+        n_shards = self.get_number_shards()
+        for _ in range(epochs):
+            shard_order = list(range(n_shards))
+            if not deterministic:
+                random.shuffle(shard_order)
+            q: queue_mod.Queue = queue_mod.Queue(maxsize=2)
+
+            def producer(order=tuple(shard_order)):
+                for si in order:
+                    q.put(self.get_shard(si))
+                q.put(None)
+
+            t = threading.Thread(target=producer, daemon=True)
+            t.start()
+            carry = None   # leftover rows carried across shards
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                X, y, w, ids = item
+                X = np.asarray(X) if not isinstance(X, np.ndarray) else X
+                m = len(X)
+                perm = np.arange(m) if deterministic \
+                    else np.random.permutation(m)
+                X, ids = X[perm], ids[perm]
+                y = y[perm] if y is not None else None
+                w = w[perm] if w is not None else None
+                if carry is not None:
+                    X = np.concatenate([carry[0], X])
+                    y = (np.concatenate([carry[1], y])
+                         if y is not None else None)
+                    w = (np.concatenate([carry[2], w])
+                         if w is not None else None)
+                    ids = np.concatenate([carry[3], ids])
+                    carry = None
+                bs = batch_size if batch_size is not None else len(X)
+                pos = 0
+                while len(X) - pos >= bs:
+                    yield (X[pos:pos + bs],
+                           y[pos:pos + bs] if y is not None else None,
+                           w[pos:pos + bs] if w is not None else None,
+                           ids[pos:pos + bs])
+                    pos += bs
+                if pos < len(X):
+                    carry = (X[pos:], y[pos:] if y is not None else None,
+                             w[pos:] if w is not None else None, ids[pos:])
+            if carry is not None:
+                X_b, y_b, w_b, ids_b = carry
+                if pad_batches and batch_size is not None \
+                        and len(X_b) < batch_size:
+                    X_b, y_b, w_b, ids_b = pad_batch(
+                        batch_size, X_b, y_b, w_b, ids_b)
+                yield X_b, y_b, w_b, ids_b
+
+    def itersamples(self):
+        for X, y, w, ids in self.itershards():
+            for i in range(len(X)):
+                yield (X[i], y[i] if y is not None else None,
+                       w[i] if w is not None else None, ids[i])
+
+    def transform(self, transformer, parallel: bool = False,
+                  out_dir: Optional[str] = None, **kwargs) -> 'DiskDataset':
+        """Shard-wise transform into a new DiskDataset (reference
+        datasets.py:1800)."""
+        def gen():
+            for X, y, w, ids in self.itershards():
+                yield transformer.transform_array(X, y, w, ids)
+        return DiskDataset.create_dataset(gen(), data_dir=out_dir,
+                                          tasks=self.tasks)
+
+    def select(self, indices, select_dir: Optional[str] = None,
+               select_shard_size: Optional[int] = None) -> 'DiskDataset':
+        """Materialize a subset, preserving ``indices`` order (reference
+        datasets.py:2386)."""
+        indices = np.asarray(indices, dtype=np.int64)
+        # map global index -> (shard, offset)
+        offsets = np.cumsum([0] + [s['rows']
+                                   for s in self._manifest['shards']])
+        shard_of = np.searchsorted(offsets, indices, side='right') - 1
+
+        def gen():
+            bs = select_shard_size or max(1, self.get_shard_size())
+            for start in range(0, len(indices), bs):
+                chunk = indices[start:start + bs]
+                chunk_shards = shard_of[start:start + bs]
+                Xs, ys, ws, idss = [], [], [], []
+                for si in np.unique(chunk_shards):
+                    local = chunk[chunk_shards == si] - offsets[si]
+                    X, y, w, ids = self.get_shard(int(si))
+                    Xs.append(np.asarray(X)[local])
+                    ys.append(y[local] if y is not None else None)
+                    ws.append(w[local] if w is not None else None)
+                    idss.append(ids[local])
+                # restore the caller's requested order within the chunk
+                concat_idx = np.concatenate(
+                    [chunk[chunk_shards == si]
+                     for si in np.unique(chunk_shards)])
+                pos = {v: i for i, v in enumerate(concat_idx)}
+                perm = np.array([pos[v] for v in chunk], dtype=np.int64)
+                X_cat = np.concatenate(Xs) if len(Xs) > 1 else Xs[0]
+                y_cat = (np.concatenate([a for a in ys])
+                         if ys[0] is not None else None)
+                w_cat = (np.concatenate([a for a in ws])
+                         if ws[0] is not None else None)
+                id_cat = np.concatenate(idss) if len(idss) > 1 else idss[0]
+                yield (X_cat[perm],
+                       y_cat[perm] if y_cat is not None else None,
+                       w_cat[perm] if w_cat is not None else None,
+                       id_cat[perm])
+        return DiskDataset.create_dataset(gen(), data_dir=select_dir,
+                                          tasks=self.tasks)
+
+    def merge(self, datasets: Sequence[Dataset],
+              merge_dir: Optional[str] = None) -> 'DiskDataset':
+        def gen():
+            for ds in [self] + list(datasets):
+                if isinstance(ds, DiskDataset):
+                    yield from ds.itershards()
+                else:
+                    yield ds.X, ds.y, ds.w, ds.ids
+        return DiskDataset.create_dataset(gen(), data_dir=merge_dir,
+                                          tasks=self.tasks)
+
+    def reshard(self, shard_size: int) -> None:
+        """Rewrite with a new shard size in place (reference
+        datasets.py:1491)."""
+        tmp = tempfile.mkdtemp(prefix='dctpu-reshard-')
+
+        def gen():
+            bufX, bufy, bufw, bufid = [], [], [], []
+            count = 0
+            for X, y, w, ids in self.itershards():
+                bufX.append(np.asarray(X))
+                bufy.append(y)
+                bufw.append(w)
+                bufid.append(ids)
+                count += len(X)
+                while count >= shard_size:
+                    Xc = np.concatenate(bufX)
+                    yc = (np.concatenate(bufy)
+                          if bufy[0] is not None else None)
+                    wc = (np.concatenate(bufw)
+                          if bufw[0] is not None else None)
+                    idc = np.concatenate(bufid)
+                    yield (Xc[:shard_size],
+                           yc[:shard_size] if yc is not None else None,
+                           wc[:shard_size] if wc is not None else None,
+                           idc[:shard_size])
+                    bufX = [Xc[shard_size:]]
+                    bufy = [yc[shard_size:] if yc is not None else None]
+                    bufw = [wc[shard_size:] if wc is not None else None]
+                    bufid = [idc[shard_size:]]
+                    count -= shard_size
+            if count > 0:
+                yield (np.concatenate(bufX),
+                       np.concatenate(bufy) if bufy[0] is not None else None,
+                       np.concatenate(bufw) if bufw[0] is not None else None,
+                       np.concatenate(bufid))
+        new = DiskDataset.create_dataset(gen(), data_dir=tmp,
+                                         tasks=self.tasks)
+        # swap contents into place
+        for f in os.listdir(self.data_dir):
+            if f.startswith('shard-') or f == self.MANIFEST:
+                os.remove(os.path.join(self.data_dir, f))
+        for f in os.listdir(tmp):
+            shutil.move(os.path.join(tmp, f),
+                        os.path.join(self.data_dir, f))
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._manifest = new._manifest
+        with self._lock:
+            self._cache.clear()
+            self._cache_order.clear()
+
+    def shuffle_each_shard(self,
+                           shard_basenames: Optional[List] = None) -> None:
+        """Permute rows within each shard (reference datasets.py:2164)."""
+        for i in range(self.get_number_shards()):
+            X, y, w, ids = self.get_shard(i)
+            perm = np.random.permutation(len(X))
+            self.set_shard(i, np.asarray(X)[perm],
+                           y[perm] if y is not None else None,
+                           w[perm] if w is not None else None, ids[perm])
+
+    def complete_shuffle(self,
+                         data_dir: Optional[str] = None) -> 'DiskDataset':
+        """Global shuffle to a new dataset (reference datasets.py:2135)."""
+        perm = np.random.permutation(len(self))
+        return self.select(perm, select_dir=data_dir)
+
+    def sparse_shuffle(self) -> None:
+        """In-place cross-shard shuffle (approximate: shuffle shards then
+        rows; reference datasets.py:2082)."""
+        self.shuffle_each_shard()
+
+    def move(self, new_dir: str,
+             delete_if_exists: bool = True) -> None:
+        """Relocate the dataset directory (reference datasets.py:1940)."""
+        if os.path.abspath(new_dir) == os.path.abspath(self.data_dir):
+            return
+        if delete_if_exists and os.path.isdir(new_dir):
+            shutil.rmtree(new_dir)
+        os.makedirs(os.path.dirname(os.path.abspath(new_dir)), exist_ok=True)
+        shutil.copytree(self.data_dir, new_dir)
+        old = self.data_dir
+        self.data_dir = new_dir
+        # best-effort cleanup of temp source
+        if old.startswith(tempfile.gettempdir()):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def copy(self, new_dir: str) -> 'DiskDataset':
+        if os.path.isdir(new_dir):
+            shutil.rmtree(new_dir)
+        shutil.copytree(self.data_dir, new_dir)
+        return DiskDataset(new_dir)
+
+
+class ImageDataset(Dataset):
+    """Dataset whose X (and/or y) are images, loaded lazily from paths
+    (reference datasets.py:2723)."""
+
+    def __init__(self, X, y, w=None, ids=None) -> None:
+        n = len(X)
+        if isinstance(X, np.ndarray) and X.dtype != object:
+            self._X_paths = None
+            self._X = X
+        else:
+            self._X_paths = list(X)
+            self._X = None
+        if y is None:
+            y = np.zeros((n, 1), dtype=np.float32)
+        if isinstance(y, np.ndarray) and y.dtype != object \
+                and not (len(y) and isinstance(y.flat[0], str)):
+            self._y_paths = None
+            self._y = np.asarray(y)
+        else:
+            self._y_paths = list(y)
+            self._y = None
+        yshape = self._y.shape if self._y is not None else (n,)
+        self._w = np.ones(yshape, dtype=np.float32) if w is None \
+            else np.asarray(w)
+        self._ids = np.asarray(ids if ids is not None else
+                               (self._X_paths or np.arange(n)), dtype=object)
+
+    @staticmethod
+    def _load_images(paths) -> np.ndarray:
+        from PIL import Image
+        arrs = []
+        for p in paths:
+            if isinstance(p, str):
+                arrs.append(np.asarray(Image.open(p)))
+            else:
+                arrs.append(np.asarray(p))
+        return np.stack(arrs)
+
+    def __len__(self):
+        return len(self._ids)
+
+    def get_shape(self):
+        xs = self._X.shape if self._X is not None else (len(self),)
+        ys = self._y.shape if self._y is not None else (len(self),)
+        return xs, ys, self._w.shape, self._ids.shape
+
+    def get_task_names(self):
+        if self._y is not None and self._y.ndim >= 2:
+            return np.arange(self._y.shape[1])
+        return np.array([0])
+
+    @property
+    def X(self):
+        if self._X is None:
+            return self._load_images(self._X_paths)
+        return self._X
+
+    @property
+    def y(self):
+        if self._y is None:
+            return self._load_images(self._y_paths)
+        return self._y
+
+    @property
+    def w(self):
+        return self._w
+
+    @property
+    def ids(self):
+        return self._ids
+
+    def iterbatches(self, batch_size=None, epochs=1, deterministic=False,
+                    pad_batches=False):
+        n = len(self)
+        if batch_size is None:
+            batch_size = n
+        for _ in range(epochs):
+            perm = np.arange(n) if deterministic \
+                else np.random.permutation(n)
+            for start in range(0, n, batch_size):
+                idx = perm[start:start + batch_size]
+                X_b = (self._X[idx] if self._X is not None else
+                       self._load_images([self._X_paths[i] for i in idx]))
+                y_b = (self._y[idx] if self._y is not None else
+                       self._load_images([self._y_paths[i] for i in idx]))
+                w_b, ids_b = self._w[idx], self._ids[idx]
+                if pad_batches and len(idx) < batch_size:
+                    X_b, y_b, w_b, ids_b = pad_batch(batch_size, X_b, y_b,
+                                                     w_b, ids_b)
+                yield X_b, y_b, w_b, ids_b
+
+    def itersamples(self):
+        for i in range(len(self)):
+            X_i = (self._X[i] if self._X is not None else
+                   self._load_images([self._X_paths[i]])[0])
+            y_i = (self._y[i] if self._y is not None else
+                   self._load_images([self._y_paths[i]])[0])
+            yield X_i, y_i, self._w[i], self._ids[i]
+
+    def transform(self, transformer, **kwargs):
+        newx, newy, neww, newids = transformer.transform_array(
+            self.X, self.y, self.w, self.ids)
+        return NumpyDataset(newx, newy, neww, newids)
+
+    def select(self, indices, select_dir=None) -> 'ImageDataset':
+        indices = np.asarray(indices)
+        X = (self._X[indices] if self._X is not None
+             else [self._X_paths[i] for i in indices])
+        y = (self._y[indices] if self._y is not None
+             else [self._y_paths[i] for i in indices])
+        return ImageDataset(X, y, self._w[indices], self._ids[indices])
+
+
+class Databag:
+    """Zip several datasets for multi-input models (reference
+    datasets.py:3024)."""
+
+    def __init__(self, datasets: Optional[dict] = None) -> None:
+        self.datasets = dict(datasets) if datasets else {}
+
+    def add_dataset(self, key, dataset: Dataset) -> None:
+        self.datasets[key] = dataset
+
+    def iterbatches(self, **kwargs):
+        key_order = list(self.datasets.keys())
+        kwargs['deterministic'] = True
+        iterators = [self.datasets[k].iterbatches(**kwargs)
+                     for k in key_order]
+        for batches in zip(*iterators):
+            out = {}
+            for k, (X, _, _, _) in zip(key_order, batches):
+                out[k] = X
+            yield out

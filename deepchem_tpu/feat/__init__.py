@@ -1,0 +1,25 @@
+from deepchem_tpu.feat.base import (Featurizer, MolecularFeaturizer,
+                                    ComplexFeaturizer, UserDefinedFeaturizer,
+                                    DummyFeaturizer, RawFeaturizer)
+from deepchem_tpu.feat.graph_data import (GraphData, BatchGraphData,
+                                          WeightedDirectedGraphData,
+                                          pad_graph_batch, bucket_caps,
+                                          graphs_to_padded_batch)
+from deepchem_tpu.feat.molecule_featurizers import (
+    CircularFingerprint, MACCSKeysFingerprint, RDKitDescriptors,
+    ConvMolFeaturizer, MolGraphConvFeaturizer, PagtnMolGraphFeaturizer,
+    WeaveFeaturizer, OneHotFeaturizer, SmilesToSeq, SmilesToImage,
+    CoulombMatrix, CoulombMatrixEig, AtomicCoordinates, create_char_to_idx)
+from deepchem_tpu.feat import feature_utils
+
+__all__ = [
+    'Featurizer', 'MolecularFeaturizer', 'ComplexFeaturizer',
+    'UserDefinedFeaturizer', 'DummyFeaturizer', 'RawFeaturizer',
+    'GraphData', 'BatchGraphData', 'WeightedDirectedGraphData',
+    'pad_graph_batch', 'bucket_caps', 'graphs_to_padded_batch',
+    'CircularFingerprint', 'MACCSKeysFingerprint', 'RDKitDescriptors',
+    'ConvMolFeaturizer', 'MolGraphConvFeaturizer', 'PagtnMolGraphFeaturizer',
+    'WeaveFeaturizer', 'OneHotFeaturizer', 'SmilesToSeq', 'SmilesToImage',
+    'CoulombMatrix', 'CoulombMatrixEig', 'AtomicCoordinates',
+    'create_char_to_idx', 'feature_utils',
+]

@@ -1,0 +1,198 @@
+"""Atom/bond feature helper functions.
+
+Parity port of the one-hot helpers in reference
+deepchem/utils/molecule_feature_utils.py (632 LoC) and the 75-dim atom
+feature vector of reference deepchem/feat/graph_features.py:282, computed from
+the in-repo chem core instead of RDKit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import numpy as np
+
+from deepchem_tpu.chem.mol import Atom, Bond, Molecule
+
+# reference graph_features.py:23-60 atom symbol vocabulary (44 symbols)
+GRAPH_CONV_SYMBOLS = [
+    'C', 'N', 'O', 'S', 'F', 'Si', 'P', 'Cl', 'Br', 'Mg', 'Na', 'Ca', 'Fe',
+    'As', 'Al', 'I', 'B', 'V', 'K', 'Tl', 'Yb', 'Sb', 'Sn', 'Ag', 'Pd', 'Co',
+    'Se', 'Ti', 'Zn', 'H', 'Li', 'Ge', 'Cu', 'Au', 'Ni', 'Cd', 'In', 'Mn',
+    'Zr', 'Cr', 'Pt', 'Hg', 'Pb', 'Unknown',
+]
+
+# reference mol_graph_conv_featurizer defaults
+DEFAULT_ATOM_TYPES = ['C', 'N', 'O', 'F', 'P', 'S', 'Cl', 'Br', 'I']
+DEFAULT_HYBRIDIZATIONS = ['SP', 'SP2', 'SP3']
+DEFAULT_BOND_TYPES = ['SINGLE', 'DOUBLE', 'TRIPLE', 'AROMATIC']
+
+
+def one_hot_encode(val: Any, allowable_set: Sequence,
+                   include_unknown_set: bool = False) -> List[float]:
+    """(reference molecule_feature_utils.py one_hot_encode)"""
+    if include_unknown_set:
+        vec = [0.0] * (len(allowable_set) + 1)
+    else:
+        vec = [0.0] * len(allowable_set)
+    try:
+        idx = list(allowable_set).index(val)
+    except ValueError:
+        if include_unknown_set:
+            idx = len(allowable_set)
+        else:
+            return vec
+    vec[idx] = 1.0
+    return vec
+
+
+def get_atom_type_one_hot(atom: Atom,
+                          allowable_set=DEFAULT_ATOM_TYPES,
+                          include_unknown_set: bool = True) -> List[float]:
+    return one_hot_encode(atom.symbol, allowable_set, include_unknown_set)
+
+
+def get_atom_formal_charge(atom: Atom) -> List[float]:
+    return [float(atom.formal_charge)]
+
+
+def get_atom_hybridization_one_hot(
+        atom: Atom, allowable_set=DEFAULT_HYBRIDIZATIONS,
+        include_unknown_set: bool = False) -> List[float]:
+    return one_hot_encode(atom.hybridization, allowable_set,
+                          include_unknown_set)
+
+
+def get_atom_total_num_Hs_one_hot(atom: Atom,
+                                  allowable_set=(0, 1, 2, 3, 4),
+                                  include_unknown_set: bool = True
+                                  ) -> List[float]:
+    return one_hot_encode(atom.total_hs, list(allowable_set),
+                          include_unknown_set)
+
+
+def get_atom_is_in_aromatic_one_hot(atom: Atom) -> List[float]:
+    return [float(atom.is_aromatic)]
+
+
+def get_atom_total_degree_one_hot(atom: Atom,
+                                  allowable_set=(0, 1, 2, 3, 4, 5),
+                                  include_unknown_set: bool = True
+                                  ) -> List[float]:
+    return one_hot_encode(atom.degree, list(allowable_set),
+                          include_unknown_set)
+
+
+def get_atom_degree_one_hot(atom: Atom, allowable_set=tuple(range(11)),
+                            include_unknown_set: bool = False
+                            ) -> List[float]:
+    return one_hot_encode(atom.degree, list(allowable_set),
+                          include_unknown_set)
+
+
+def get_atom_implicit_valence_one_hot(
+        atom: Atom, allowable_set=(0, 1, 2, 3, 4, 5, 6),
+        include_unknown_set: bool = False) -> List[float]:
+    return one_hot_encode(atom.implicit_valence, list(allowable_set),
+                          include_unknown_set)
+
+
+def get_atom_explicit_valence_one_hot(
+        atom: Atom, mol: Molecule, allowable_set=(1, 2, 3, 4, 5, 6),
+        include_unknown_set: bool = True) -> List[float]:
+    import math
+    ev = math.ceil(sum(b.order for b in mol.atom_bonds(atom.index)) - 1e-9)
+    return one_hot_encode(ev, list(allowable_set), include_unknown_set)
+
+
+def get_atom_partial_charge(atom: Atom) -> List[float]:
+    """Gasteiger charges are RDKit-only in the reference; we expose formal
+    charge-based fallback 0.0 (models treating this as aux input tolerate
+    it)."""
+    return [0.0]
+
+
+def get_atom_chirality_one_hot(atom: Atom) -> List[float]:
+    """[is_R, is_S] approximation: SMILES parity flags (@/@@) stand in for
+    CIP codes (exact CIP requires full priority rules)."""
+    return [float(atom.chirality == '@@'), float(atom.chirality == '@')]
+
+
+def atom_features_75(atom: Atom, mol: Molecule,
+                     use_chirality: bool = False,
+                     hydrogens_implicit: bool = True) -> np.ndarray:
+    """The 75-dim GraphConv atom feature vector (78 w/ chirality).
+
+    Parity with reference feat/graph_features.py:282 ``atom_features``:
+    one-hot symbol(44) + degree(11) + implicit valence(7) + formal charge +
+    radical electrons + hybridization(5) + aromatic + numHs(5)
+    [+ chirality(2) + 1 pad].
+    """
+    results = (
+        one_hot_encode(atom.symbol, GRAPH_CONV_SYMBOLS[:-1], True)
+        + one_hot_encode(atom.degree, list(range(11)), False)
+        + one_hot_encode(atom.implicit_valence, list(range(7)), False)
+        + [float(atom.formal_charge), float(atom.num_radical_electrons)]
+        + one_hot_encode(atom.hybridization,
+                         ['SP', 'SP2', 'SP3', 'SP3D', 'SP3D2'], False)
+        + [float(atom.is_aromatic)])
+    if hydrogens_implicit:
+        results += one_hot_encode(atom.total_hs, [0, 1, 2, 3, 4], False)
+    if use_chirality:
+        results += get_atom_chirality_one_hot(atom) + [0.0]
+    return np.array(results, dtype=np.float32)
+
+
+def bond_features(bond: Bond, use_chirality: bool = False,
+                  use_extended_chirality: bool = False) -> np.ndarray:
+    """6-dim bond features (10 w/ chirality): type(4) + conjugated + in-ring
+    (reference graph_features.py:394)."""
+    bt = bond.type_name()
+    feats = [
+        float(bt == 'SINGLE'), float(bt == 'DOUBLE'),
+        float(bt == 'TRIPLE'), float(bt == 'AROMATIC'),
+        float(bond.is_conjugated), float(bond.in_ring)]
+    if use_chirality:
+        stereo = bond.stereo_dir
+        feats += one_hot_encode(stereo, ['/', '\\'], True)[0:3] + [0.0]
+        feats = feats[:10]
+    return np.array(feats, dtype=np.float32)
+
+
+def get_bond_type_one_hot(bond: Bond,
+                          allowable_set=DEFAULT_BOND_TYPES,
+                          include_unknown_set: bool = False) -> List[float]:
+    return one_hot_encode(bond.type_name(), allowable_set,
+                          include_unknown_set)
+
+
+def get_bond_is_in_same_ring_one_hot(bond: Bond) -> List[float]:
+    return [float(bond.in_ring)]
+
+
+def get_bond_is_conjugated_one_hot(bond: Bond) -> List[float]:
+    return [float(bond.is_conjugated)]
+
+
+def get_bond_stereo_one_hot(bond: Bond) -> List[float]:
+    """[NONE, ANY, Z, E, CIS, TRANS] approximated from SMILES slashes."""
+    vec = [0.0] * 6
+    if bond.stereo_dir:
+        vec[1] = 1.0
+    else:
+        vec[0] = 1.0
+    return vec
+
+
+def construct_hydrogen_bonding_info(mol: Molecule):
+    """[(atom_idx, 'Donor'|'Acceptor')] heuristic (reference uses RDKit's
+    ChemicalFeatures factory; this is the standard Lipinski-style rule)."""
+    out = []
+    for a in mol.atoms:
+        if a.atomic_num in (7, 8):
+            if a.total_hs > 0:
+                out.append((a.index, 'Donor'))
+            out.append((a.index, 'Acceptor'))
+        if a.atomic_num == 9:
+            out.append((a.index, 'Acceptor'))
+    return out

