@@ -22,6 +22,22 @@ from deepchem_tpu.feat.base import Featurizer, UserDefinedFeaturizer
 logger = logging.getLogger(__name__)
 
 
+def _filter_valid(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop failed featurizations (empty arrays); re-stack to numeric if the
+    survivors are uniform."""
+    valid = np.array([
+        f is not None and (not isinstance(f, np.ndarray) or f.size > 0)
+        for f in feats], dtype=bool)
+    kept = feats[valid]
+    if kept.dtype == object and len(kept):
+        first = kept[0]
+        if all(isinstance(f, np.ndarray)
+               and f.shape == getattr(first, 'shape', None)
+               and f.dtype.kind in 'fiub' for f in kept):
+            kept = np.stack(list(kept))
+    return kept, np.nonzero(valid)[0]
+
+
 def _convert_df_to_numpy(df, tasks: Sequence[str]) -> Tuple[np.ndarray,
                                                             np.ndarray]:
     """Extract (y, w) from dataframe task columns; missing values get w=0
@@ -134,14 +150,7 @@ class CSVLoader(DataLoader):
         inputs = shard[self.feature_field].values
         feats = self.featurizer.featurize(inputs,
                                           log_every_n=self.log_every_n)
-        valid = np.array([
-            f is not None and (not isinstance(f, np.ndarray) or f.size > 0)
-            for f in feats], dtype=bool)
-        if feats.dtype == object:
-            feats = feats[valid]
-        else:
-            feats = feats[valid]
-        return feats, np.nonzero(valid)[0]
+        return _filter_valid(feats)
 
     def _shard_ids(self, shard):
         return shard[self.id_field].values \
@@ -187,10 +196,7 @@ class JsonLoader(DataLoader):
     def _featurize_shard(self, shard):
         feats = self.featurizer.featurize(
             shard[self.feature_field].values, log_every_n=self.log_every_n)
-        valid = np.array([
-            f is not None and (not isinstance(f, np.ndarray) or f.size > 0)
-            for f in feats], dtype=bool)
-        return feats[valid], np.nonzero(valid)[0]
+        return _filter_valid(feats)
 
     def _shard_ids(self, shard):
         return shard[self.id_field].values \
@@ -227,10 +233,7 @@ class SDFLoader(DataLoader):
         mols = [m for m, _ in shard]
         feats = self.featurizer.featurize(mols,
                                           log_every_n=self.log_every_n)
-        valid = np.array([
-            f is not None and (not isinstance(f, np.ndarray) or f.size > 0)
-            for f in feats], dtype=bool)
-        return feats[valid], np.nonzero(valid)[0]
+        return _filter_valid(feats)
 
     def _shard_ids(self, shard):
         from deepchem_tpu.chem import mol_to_smiles
@@ -403,11 +406,8 @@ class InMemoryLoader(DataLoader):
                     ids.append(sid)
                 X = self.featurizer.featurize(
                     datapoints, log_every_n=self.log_every_n)
-                valid = np.array([
-                    f is not None and
-                    (not isinstance(f, np.ndarray) or f.size > 0)
-                    for f in X], dtype=bool)
-                yield (X[valid], np.asarray(ys)[valid],
+                X_kept, valid = _filter_valid(X)
+                yield (X_kept, np.asarray(ys)[valid],
                        np.asarray(ws)[valid],
                        np.asarray(ids, dtype=object)[valid])
         return DiskDataset.create_dataset(shard_generator(), data_dir,
