@@ -1,0 +1,51 @@
+from deepchem_tpu.models.base import Model
+from deepchem_tpu.models.jax_model import JaxModel
+from deepchem_tpu.models import losses
+from deepchem_tpu.models import optimizers
+from deepchem_tpu.models.losses import (
+    Loss, L1Loss, L2Loss, HuberLoss, HingeLoss, SquaredHingeLoss,
+    PoissonLoss, BinaryCrossEntropy, CategoricalCrossEntropy,
+    SigmoidCrossEntropy, SoftmaxCrossEntropy, SparseSoftmaxCrossEntropy,
+    VAE_ELBO, VAE_KLDivergence, ShannonEntropy,
+    GlobalMutualInformationLoss, LocalMutualInformationLoss,
+    GroverPretrainLoss, EdgePredictionLoss, GraphNodeMaskingLoss,
+    GraphEdgeMaskingLoss, DeepGraphInfomaxLoss, GraphContextPredLoss,
+    DensityProfileLoss, NTXentMultiplePositives)
+from deepchem_tpu.models.optimizers import (
+    Optimizer, LearningRateSchedule, Adam, AdamW, SparseAdam, AdaGrad,
+    RMSProp, GradientDescent, Lamb, KFAC, ExponentialDecay,
+    PolynomialDecay, LinearCosineDecay, PiecewiseConstantSchedule,
+    LambdaLRWithWarmup)
+from deepchem_tpu.models.callbacks import ValidationCallback
+from deepchem_tpu.models.fcnet import (MultitaskClassifier,
+                                       MultitaskRegressor,
+                                       MultitaskFitTransformRegressor,
+                                       RobustMultitaskClassifier,
+                                       RobustMultitaskRegressor)
+from deepchem_tpu.models.sklearn_models import SklearnModel
+from deepchem_tpu.models.gbdt_models import GBDTModel
+from deepchem_tpu.models.graph_models import (GraphModel, GraphConvModel,
+                                              GCNModel, GATModel,
+                                              AttentiveFPModel, MPNNModel)
+from deepchem_tpu.models.weave_models import WeaveModel, DTNNModel
+from deepchem_tpu.models.text_cnn import TextCNNModel
+from deepchem_tpu.models.irv import MultitaskIRVClassifier
+from deepchem_tpu.models.progressive import (ProgressiveMultitaskClassifier,
+                                             ProgressiveMultitaskRegressor)
+from deepchem_tpu.models.scscore import ScScoreModel
+from deepchem_tpu.models.cnn import CNN, CNNModel
+from deepchem_tpu.models.chemnet import (Smiles2Vec, Smiles2VecModel,
+                                         ChemCeption, ChemCeptionModel)
+
+__all__ = [
+    'Model', 'JaxModel', 'losses', 'optimizers', 'ValidationCallback',
+    'MultitaskClassifier', 'MultitaskRegressor',
+    'MultitaskFitTransformRegressor', 'RobustMultitaskClassifier',
+    'RobustMultitaskRegressor', 'SklearnModel', 'GBDTModel',
+    'GraphModel', 'GraphConvModel', 'GCNModel', 'GATModel',
+    'AttentiveFPModel', 'MPNNModel', 'WeaveModel', 'DTNNModel',
+    'TextCNNModel', 'MultitaskIRVClassifier',
+    'ProgressiveMultitaskClassifier', 'ProgressiveMultitaskRegressor',
+    'ScScoreModel', 'CNN', 'CNNModel', 'Smiles2Vec', 'Smiles2VecModel',
+    'ChemCeption', 'ChemCeptionModel',
+]

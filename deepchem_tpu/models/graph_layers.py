@@ -1,0 +1,329 @@
+"""Flax graph layers over the padded COO batch layout.
+
+TPU-first redesigns of the reference layer library (reference
+deepchem/models/layers.py: GraphConv:81, GraphPool:216, GraphGather:297,
+WeaveLayer:2635, WeaveGather:2940, DTNNEmbedding/Step/Gather:3144-3280,
+MessagePassing:3648, SetGather:3802).  The degree-bucketed gather loops of
+the reference become dense einsums + segment ops: one COO layout serves all
+models (SURVEY.md section 7 'kernels').
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from deepchem_tpu.ops import (gather_neighbors_max, gather_neighbors_sum,
+                              graph_pool, node_degrees, segment_softmax,
+                              segment_sum)
+
+
+class MaskedBatchNorm(nn.Module):
+    """Batch normalization over valid (mask=1) rows, stateless.
+
+    The reference uses tf.keras BatchNormalization (graph_models.py:808);
+    running statistics are mutable state which the functional engine avoids.
+    Statistics are computed over the valid rows of each batch in both train
+    and eval — acceptable for the large molecule batches used here.
+    """
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if mask is None:
+            mean = jnp.mean(x, axis=0)
+            var = jnp.var(x, axis=0)
+        else:
+            m = mask[:, None]
+            count = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(x * m, axis=0) / count
+            var = jnp.sum(jnp.square(x - mean) * m, axis=0) / count
+        scale = self.param('scale', nn.initializers.ones, (x.shape[-1],))
+        bias = self.param('bias', nn.initializers.zeros, (x.shape[-1],))
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class GraphConv(nn.Module):
+    """Duvenaud graph convolution with per-degree weights (reference
+    models/layers.py:81,202).
+
+    out_i = act( W_self[d_i] h_i + W_nbr[d_i] sum_j h_j + b[d_i] )
+
+    The reference partitions atoms by degree and runs a matmul per degree;
+    on TPU we compute all degree branches densely (small D) and select with
+    a one-hot — MXU-friendly, no dynamic shapes.
+    """
+    out_channels: int
+    max_degree: int = 10
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, h, edge_src, edge_dst, edge_mask, degrees):
+        n, f = h.shape
+        d = self.max_degree + 1
+        W_self = self.param('W_self', nn.initializers.glorot_uniform(),
+                            (d, f, self.out_channels))
+        W_nbr = self.param('W_nbr', nn.initializers.glorot_uniform(),
+                           (d, f, self.out_channels))
+        b = self.param('b', nn.initializers.zeros, (d, self.out_channels))
+        msgs = gather_neighbors_sum(h, edge_src, edge_dst, edge_mask)
+        deg = jnp.clip(degrees, 0, self.max_degree)
+        onehot = jax.nn.one_hot(deg, d, dtype=h.dtype)        # [N, D]
+        # [D,N,O] branches -> select per node
+        self_all = jnp.einsum('nf,dfo->dno', h, W_self)
+        nbr_all = jnp.einsum('nf,dfo->dno', msgs, W_nbr)
+        out = jnp.einsum('dno,nd->no', self_all + nbr_all, onehot)
+        out = out + onehot @ b
+        if self.activation is not None:
+            out = self.activation(out)
+        return out
+
+
+def graph_pool_max(h, edge_src, edge_dst, edge_mask):
+    """GraphPool: elementwise max over {self} ∪ neighbors (reference
+    models/layers.py:216,256)."""
+    nbr_max = gather_neighbors_max(h, edge_src, edge_dst, edge_mask)
+    return jnp.maximum(h, nbr_max)
+
+
+class GraphGather(nn.Module):
+    """Graph-level readout: concat[tanh(sum), tanh(max)] (reference
+    models/layers.py:297,344-364)."""
+    activation: Callable = jnp.tanh
+
+    @nn.compact
+    def __call__(self, h, graph_index, node_mask, num_graphs: int):
+        s = graph_pool(h, graph_index, num_graphs, node_mask, 'sum')
+        m = graph_pool(h, graph_index, num_graphs, node_mask, 'max')
+        return jnp.concatenate([self.activation(s), self.activation(m)],
+                               axis=1)
+
+
+class GCNLayer(nn.Module):
+    """Kipf-Welling GCN with symmetric normalization (reference GCNModel's
+    DGL GraphConv, torch_models/gcn.py)."""
+    out_channels: int
+    activation: Optional[Callable] = None
+    residual: bool = True
+
+    @nn.compact
+    def __call__(self, h, edge_src, edge_dst, edge_mask, degrees):
+        deg = jnp.maximum(degrees.astype(h.dtype), 1.0)
+        norm = jax.lax.rsqrt(deg)
+        x = h * norm[:, None]
+        agg = gather_neighbors_sum(x, edge_src, edge_dst, edge_mask)
+        agg = agg * norm[:, None]
+        out = nn.Dense(self.out_channels)(agg) \
+            + nn.Dense(self.out_channels, use_bias=False)(h)
+        if self.residual:
+            res = nn.Dense(self.out_channels, use_bias=False)(h)
+            out = out + res
+        if self.activation is not None:
+            out = self.activation(out)
+        return out
+
+
+class GATLayer(nn.Module):
+    """Multi-head graph attention (reference GATModel's DGL GATConv,
+    torch_models/gat.py); attention softmax per destination node via
+    segment_softmax."""
+    out_channels: int
+    n_heads: int = 8
+    alpha: float = 0.2           # leaky relu slope
+    agg_mode: str = 'flatten'    # or 'mean'
+
+    @nn.compact
+    def __call__(self, h, edge_src, edge_dst, edge_mask, degrees):
+        n = h.shape[0]
+        H, O = self.n_heads, self.out_channels
+        z = nn.Dense(H * O, use_bias=False)(h).reshape(n, H, O)
+        a_src = self.param('a_src', nn.initializers.glorot_uniform(),
+                           (H, O))
+        a_dst = self.param('a_dst', nn.initializers.glorot_uniform(),
+                           (H, O))
+        e_src = jnp.einsum('nho,ho->nh', z, a_src)
+        e_dst = jnp.einsum('nho,ho->nh', z, a_dst)
+        logits = jnp.take(e_src, edge_src, axis=0) \
+            + jnp.take(e_dst, edge_dst, axis=0)          # [E, H]
+        logits = nn.leaky_relu(logits, self.alpha)
+        att = segment_softmax(logits, edge_dst, n, mask=edge_mask)
+        msgs = jnp.take(z, edge_src, axis=0) * att[:, :, None]
+        out = segment_sum(msgs, edge_dst, n)              # [N, H, O]
+        if self.agg_mode == 'flatten':
+            return out.reshape(n, H * O)
+        return out.mean(axis=1)
+
+
+class AttentiveFPLayer(nn.Module):
+    """AttentiveFP graph attention with GRU update (reference
+    AttentiveFPModel's DGL implementation, torch_models/attentivefp.py)."""
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, h, edge_src, edge_dst, edge_mask, degrees):
+        n = h.shape[0]
+        z = nn.Dense(self.out_channels)(h)
+        # edge attention logits from [h_dst || h_src]
+        cat = jnp.concatenate([jnp.take(z, edge_dst, axis=0),
+                               jnp.take(z, edge_src, axis=0)], axis=1)
+        logits = nn.Dense(1)(nn.leaky_relu(nn.Dense(
+            self.out_channels)(cat)))[:, 0]
+        att = segment_softmax(logits, edge_dst, n, mask=edge_mask)
+        msgs = jnp.take(nn.Dense(self.out_channels)(z), edge_src, axis=0)
+        context = segment_sum(msgs * att[:, None], edge_dst, n)
+        context = nn.elu(context)
+        # GRU cell update
+        gru = nn.GRUCell(features=self.out_channels)
+        new_h, _ = gru(z, context)
+        return new_h
+
+
+class WeaveLayer(nn.Module):
+    """Weave atom/pair co-update (reference models/layers.py:2635).
+
+    Pair features are kept as dense [B, max_n, max_n, P] blocks per graph
+    batch; atom<->pair message passing uses masked sums over the pair grid.
+    """
+    n_atom_out: int = 50
+    n_pair_out: int = 50
+    n_hidden: int = 50
+    update_pair: bool = True
+
+    @nn.compact
+    def __call__(self, atoms, pairs, pair_mask):
+        """atoms: [B, A, F]; pairs: [B, A, A, P]; pair_mask: [B, A, A]."""
+        AA = nn.relu(nn.Dense(self.n_hidden)(atoms))
+        PA = nn.relu(nn.Dense(self.n_hidden)(pairs))
+        # pair -> atom: sum over j
+        PA_sum = jnp.sum(PA * pair_mask[..., None], axis=2)
+        A_out = nn.relu(nn.Dense(self.n_atom_out)(
+            jnp.concatenate([AA, PA_sum], axis=-1)))
+        if not self.update_pair:
+            return A_out, pairs
+        # atom -> pair: outer concat of atom features
+        a_i = jnp.repeat(atoms[:, :, None, :], atoms.shape[1], axis=2)
+        a_j = jnp.repeat(atoms[:, None, :, :], atoms.shape[1], axis=1)
+        AP = nn.relu(nn.Dense(self.n_hidden)(
+            jnp.concatenate([a_i, a_j], axis=-1)))
+        PP = nn.relu(nn.Dense(self.n_hidden)(pairs))
+        P_out = nn.relu(nn.Dense(self.n_pair_out)(
+            jnp.concatenate([AP, PP], axis=-1)))
+        return A_out, P_out
+
+
+class WeaveGather(nn.Module):
+    """Gaussian-histogram readout (reference models/layers.py:2940)."""
+    gaussian_expand: bool = True
+    # the reference's fixed gaussian membership grid
+    MEANS = (-1.645, -1.080, -0.739, -0.468, -0.228, 0.0, 0.228, 0.468,
+             0.739, 1.080, 1.645)
+    STDS = (0.283, 0.170, 0.134, 0.118, 0.114, 0.114, 0.114, 0.118,
+            0.134, 0.170, 0.283)
+
+    @nn.compact
+    def __call__(self, atoms, atom_mask):
+        """atoms: [B, A, F] -> [B, F] (or [B, F*11] gaussian expanded)."""
+        x = atoms
+        if self.gaussian_expand:
+            means = jnp.array(self.MEANS)
+            stds = jnp.array(self.STDS)
+            d = (x[..., None] - means) / stds
+            membership = jnp.exp(-0.5 * d * d)
+            membership = membership / jnp.maximum(
+                membership.sum(-1, keepdims=True), 1e-9)
+            x = membership.reshape(x.shape[:-1] + (-1,))
+        out = jnp.sum(x * atom_mask[..., None], axis=1)
+        if self.gaussian_expand:
+            out = jnp.tanh(nn.Dense(atoms.shape[-1])(out))
+        return out
+
+
+class EdgeNetworkMPNN(nn.Module):
+    """Gilmer MPNN message phase: edge-conditioned message matrices + GRU
+    state (reference MessagePassing/EdgeNetwork/GatedRecurrentUnit,
+    models/layers.py:3648-3800)."""
+    node_dim: int
+    n_steps: int = 3
+
+    @nn.compact
+    def __call__(self, h, edge_src, edge_dst, edge_feats, edge_mask):
+        n = h.shape[0]
+        D = self.node_dim
+        h = nn.Dense(D)(h)
+        # edge network: edge features -> D x D message matrix
+        W_edge = nn.Dense(D * D)
+        gru = nn.GRUCell(features=D)
+        carry = h
+        A = W_edge(edge_feats).reshape(-1, D, D)
+        for _ in range(self.n_steps):
+            src_h = jnp.take(carry, edge_src, axis=0)
+            msg = jnp.einsum('eij,ej->ei', A, src_h)
+            msg = msg * edge_mask[:, None]
+            agg = segment_sum(msg, edge_dst, n)
+            carry, _ = gru(carry, agg)
+        return carry
+
+
+class SetGather(nn.Module):
+    """set2set readout over node sets (reference models/layers.py:3802):
+    LSTM attention iterations, returns [B, 2*node_dim]."""
+    node_dim: int
+    n_steps: int = 6
+
+    @nn.compact
+    def __call__(self, h, graph_index, node_mask, num_graphs: int):
+        D = self.node_dim
+        lstm = nn.OptimizedLSTMCell(features=D)
+        B = num_graphs
+        q_star = jnp.zeros((B, 2 * D))
+        c = (jnp.zeros((B, D)), jnp.zeros((B, D)))
+        W_q = nn.Dense(D, use_bias=False)
+        for _ in range(self.n_steps):
+            c, q = lstm(c, q_star)
+            # attention of each node to its graph's query
+            q_nodes = jnp.take(
+                jnp.concatenate([q, jnp.zeros((1, D))], axis=0),
+                jnp.minimum(graph_index, B), axis=0)
+            e = jnp.sum(W_q(h) * q_nodes, axis=1)
+            a = segment_softmax(e, graph_index, B + 1, mask=node_mask)
+            r = segment_sum(h * a[:, None], graph_index, B + 1)[:B]
+            q_star = jnp.concatenate([q, r], axis=1)
+        return q_star
+
+
+class DTNNEmbedding(nn.Module):
+    """Atomic-number embedding (reference models/layers.py:3144)."""
+    n_embedding: int = 30
+    periodic_table_length: int = 83
+
+    @nn.compact
+    def __call__(self, atomic_numbers):
+        emb = self.param('embeddings',
+                         nn.initializers.truncated_normal(1.0 / jnp.sqrt(
+                             self.n_embedding)),
+                         (self.periodic_table_length, self.n_embedding))
+        return jnp.take(emb, atomic_numbers, axis=0)
+
+
+class DTNNStep(nn.Module):
+    """Distance-gated interaction pass (reference models/layers.py:3211)."""
+    n_embedding: int = 30
+    n_distance: int = 100
+
+    @nn.compact
+    def __call__(self, atom_emb, dist_feats, atom_mask):
+        """atom_emb [B,A,E]; dist_feats [B,A,A,Dd]; mask [B,A]."""
+        W_cf = nn.Dense(self.n_embedding, use_bias=False)
+        W_df = nn.Dense(self.n_embedding, use_bias=False)
+        W_fc = nn.Dense(self.n_embedding)
+        a = W_fc(atom_emb)                     # [B,A,E]
+        d = W_df(dist_feats)                   # [B,A,A,E]
+        msg = jnp.tanh(a[:, None, :, :] * d)   # [B,A(i),A(j),E]
+        msg = msg * atom_mask[:, None, :, None]
+        out = atom_emb + W_cf(jnp.sum(msg, axis=2))
+        return out

@@ -1,0 +1,632 @@
+"""JaxModel: the single TPU-native training engine.
+
+This replaces the reference's three parallel harnesses (KerasModel
+``models/keras_model.py:37``, TorchModel ``models/torch_models/
+torch_model.py:42``, JaxModel ``models/jax_models/jax_model.py:74``) with ONE
+engine (SURVEY.md section 7 'one engine, not four') while preserving the
+user-facing contract: ``fit/fit_generator/predict/predict_on_generator/
+predict_uncertainty/predict_embedding/evaluate``, the output_types protocol
+('prediction'/'loss'/'variance'/'embedding', keras_model.py:76-115), the
+``default_generator`` override point, rotating checkpoints
+(torch_model.py:996-1090), and ``load_from_pretrained`` value transfer.
+
+TPU-first design points:
+- the train step is jit-compiled once with donated (params, opt_state)
+  buffers; all control flow is host-side, all math device-side;
+- data parallelism is a 1-D ``jax.sharding.Mesh`` over all local devices:
+  params replicated, batches sharded on the leading axis; XLA inserts the
+  gradient all-reduce (no NCCL analog needed, SURVEY.md section 2.7);
+- batches are padded to a fixed batch size (``pad_batches=True``) so the
+  step sees one static shape.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+import time
+from collections.abc import Sequence as SequenceCollection
+from typing import (Any, Callable, Dict, Iterable, List, Optional, Sequence,
+                    Tuple, Union)
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deepchem_tpu.data import Dataset, NumpyDataset, pad_batch
+from deepchem_tpu.models.base import Model
+from deepchem_tpu.models.losses import Loss
+from deepchem_tpu.models.optimizers import (Adam, Optimizer,
+                                            LearningRateSchedule)
+from deepchem_tpu.trans import Transformer, undo_transforms
+from deepchem_tpu.utils.evaluate import GeneratorEvaluator
+
+logger = logging.getLogger(__name__)
+
+OneOrMany = Union[Any, Sequence[Any]]
+
+
+def _to_list(x) -> List:
+    if x is None:
+        return []
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    return [x]
+
+
+class JaxModel(Model):
+    """Train/evaluate a flax.linen Module with the DeepChem API surface.
+
+    Parameters
+    ----------
+    module: flax.linen.Module
+        forward network; ``module.apply(variables, *inputs, training=...)``
+        must return one output or a tuple aligned with ``output_types``.
+    loss: Loss or callable
+        a :class:`Loss` applied as weighted mean over per-sample values, or
+        a callable ``f(outputs, labels, weights) -> scalar``.
+    output_types: list of str
+        one per module output: 'prediction', 'loss', 'variance', 'embedding'.
+    """
+
+    def __init__(self, module, loss: Union[Loss, Callable],
+                 output_types: Optional[Sequence[str]] = None,
+                 batch_size: int = 100,
+                 model_dir: Optional[str] = None,
+                 learning_rate: Union[float, LearningRateSchedule] = 0.001,
+                 optimizer: Optional[Optimizer] = None,
+                 seed: int = 0,
+                 data_parallel: bool = True,
+                 log_frequency: int = 100,
+                 rng_collections: Sequence[str] = ('dropout',),
+                 **kwargs) -> None:
+        super().__init__(model=module, model_dir=model_dir, **kwargs)
+        self.module = module
+        self.batch_size = batch_size
+        self.log_frequency = log_frequency
+        if optimizer is None:
+            optimizer = Adam(learning_rate=learning_rate)
+        self.optimizer = optimizer
+        self._optax = optimizer._create_optax_optimizer()
+        self._rng = jax.random.PRNGKey(seed)
+        self._rng_collections = tuple(rng_collections)
+        self._loss = loss
+        self.output_types = list(output_types) if output_types else None
+        if self.output_types:
+            self._prediction_outputs = [
+                i for i, t in enumerate(self.output_types)
+                if t == 'prediction']
+            self._loss_outputs = [
+                i for i, t in enumerate(self.output_types) if t == 'loss']
+            self._variance_outputs = [
+                i for i, t in enumerate(self.output_types)
+                if t == 'variance']
+            self._embedding_outputs = [
+                i for i, t in enumerate(self.output_types)
+                if t == 'embedding']
+        else:
+            self._prediction_outputs = None
+            self._loss_outputs = None
+            self._variance_outputs = None
+            self._embedding_outputs = None
+        self.params = None           # flax variables dict
+        self.opt_state = None
+        self._built = False
+        self._global_step = 0
+        self._train_step_fn = None
+        self._predict_fn_cache: Dict = {}
+        self._loss_fn_compiled = None
+        # distributed mesh (data parallelism)
+        self.data_parallel = data_parallel
+        devices = jax.devices()
+        if data_parallel and len(devices) > 1:
+            self.mesh = Mesh(np.array(devices), ('data',))
+        else:
+            self.mesh = None
+        # checkpoint config
+        self.max_checkpoints_to_keep = kwargs.get(
+            'max_checkpoints_to_keep', 5)
+        # training telemetry (reference torch_model.py:329 all_losses)
+        self._losses_history: List[float] = []
+        # observability hooks (reference torch_model.py:1140 tensorboard,
+        # wandblogger.py); either may be set post-init
+        self.tensorboard_logger = kwargs.get('tensorboard_logger')
+        self.wandb_logger = kwargs.get('wandb_logger')
+
+    # -- construction ------------------------------------------------------
+    def _next_rng(self) -> jax.Array:
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def build(self, sample_inputs: Sequence[np.ndarray]) -> None:
+        """Initialize parameters from a sample batch."""
+        if self._built:
+            return
+        rngs = {'params': self._next_rng()}
+        for c in self._rng_collections:
+            rngs[c] = self._next_rng()
+        inputs = [jnp.asarray(x) for x in sample_inputs]
+
+        # one jitted computation for module init + optimizer init: eager
+        # execution pays a per-op XLA compile which is very slow on some
+        # platforms
+        def init(r):
+            params = self.module.init(r, *inputs, training=False)
+            return params, self._optax.init(params)
+        self.params, self.opt_state = jax.jit(init)(rngs)
+        if self.mesh is not None:
+            rep = NamedSharding(self.mesh, P())
+            self.params = jax.device_put(self.params, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
+        self._built = True
+
+    # -- forward/loss ------------------------------------------------------
+    def _forward(self, params, inputs: Sequence[jnp.ndarray],
+                 training: bool, rng) -> List[jnp.ndarray]:
+        rngs = {c: jax.random.fold_in(rng, i)
+                for i, c in enumerate(self._rng_collections)} \
+            if training or rng is not None else None
+        out = self.module.apply(params, *inputs, training=training,
+                                rngs=rngs)
+        return list(out) if isinstance(out, (list, tuple)) else [out]
+
+    def _compute_loss(self, outputs: List[jnp.ndarray],
+                      labels: List[jnp.ndarray],
+                      weights: List[jnp.ndarray]) -> jnp.ndarray:
+        if not isinstance(self._loss, Loss):
+            return self._loss(outputs, labels, weights)
+        # standard path (reference keras_model.py _StandardLoss): weighted
+        # mean of per-sample losses over the loss outputs
+        if self._loss_outputs is not None and len(self._loss_outputs):
+            outs = [outputs[i] for i in self._loss_outputs]
+        else:
+            outs = outputs
+        out = outs[0]
+        label = labels[0]
+        losses = self._loss(out, label)
+        w = weights[0] if weights else jnp.ones(())
+        if w.ndim < losses.ndim:
+            w = jnp.reshape(w, w.shape + (1,) * (losses.ndim - w.ndim))
+        elif w.ndim > losses.ndim:
+            # e.g. per-task weights with scalar per-sample loss
+            w = jnp.mean(w, axis=tuple(range(losses.ndim, w.ndim)))
+        return jnp.sum(losses * w) / jnp.maximum(jnp.sum(
+            jnp.broadcast_to(w, losses.shape)), 1e-8)
+
+    # -- train step --------------------------------------------------------
+    def _make_train_step(self):
+        optimizer = self._optax
+
+        def step(params, opt_state, rng, inputs, labels, weights):
+            def loss_fn(p):
+                outputs = self._forward(p, inputs, training=True, rng=rng)
+                return self._compute_loss(outputs, labels, weights)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    #: subclasses whose inputs are NOT batch-major (e.g. flat COO graph
+    #: arrays) set this False so inputs replicate instead of shard —
+    #: sharding a node-flat array would make GSPMD insert cross-device
+    #: scatter/gathers inside every segment op
+    batch_axis_shardable = True
+
+    def _shard_batch(self, arrays: List[jnp.ndarray]) -> List[jnp.ndarray]:
+        if self.mesh is None:
+            return arrays
+        out = []
+        n_dev = self.mesh.devices.size
+        for a in arrays:
+            if self.batch_axis_shardable and hasattr(a, 'shape') \
+                    and a.ndim >= 1 and a.shape[0] % n_dev == 0:
+                out.append(jax.device_put(
+                    a, NamedSharding(self.mesh, P('data'))))
+            else:
+                out.append(jax.device_put(a, NamedSharding(self.mesh, P())))
+        return out
+
+    # -- fitting -----------------------------------------------------------
+    def fit(self, dataset: Dataset, nb_epoch: int = 10,
+            max_checkpoints_to_keep: int = 5,
+            checkpoint_interval: int = 1000,
+            deterministic: bool = False,
+            restore: bool = False, variables=None,
+            loss: Optional[Callable] = None,
+            callbacks: Union[Callable, Iterable[Callable]] = (),
+            all_losses: Optional[List[float]] = None) -> float:
+        """(reference torch_model.py:289 contract)"""
+        return self.fit_generator(
+            self.default_generator(dataset, epochs=nb_epoch,
+                                   deterministic=deterministic),
+            max_checkpoints_to_keep, checkpoint_interval, restore,
+            variables, loss, callbacks, all_losses)
+
+    def fit_generator(self, generator: Iterable[Tuple],
+                      max_checkpoints_to_keep: int = 5,
+                      checkpoint_interval: int = 1000,
+                      restore: bool = False, variables=None,
+                      loss: Optional[Callable] = None,
+                      callbacks: Union[Callable, Iterable[Callable]] = (),
+                      all_losses: Optional[List[float]] = None) -> float:
+        if not isinstance(callbacks, SequenceCollection):
+            callbacks = [callbacks]
+        if restore:
+            self.restore()
+        if self._train_step_fn is None:
+            self._train_step_fn = self._make_train_step()
+        last_avg_loss = 0.0
+        pending_losses: List = []    # device scalars; synced only at log time
+        time1 = time.time()
+        for batch in generator:
+            inputs, labels, weights = self._prepare_batch(batch)
+            if not self._built:
+                self.build(inputs)
+            inputs = self._shard_batch(inputs)
+            rng = self._next_rng()
+            self.params, self.opt_state, loss_val = self._train_step_fn(
+                self.params, self.opt_state, rng, inputs, labels, weights)
+            self._global_step += 1
+            current_step = self._global_step
+            # keep the loss on-device: a float() here would force a host
+            # sync every step, which stalls the dispatch pipeline
+            pending_losses.append(loss_val)
+            if current_step % self.log_frequency == 0:
+                last_avg_loss = float(np.mean(
+                    [float(x) for x in pending_losses]))
+                logger.info('Ending global_step %d: Average loss %g',
+                            current_step, last_avg_loss)
+                if all_losses is not None:
+                    all_losses.append(last_avg_loss)
+                self._losses_history.append(last_avg_loss)
+                pending_losses = []
+            if checkpoint_interval > 0 and \
+                    current_step % checkpoint_interval == 0:
+                self.save_checkpoint(max_checkpoints_to_keep)
+            for c in callbacks:
+                try:
+                    c(self, current_step)
+                except StopIteration:
+                    break
+        if pending_losses:
+            last_avg_loss = float(np.mean(
+                [float(x) for x in pending_losses]))
+            if all_losses is not None:
+                all_losses.append(last_avg_loss)
+            self._losses_history.append(last_avg_loss)
+        if checkpoint_interval > 0:
+            self.save_checkpoint(max_checkpoints_to_keep)
+        time2 = time.time()
+        logger.info('TIMING: model fitting took %0.3f s', time2 - time1)
+        return last_avg_loss
+
+    def fit_on_batch(self, X, y, w, variables=None, loss=None,
+                     callbacks=(), checkpoint: bool = False,
+                     max_checkpoints_to_keep: int = 5) -> float:
+        dataset = NumpyDataset(X, y, w)
+        return self.fit(dataset, nb_epoch=1, checkpoint_interval=0)
+
+    @property
+    def all_losses(self) -> List[float]:
+        return self._losses_history
+
+    # -- batching ----------------------------------------------------------
+    def default_generator(self, dataset: Dataset, epochs: int = 1,
+                          mode: str = 'fit', deterministic: bool = True,
+                          pad_batches: bool = True
+                          ) -> Iterable[Tuple[List, List, List]]:
+        """(reference torch_model.py:954)"""
+        for epoch in range(epochs):
+            for (X_b, y_b, w_b, ids_b) in dataset.iterbatches(
+                    batch_size=self.batch_size, deterministic=deterministic,
+                    pad_batches=pad_batches):
+                yield ([X_b], [y_b], [w_b])
+
+    def _prepare_batch(self, batch: Tuple) -> Tuple[List, List, List]:
+        """numpy -> float32 jnp arrays (reference torch_model.py:923)."""
+        inputs, labels, weights = batch
+
+        def conv(arrs):
+            out = []
+            for a in _to_list(arrs):
+                if a is None:
+                    continue
+                a = np.asarray(a)
+                if a.dtype == np.float64:
+                    a = a.astype(np.float32)
+                elif a.dtype == object:
+                    a = np.stack([np.asarray(x, dtype=np.float32)
+                                  for x in a])
+                out.append(jnp.asarray(a))
+            return out
+        return conv(inputs), conv(labels), conv(weights)
+
+    # -- prediction --------------------------------------------------------
+    def _predict_step(self, params, inputs, rng, training: bool):
+        return self._forward(params, inputs, training=training, rng=rng)
+
+    def _get_predict_fn(self, training: bool):
+        key = ('predict', training)
+        if key not in self._predict_fn_cache:
+            self._predict_fn_cache[key] = jax.jit(
+                lambda p, rng, *inputs: self._predict_step(
+                    p, list(inputs), rng, training),
+            )
+        return self._predict_fn_cache[key]
+
+    def _predict(self, generator: Iterable[Tuple],
+                 transformers: Sequence[Transformer],
+                 uncertainty: bool,
+                 other_output_types: Optional[Sequence[str]] = None):
+        """(reference keras_model.py:582 logic)"""
+        results: Optional[List[List[np.ndarray]]] = None
+        variances: Optional[List[List[np.ndarray]]] = None
+        if uncertainty and (other_output_types is not None):
+            raise ValueError(
+                'cannot use other output types with uncertainty')
+        if uncertainty:
+            if self._variance_outputs is None or \
+                    len(self._variance_outputs) == 0:
+                raise ValueError('model does not compute variances')
+            if len(self._variance_outputs) != len(self._prediction_outputs):
+                raise ValueError(
+                    'variance and prediction outputs must pair up')
+        if transformers:
+            if self.output_types is not None and \
+                    len(self._prediction_outputs or []) > 1:
+                raise ValueError(
+                    'cannot apply transformers with multiple predictions')
+        fn = self._get_predict_fn(training=uncertainty)
+        for batch in generator:
+            inputs, labels, weights = self._prepare_batch(batch)
+            if not self._built:
+                self.build(inputs)
+            rng = self._next_rng() if uncertainty else None
+            outputs = fn(self.params, rng, *inputs)
+            outputs = [np.asarray(o) for o in outputs]
+            # select outputs
+            if self.output_types is None or other_output_types is None:
+                if self.output_types is None:
+                    selected = outputs
+                    var_sel = []
+                else:
+                    selected = [outputs[i]
+                                for i in self._prediction_outputs]
+                    var_sel = [outputs[i]
+                               for i in (self._variance_outputs or [])]
+            else:
+                idx = [i for i, t in enumerate(self.output_types)
+                       if t in other_output_types]
+                selected = [outputs[i] for i in idx]
+                var_sel = []
+            if transformers:
+                selected = [undo_transforms(s, transformers)
+                            for s in selected]
+            if results is None:
+                results = [[] for _ in selected]
+            for r, s in zip(results, selected):
+                r.append(s)
+            if uncertainty:
+                if variances is None:
+                    variances = [[] for _ in var_sel]
+                for v, s in zip(variances, var_sel):
+                    v.append(s)
+        if results is None:
+            return np.zeros(0)
+        final = [np.concatenate(r, axis=0) for r in results]
+        if uncertainty:
+            final_v = [np.concatenate(v, axis=0) for v in variances]
+            if len(final) == 1:
+                return final[0], final_v[0]
+            return list(zip(final, final_v))
+        if len(final) == 1:
+            return final[0]
+        return final
+
+    def predict_on_generator(self, generator: Iterable[Tuple],
+                             transformers: Sequence[Transformer] = (),
+                             output_types: Optional[OneOrMany] = None):
+        if output_types is not None and not isinstance(output_types,
+                                                       (list, tuple)):
+            output_types = [output_types]
+        return self._predict(generator, transformers, False, output_types)
+
+    def predict_on_batch(self, X, transformers: Sequence = (),
+                         **kwargs) -> np.ndarray:
+        dataset = NumpyDataset(X, None, None)
+        return self.predict(dataset, transformers)
+
+    def predict(self, dataset: Dataset,
+                transformers: Sequence[Transformer] = (),
+                output_types: Optional[Sequence[str]] = None
+                ) -> np.ndarray:
+        """(reference torch_model.py:731)"""
+        generator = self.default_generator(dataset, mode='predict',
+                                           deterministic=True,
+                                           pad_batches=False)
+        out = self.predict_on_generator(generator, transformers,
+                                        output_types)
+        return _trim_to(out, len(dataset))
+
+    def predict_embedding(self, dataset: Dataset) -> np.ndarray:
+        generator = self.default_generator(dataset, mode='predict',
+                                           deterministic=True,
+                                           pad_batches=False)
+        out = self.predict_on_generator(generator,
+                                        output_types=['embedding'])
+        return _trim_to(out, len(dataset))
+
+    def predict_uncertainty(self, dataset: Dataset, masks: int = 50
+                            ) -> Tuple[np.ndarray, np.ndarray]:
+        """MC-dropout epistemic + aleatoric uncertainty (reference
+        keras_model.py:883)."""
+        sum_pred: Optional[np.ndarray] = None
+        sum_sq_pred = None
+        sum_var = None
+        for _ in range(masks):
+            generator = self.default_generator(dataset, mode='uncertainty',
+                                               deterministic=True,
+                                               pad_batches=False)
+            result = self._predict(generator, [], uncertainty=True,
+                                   other_output_types=None)
+            pred, var = result
+            pred = _trim_to(pred, len(dataset))
+            var = _trim_to(var, len(dataset))
+            if sum_pred is None:
+                sum_pred = pred
+                sum_sq_pred = pred * pred
+                sum_var = var
+            else:
+                sum_pred += pred
+                sum_sq_pred += pred * pred
+                sum_var += var
+        pred = sum_pred / masks
+        var = sum_var / masks                        # aleatoric
+        var += sum_sq_pred / masks - pred * pred     # + epistemic
+        return pred, np.sqrt(np.maximum(var, 0))
+
+    def evaluate_generator(self, generator, metrics,
+                           transformers: Sequence = (),
+                           per_task_metrics: bool = False):
+        evaluator = GeneratorEvaluator(self, generator, transformers)
+        return evaluator.compute_model_performance(metrics,
+                                                   per_task_metrics)
+
+    # -- checkpoints -------------------------------------------------------
+    def _state_dict(self) -> Dict:
+        return {'params': jax.tree.map(np.asarray, self.params),
+                'opt_state': jax.tree.map(np.asarray, self.opt_state),
+                'global_step': self._global_step}
+
+    def save_checkpoint(self, max_checkpoints_to_keep: int = 5,
+                        model_dir: Optional[str] = None) -> None:
+        """Rotating checkpoint files (reference torch_model.py:996):
+        checkpoint1 is always the most recent."""
+        if not self._built:
+            return
+        import pickle
+        if model_dir is None:
+            model_dir = self.model_dir
+        os.makedirs(model_dir, exist_ok=True)
+        paths = [os.path.join(model_dir, f'checkpoint{i + 1}.pt')
+                 for i in range(max_checkpoints_to_keep)]
+        if os.path.exists(paths[-1]):
+            os.remove(paths[-1])
+        for i in reversed(range(max_checkpoints_to_keep - 1)):
+            if os.path.exists(paths[i]):
+                os.rename(paths[i], paths[i + 1])
+        with open(paths[0], 'wb') as f:
+            pickle.dump(self._state_dict(), f)
+
+    def get_checkpoints(self, model_dir: Optional[str] = None) -> List[str]:
+        """(reference torch_model.py:1049)"""
+        if model_dir is None:
+            model_dir = self.model_dir
+        files = sorted(os.listdir(model_dir)) \
+            if os.path.isdir(model_dir) else []
+        ckpts = [f for f in files if re.match(r'checkpoint\d+\.pt', f)]
+        ckpts.sort(key=lambda f: int(re.findall(r'\d+', f)[0]))
+        return [os.path.join(model_dir, f) for f in ckpts]
+
+    def restore(self, checkpoint: Optional[str] = None,
+                model_dir: Optional[str] = None,
+                strict: bool = True) -> None:
+        """(reference torch_model.py:1061)"""
+        import pickle
+        if checkpoint is None:
+            ckpts = self.get_checkpoints(model_dir)
+            if not ckpts:
+                raise ValueError('no checkpoint found')
+            checkpoint = ckpts[0]
+        with open(checkpoint, 'rb') as f:
+            data = pickle.load(f)
+        self.params = jax.tree.map(jnp.asarray, data['params'])
+        self.opt_state = jax.tree.map(jnp.asarray, data['opt_state'])
+        self._global_step = data.get('global_step', 0)
+        if self.mesh is not None:
+            rep = NamedSharding(self.mesh, P())
+            self.params = jax.device_put(self.params, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
+        self._built = True
+        self._train_step_fn = None     # donated buffers: rebuild jit
+
+    def get_global_step(self) -> int:
+        return self._global_step
+
+    def load_from_pretrained(self, source_model: 'JaxModel',
+                             assignment_map: Optional[Dict] = None,
+                             value_map: Optional[Dict] = None,
+                             checkpoint: Optional[str] = None,
+                             model_dir: Optional[str] = None,
+                             include_top: bool = True,
+                             inputs: Optional[Sequence] = None,
+                             **kwargs) -> None:
+        """Transfer parameter values by matching pytree paths (reference
+        keras_model.py:1210 value-transfer semantics)."""
+        if not source_model._built:
+            if checkpoint is not None or model_dir is not None:
+                source_model.restore(checkpoint=checkpoint,
+                                     model_dir=model_dir)
+            else:
+                raise ValueError('source model has no parameters')
+        if not self._built:
+            if inputs is None:
+                raise ValueError(
+                    'pass inputs= to build the target model first')
+            self.build(inputs)
+        src_flat = _flatten_params(source_model.params)
+        dst_flat = _flatten_params(self.params)
+        new_flat = dict(dst_flat)
+        n_assigned = 0
+        for k, v in src_flat.items():
+            if k in dst_flat and dst_flat[k].shape == v.shape:
+                if not include_top and _is_top_layer(k, src_flat):
+                    continue
+                new_flat[k] = v
+                n_assigned += 1
+        logger.info('load_from_pretrained: %d/%d tensors transferred',
+                    n_assigned, len(dst_flat))
+        self.params = _unflatten_params(new_flat, self.params)
+        self.opt_state = self._optax.init(self.params)
+        self._train_step_fn = None
+
+
+def _trim_to(out, n: int):
+    if isinstance(out, np.ndarray):
+        return out[:n]
+    if isinstance(out, list):
+        return [_trim_to(o, n) for o in out]
+    if isinstance(out, tuple):
+        return tuple(_trim_to(o, n) for o in out)
+    return out
+
+
+def _flatten_params(params) -> Dict[str, np.ndarray]:
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for path, leaf in flat:
+        key = '/'.join(str(getattr(p, 'key', getattr(p, 'idx', p)))
+                       for p in path)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def _unflatten_params(flat: Dict[str, np.ndarray], template):
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in paths:
+        key = '/'.join(str(getattr(p, 'key', getattr(p, 'idx', p)))
+                       for p in path)
+        leaves.append(jnp.asarray(flat.get(key, leaf)))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _is_top_layer(key: str, flat: Dict[str, np.ndarray]) -> bool:
+    """Heuristic: the lexicographically-last layer scope is 'the top'."""
+    scopes = sorted({k.rsplit('/', 1)[0] for k in flat})
+    return key.rsplit('/', 1)[0] == scopes[-1]

@@ -1,0 +1,16 @@
+from deepchem_tpu.molnet.loader import (_MolnetLoader, TransformerGenerator,
+                                        featurizers, splitters, transformers)
+from deepchem_tpu.molnet.load_function import (
+    load_tox21, load_delaney, load_freesolv, load_sampl, load_lipo,
+    load_bace_classification, load_bace_regression, load_bbbp,
+    load_clintox, load_hiv, load_sider, load_muv, load_qm7, load_qm8,
+    load_qm9, load_thermosol, load_hppb, load_clearance, load_chembl)
+
+__all__ = [
+    '_MolnetLoader', 'TransformerGenerator', 'featurizers', 'splitters',
+    'transformers', 'load_tox21', 'load_delaney', 'load_freesolv',
+    'load_sampl', 'load_lipo', 'load_bace_classification',
+    'load_bace_regression', 'load_bbbp', 'load_clintox', 'load_hiv',
+    'load_sider', 'load_muv', 'load_qm7', 'load_qm8', 'load_qm9',
+    'load_thermosol', 'load_hppb', 'load_clearance', 'load_chembl',
+]

@@ -1,0 +1,240 @@
+"""MoleculeNet dataset load functions.
+
+Redesign of reference deepchem/molnet/load_function/ (one module per dataset
+there; consolidated here).  Each ``load_<name>`` has the reference signature:
+``load_x(featurizer='ECFP', splitter='scaffold'|'random'|'index',
+transformers=[...], reload=True, data_dir=None, save_dir=None) ->
+(tasks, (train, valid, test), transformers)``.
+
+Data is fetched via download_url which consults local mirrors first
+(zero-egress builds ship tox21/delaney/muv and a few others in
+/root/reference/datasets).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from deepchem_tpu.data import CSVLoader, Dataset, SDFLoader
+from deepchem_tpu.molnet.loader import (DEEPCHEM_S3, TransformerGenerator,
+                                        _MolnetLoader)
+from deepchem_tpu.utils.data_utils import download_url
+
+# task lists (reference per-dataset modules)
+TOX21_TASKS = [
+    'NR-AR', 'NR-AR-LBD', 'NR-AhR', 'NR-Aromatase', 'NR-ER', 'NR-ER-LBD',
+    'NR-PPAR-gamma', 'SR-ARE', 'SR-ATAD5', 'SR-HSE', 'SR-MMP', 'SR-p53']
+DELANEY_TASKS = ['measured log solubility in mols per litre']
+FREESOLV_TASKS = ['y']
+LIPO_TASKS = ['exp']
+BACE_CLS_TASKS = ['Class']
+BACE_REG_TASKS = ['pIC50']
+BBBP_TASKS = ['p_np']
+CLINTOX_TASKS = ['FDA_APPROVED', 'CT_TOX']
+HIV_TASKS = ['HIV_active']
+SIDER_TASKS = [
+    'Hepatobiliary disorders', 'Metabolism and nutrition disorders',
+    'Product issues', 'Eye disorders', 'Investigations',
+    'Musculoskeletal and connective tissue disorders',
+    'Gastrointestinal disorders', 'Social circumstances',
+    'Immune system disorders', 'Reproductive system and breast disorders',
+    'Neoplasms benign, malignant and unspecified (incl cysts and polyps)',
+    'General disorders and administration site conditions',
+    'Endocrine disorders', 'Surgical and medical procedures',
+    'Vascular disorders', 'Blood and lymphatic system disorders',
+    'Skin and subcutaneous tissue disorders',
+    'Congenital, familial and genetic disorders', 'Infections and '
+    'infestations', 'Respiratory, thoracic and mediastinal disorders',
+    'Psychiatric disorders', 'Renal and urinary disorders',
+    'Pregnancy, puerperium and perinatal conditions',
+    'Ear and labyrinth disorders', 'Cardiac disorders',
+    'Nervous system disorders', 'Injury, poisoning and procedural '
+    'complications']
+MUV_TASKS = [
+    'MUV-466', 'MUV-548', 'MUV-600', 'MUV-644', 'MUV-652', 'MUV-689',
+    'MUV-692', 'MUV-712', 'MUV-713', 'MUV-733', 'MUV-737', 'MUV-810',
+    'MUV-832', 'MUV-846', 'MUV-852', 'MUV-858', 'MUV-859']
+QM7_TASKS = ['u0_atom']
+QM8_TASKS = [
+    'E1-CC2', 'E2-CC2', 'f1-CC2', 'f2-CC2', 'E1-PBE0', 'E2-PBE0',
+    'f1-PBE0', 'f2-PBE0', 'E1-CAM', 'E2-CAM', 'f1-CAM', 'f2-CAM']
+QM9_TASKS = [
+    'mu', 'alpha', 'homo', 'lumo', 'gap', 'r2', 'zpve', 'cv', 'u0', 'u298',
+    'h298', 'g298']
+THERMOSOL_TASKS = ['target']
+HPPB_TASKS = ['target']
+CLEARANCE_TASKS = ['target']
+
+
+class _CSVMolnetLoader(_MolnetLoader):
+    """Generic CSV loader: download (or mirror) -> CSVLoader."""
+
+    def __init__(self, *args, url: str, filename: str,
+                 feature_field: str = 'smiles', **kwargs):
+        super().__init__(*args, **kwargs)
+        self.url = url
+        self.filename = filename
+        self.feature_field = feature_field
+
+    def create_dataset(self) -> Dataset:
+        dataset_file = os.path.join(self.data_dir, self.filename)
+        if not os.path.exists(dataset_file):
+            download_url(self.url, self.data_dir, self.filename)
+        loader = CSVLoader(tasks=self.tasks, featurizer=self.featurizer,
+                           feature_field=self.feature_field)
+        return loader.create_dataset(dataset_file,
+                                     shard_size=self.args.get('shard_size',
+                                                              8192))
+
+
+def _make_csv_load_fn(name: str, tasks: List[str], filename: str,
+                      default_transformers: List[str],
+                      feature_field: str = 'smiles',
+                      url: Optional[str] = None):
+    url = url or (DEEPCHEM_S3 + filename)
+
+    def load_fn(featurizer='ECFP', splitter='scaffold',
+                transformers=None, reload: bool = True,
+                data_dir: Optional[str] = None,
+                save_dir: Optional[str] = None, **kwargs):
+        if transformers is None:
+            transformers = list(default_transformers)
+        loader = _CSVMolnetLoader(
+            featurizer, splitter, transformers, tasks, data_dir, save_dir,
+            url=url, filename=filename, feature_field=feature_field,
+            **kwargs)
+        return loader.load_dataset(name, reload)
+    load_fn.__name__ = f'load_{name}'
+    load_fn.__doc__ = (
+        f'Load the {name} dataset (reference molnet/load_function/'
+        f'{name}_datasets.py). Returns (tasks, (train, valid, test), '
+        f'transformers).')
+    return load_fn
+
+
+load_tox21 = _make_csv_load_fn('tox21', TOX21_TASKS, 'tox21.csv.gz',
+                               ['balancing'])
+load_delaney = _make_csv_load_fn('delaney', DELANEY_TASKS,
+                                 'delaney-processed.csv',
+                                 ['normalization'])
+load_freesolv = _make_csv_load_fn('freesolv', FREESOLV_TASKS, 'freesolv.csv.gz',
+                                  ['normalization'])
+load_sampl = _make_csv_load_fn('sampl', FREESOLV_TASKS, 'SAMPL.csv',
+                               ['normalization'])
+load_lipo = _make_csv_load_fn('lipo', LIPO_TASKS, 'Lipophilicity.csv',
+                              ['normalization'])
+load_bace_classification = _make_csv_load_fn(
+    'bace_c', BACE_CLS_TASKS, 'bace.csv', ['balancing'],
+    feature_field='mol')
+load_bace_regression = _make_csv_load_fn(
+    'bace_r', BACE_REG_TASKS, 'bace.csv', ['normalization'],
+    feature_field='mol')
+load_bbbp = _make_csv_load_fn('bbbp', BBBP_TASKS, 'BBBP.csv', ['balancing'])
+load_clintox = _make_csv_load_fn('clintox', CLINTOX_TASKS, 'clintox.csv.gz',
+                                 ['balancing'])
+load_hiv = _make_csv_load_fn('hiv', HIV_TASKS, 'HIV.csv', ['balancing'])
+load_sider = _make_csv_load_fn('sider', SIDER_TASKS, 'sider.csv.gz',
+                               ['balancing'])
+load_muv = _make_csv_load_fn('muv', MUV_TASKS, 'muv.csv.gz', ['balancing'])
+load_thermosol = _make_csv_load_fn('thermosol', THERMOSOL_TASKS,
+                                   'thermosol.csv', ['normalization'])
+load_hppb = _make_csv_load_fn('hppb', HPPB_TASKS, 'hppb.csv',
+                              ['normalization'])
+load_clearance = _make_csv_load_fn('clearance', CLEARANCE_TASKS,
+                                   'clearance.csv', ['normalization'])
+load_qm8 = _make_csv_load_fn('qm8', QM8_TASKS, 'qm8.csv',
+                             ['normalization'])
+load_qm9 = _make_csv_load_fn('qm9', QM9_TASKS, 'qm9.csv',
+                             ['normalization'])
+
+
+class _QM7Loader(_MolnetLoader):
+    """QM7 from the gdb7/gdb1k SDF (coulomb-matrix quantum dataset)."""
+
+    def create_dataset(self) -> Dataset:
+        filename = 'gdb7.sdf'
+        dataset_file = os.path.join(self.data_dir, filename)
+        if not os.path.exists(dataset_file):
+            try:
+                download_url(DEEPCHEM_S3 + 'gdb7.tar.gz', self.data_dir)
+                from deepchem_tpu.utils.data_utils import untargz_file
+                untargz_file(os.path.join(self.data_dir, 'gdb7.tar.gz'),
+                             self.data_dir)
+            except Exception:
+                # local mirror carries gdb1k.sdf(.csv), a 1k-molecule subset
+                dataset_file = download_url(DEEPCHEM_S3 + 'gdb1k.sdf',
+                                            self.data_dir, 'gdb1k.sdf')
+                download_url(DEEPCHEM_S3 + 'gdb1k.sdf.csv', self.data_dir,
+                             'gdb1k.sdf.csv')
+                loader = _SDFCSVLoader(
+                    tasks=['atomization_energy'],
+                    featurizer=self.featurizer)
+                return loader.create_dataset(dataset_file)
+        loader = SDFLoader(tasks=self.tasks, featurizer=self.featurizer)
+        return loader.create_dataset(dataset_file)
+
+
+class _SDFCSVLoader:
+    """SDF with labels in a sibling .csv (gdb1k style)."""
+
+    def __init__(self, tasks, featurizer):
+        self.tasks = tasks
+        self.featurizer = featurizer
+
+    def create_dataset(self, sdf_path: str) -> Dataset:
+        import pandas as pd
+        from deepchem_tpu.chem import parse_sdf
+        from deepchem_tpu.data import DiskDataset
+        labels = pd.read_csv(sdf_path + '.csv', header=None)
+        with open(sdf_path) as f:
+            records = list(parse_sdf(f.read()))
+        mols = [m for m, _ in records]
+        X = self.featurizer.featurize(mols)
+        valid = np.array([x is not None and
+                          (not isinstance(x, np.ndarray) or x.size > 0)
+                          for x in X], dtype=bool)
+        y = labels.iloc[:, 1].to_numpy()[:len(mols)]
+        ids = labels.iloc[:, 0].astype(str).to_numpy()[:len(mols)]
+        if X.dtype == object:
+            Xv = X[valid]
+        else:
+            Xv = X[valid]
+        return DiskDataset.from_numpy(Xv, y[valid],
+                                      ids=ids[valid], tasks=self.tasks)
+
+
+def load_qm7(featurizer=None, splitter='random', transformers=None,
+             reload: bool = True, data_dir=None, save_dir=None, **kwargs):
+    """Load QM7 (reference molnet/load_function/qm7_datasets.py)."""
+    import deepchem_tpu.feat as feat
+    if featurizer is None or featurizer == 'CoulombMatrix':
+        featurizer = feat.CoulombMatrixEig(max_atoms=23)
+    if transformers is None:
+        transformers = ['normalization']
+    loader = _QM7Loader(featurizer, splitter, transformers, QM7_TASKS,
+                        data_dir, save_dir, **kwargs)
+    return loader.load_dataset('qm7', reload)
+
+
+def load_chembl(featurizer='ECFP', splitter='scaffold', transformers=None,
+                set='5thresh', reload=True, data_dir=None, save_dir=None,
+                **kwargs):
+    """ChEMBL activity data (reference chembl_datasets.py); the 5thresh
+    subset ships in the local mirror."""
+    import pandas as pd
+    filename = f'chembl_{set}.csv.gz'
+    if transformers is None:
+        transformers = ['normalization']
+    path = download_url(DEEPCHEM_S3 + filename, data_dir or
+                        os.path.join(os.path.expanduser('~'),
+                                     '.deepchem_tpu'), filename)
+    tasks = [c for c in pd.read_csv(path, nrows=1).columns
+             if c not in ('smiles', 'mol_id')]
+    loader = _CSVMolnetLoader(featurizer, splitter, transformers, tasks,
+                              data_dir, save_dir,
+                              url=DEEPCHEM_S3 + filename,
+                              filename=filename, **kwargs)
+    return loader.load_dataset(f'chembl_{set}', reload)

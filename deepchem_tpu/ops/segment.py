@@ -1,0 +1,128 @@
+"""Graph segment operations — the compute substrate for all graph models.
+
+The reference outsources these to TF gathers/unsorted_segment ops
+(reference deepchem/models/layers.py:151-364 GraphConv/GraphPool/GraphGather)
+or DGL/PyG CUDA kernels.  Here they are XLA primitives over the padded COO
+batch layout (see deepchem_tpu/feat/graph_data.py): ``jnp.take`` gathers +
+``jax.ops.segment_*`` reductions, which XLA fuses and tiles for TPU.  A
+Pallas fused gather->segment kernel can be swapped in for the hot paths
+(deepchem_tpu/ops/pallas_segment.py) — these implementations remain the
+correctness oracle.
+
+Padding convention: ghost nodes have mask 0 and belong to ghost graph slot
+``num_graphs``; ghost edges point at the last node.  All reductions stay
+in-bounds; masks zero the garbage.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG = -9e15
+
+
+def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray,
+                num_segments: int) -> jnp.ndarray:
+    return jax.ops.segment_sum(data, segment_ids,
+                               num_segments=num_segments)
+
+
+def segment_max(data: jnp.ndarray, segment_ids: jnp.ndarray,
+                num_segments: int,
+                empty_value: float = 0.0) -> jnp.ndarray:
+    out = jax.ops.segment_max(data, segment_ids,
+                              num_segments=num_segments)
+    return jnp.where(jnp.isfinite(out), out, empty_value)
+
+
+def segment_mean(data: jnp.ndarray, segment_ids: jnp.ndarray,
+                 num_segments: int) -> jnp.ndarray:
+    s = segment_sum(data, segment_ids, num_segments)
+    ones = jnp.ones(data.shape[:1], dtype=data.dtype)
+    counts = segment_sum(ones, segment_ids, num_segments)
+    return s / jnp.maximum(counts, 1.0)[..., None] if data.ndim > 1 \
+        else s / jnp.maximum(counts, 1.0)
+
+
+def segment_softmax(logits: jnp.ndarray, segment_ids: jnp.ndarray,
+                    num_segments: int,
+                    mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Numerically-stable softmax within segments (GAT/AttentiveFP
+    attention; reference uses DGL's edge_softmax)."""
+    if mask is not None:
+        m = mask if mask.ndim == logits.ndim else \
+            mask.reshape(mask.shape + (1,) * (logits.ndim - mask.ndim))
+        logits = jnp.where(m > 0, logits, NEG)
+    seg_max = jax.ops.segment_max(logits, segment_ids,
+                                  num_segments=num_segments)
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    shifted = logits - seg_max[segment_ids]
+    exp = jnp.exp(shifted)
+    if mask is not None:
+        m = mask if mask.ndim == exp.ndim else \
+            mask.reshape(mask.shape + (1,) * (exp.ndim - mask.ndim))
+        exp = exp * m
+    denom = jax.ops.segment_sum(exp, segment_ids,
+                                num_segments=num_segments)
+    return exp / jnp.maximum(denom[segment_ids], 1e-16)
+
+
+def gather_neighbors_sum(node_feats: jnp.ndarray, edge_src: jnp.ndarray,
+                         edge_dst: jnp.ndarray,
+                         edge_mask: Optional[jnp.ndarray] = None
+                         ) -> jnp.ndarray:
+    """sum_{j in N(i)} h_j for every node i — the message-passing core
+    (reference GraphConv semantics, models/layers.py:202)."""
+    msgs = jnp.take(node_feats, edge_src, axis=0)
+    if edge_mask is not None:
+        msgs = msgs * edge_mask[:, None]
+    return segment_sum(msgs, edge_dst, node_feats.shape[0])
+
+
+def gather_neighbors_max(node_feats: jnp.ndarray, edge_src: jnp.ndarray,
+                         edge_dst: jnp.ndarray,
+                         edge_mask: Optional[jnp.ndarray] = None
+                         ) -> jnp.ndarray:
+    """max over neighbors (reference GraphPool, models/layers.py:256)."""
+    msgs = jnp.take(node_feats, edge_src, axis=0)
+    if edge_mask is not None:
+        msgs = jnp.where(edge_mask[:, None] > 0, msgs, NEG)
+    out = jax.ops.segment_max(msgs, edge_dst, node_feats.shape[0])
+    return jnp.where(jnp.isfinite(out) & (out > NEG / 2), out, 0.0)
+
+
+def graph_pool(node_feats: jnp.ndarray, graph_index: jnp.ndarray,
+               num_graphs: int, node_mask: Optional[jnp.ndarray] = None,
+               mode: str = 'sum') -> jnp.ndarray:
+    """Per-graph readout over nodes (reference GraphGather segment ops,
+    models/layers.py:344-364).  ``num_graphs`` EXCLUDES the ghost slot; the
+    returned array has num_graphs rows."""
+    feats = node_feats
+    if node_mask is not None and mode in ('sum', 'mean'):
+        feats = feats * node_mask[:, None]
+    if mode == 'sum':
+        out = segment_sum(feats, graph_index, num_graphs + 1)
+    elif mode == 'mean':
+        s = segment_sum(feats, graph_index, num_graphs + 1)
+        ones = node_mask if node_mask is not None \
+            else jnp.ones(feats.shape[0], feats.dtype)
+        counts = segment_sum(ones, graph_index, num_graphs + 1)
+        out = s / jnp.maximum(counts, 1.0)[:, None]
+    elif mode == 'max':
+        if node_mask is not None:
+            feats = jnp.where(node_mask[:, None] > 0, feats, NEG)
+        out = jax.ops.segment_max(feats, graph_index, num_graphs + 1)
+        out = jnp.where(jnp.isfinite(out) & (out > NEG / 2), out, 0.0)
+    else:
+        raise ValueError(f'bad pool mode {mode}')
+    return out[:num_graphs]
+
+
+def node_degrees(edge_dst: jnp.ndarray, num_nodes: int,
+                 edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    ones = jnp.ones(edge_dst.shape[0], jnp.float32) if edge_mask is None \
+        else edge_mask.astype(jnp.float32)
+    return segment_sum(ones, edge_dst, num_nodes).astype(jnp.int32)

@@ -6,9 +6,23 @@ hardware by asking XLA for 8 host-platform devices.
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# force CPU: the ambient environment presets JAX_PLATFORMS=axon (tunneled
+# TPU); tests must run on virtual CPU devices
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
+    # NOTE: this machine has a single CPU core; more than 2 virtual devices
+    # makes the first collective execution pathologically slow (thread
+    # oversubscription in the CPU backend's barrier).  2 devices are enough
+    # to validate sharding semantics; the driver's dryrun_multichip covers
+    # wider meshes.
     os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+        flags + ' --xla_force_host_platform_device_count=2').strip()
 os.environ.setdefault('JAX_ENABLE_X64', '0')
+
+# the ambient sitecustomize imports jax at interpreter startup, freezing
+# JAX_PLATFORMS=axon into jax.config before this file runs — override the
+# live config value, not just the env var
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')

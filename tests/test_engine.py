@@ -1,0 +1,217 @@
+"""Tests for the JAX training engine (overfit-style correctness tests,
+mirroring the reference test strategy, SURVEY.md section 4)."""
+import os
+
+import numpy as np
+import pytest
+
+from deepchem_tpu.data import NumpyDataset, DiskDataset
+from deepchem_tpu.models import (MultitaskClassifier, MultitaskRegressor,
+                                 RobustMultitaskClassifier,
+                                 RobustMultitaskRegressor, SklearnModel,
+                                 ValidationCallback)
+from deepchem_tpu.metrics import (Metric, roc_auc_score, accuracy_score,
+                                  mean_squared_error, pearson_r2_score)
+
+
+def _cls_dataset(n=40, d=16, n_tasks=2, seed=0):
+    rng = np.random.RandomState(seed)
+    X = rng.rand(n, d).astype(np.float32)
+    y = (X[:, :n_tasks] > 0.5).astype(float)
+    return NumpyDataset(X, y)
+
+
+def _reg_dataset(n=40, d=16, n_tasks=2, seed=0):
+    rng = np.random.RandomState(seed)
+    X = rng.rand(n, d).astype(np.float32)
+    W = rng.rand(d, n_tasks)
+    y = X @ W
+    return NumpyDataset(X, y.astype(np.float32))
+
+
+def test_classifier_overfit():
+    ds = _cls_dataset()
+    model = MultitaskClassifier(n_tasks=2, n_features=16,
+                                layer_sizes=[64], dropouts=0.0,
+                                batch_size=10, learning_rate=0.003)
+    model.fit(ds, nb_epoch=100, checkpoint_interval=0)
+    scores = model.evaluate(ds, [Metric(roc_auc_score, np.mean)])
+    assert scores['roc_auc_score'] > 0.9
+
+
+def test_classifier_prediction_shape_and_probs():
+    ds = _cls_dataset()
+    model = MultitaskClassifier(n_tasks=2, n_features=16, layer_sizes=[16],
+                                dropouts=0.0, batch_size=16)
+    model.fit(ds, nb_epoch=1, checkpoint_interval=0)
+    preds = model.predict(ds)
+    assert preds.shape == (40, 2, 2)
+    assert np.allclose(preds.sum(axis=2), 1.0, atol=1e-5)
+
+
+def test_regressor_overfit():
+    ds = _reg_dataset()
+    model = MultitaskRegressor(n_tasks=2, n_features=16, layer_sizes=[64],
+                               dropouts=0.0, batch_size=10,
+                               learning_rate=0.003)
+    model.fit(ds, nb_epoch=150, checkpoint_interval=0)
+    scores = model.evaluate(ds, [Metric(pearson_r2_score, np.mean)])
+    assert scores['pearson_r2_score'] > 0.8
+
+
+def test_regressor_uncertainty():
+    ds = _reg_dataset(n_tasks=1)
+    model = MultitaskRegressor(n_tasks=1, n_features=16, layer_sizes=[64],
+                               dropouts=0.1, batch_size=10,
+                               uncertainty=True)
+    model.fit(ds, nb_epoch=30, checkpoint_interval=0)
+    pred, std = model.predict_uncertainty(ds, masks=5)
+    assert pred.shape == (40, 1)
+    assert std.shape == (40, 1)
+    assert (std > 0).all()
+
+
+def test_robust_multitask_classifier():
+    ds = _cls_dataset()
+    model = RobustMultitaskClassifier(n_tasks=2, n_features=16,
+                                      layer_sizes=[32],
+                                      bypass_layer_sizes=[8],
+                                      dropouts=0.0, bypass_dropouts=0.0,
+                                      batch_size=10)
+    model.fit(ds, nb_epoch=60, checkpoint_interval=0)
+    scores = model.evaluate(ds, [Metric(roc_auc_score, np.mean)])
+    assert scores['roc_auc_score'] > 0.85
+
+
+def test_robust_multitask_regressor():
+    ds = _reg_dataset()
+    model = RobustMultitaskRegressor(n_tasks=2, n_features=16,
+                                     layer_sizes=[32],
+                                     bypass_layer_sizes=[8],
+                                     dropouts=0.0, bypass_dropouts=0.0,
+                                     batch_size=10, learning_rate=0.003)
+    model.fit(ds, nb_epoch=100, checkpoint_interval=0)
+    scores = model.evaluate(ds, [Metric(pearson_r2_score, np.mean)])
+    assert scores['pearson_r2_score'] > 0.7
+
+
+def test_checkpoint_restore(tmp_path):
+    ds = _cls_dataset()
+    model = MultitaskClassifier(n_tasks=2, n_features=16, layer_sizes=[32],
+                                dropouts=0.0, batch_size=10,
+                                model_dir=str(tmp_path))
+    model.fit(ds, nb_epoch=30, checkpoint_interval=0)
+    model.save_checkpoint()
+    preds1 = model.predict(ds)
+    assert len(model.get_checkpoints()) >= 1
+    # fresh model restores and reproduces predictions
+    model2 = MultitaskClassifier(n_tasks=2, n_features=16,
+                                 layer_sizes=[32], dropouts=0.0,
+                                 batch_size=10, model_dir=str(tmp_path))
+    model2.restore()
+    preds2 = model2.predict(ds)
+    assert np.allclose(preds1, preds2, atol=1e-5)
+    assert model2.get_global_step() == model.get_global_step()
+
+
+def test_checkpoint_rotation(tmp_path):
+    ds = _cls_dataset()
+    model = MultitaskClassifier(n_tasks=2, n_features=16, layer_sizes=[8],
+                                dropouts=0.0, batch_size=40,
+                                model_dir=str(tmp_path))
+    model.fit(ds, nb_epoch=1, checkpoint_interval=0)
+    for _ in range(4):
+        model.save_checkpoint(max_checkpoints_to_keep=2)
+    assert len(model.get_checkpoints()) == 2
+
+
+def test_restore_continues_training(tmp_path):
+    ds = _cls_dataset()
+    model = MultitaskClassifier(n_tasks=2, n_features=16, layer_sizes=[32],
+                                dropouts=0.0, batch_size=10,
+                                model_dir=str(tmp_path))
+    model.fit(ds, nb_epoch=5)
+    step = model.get_global_step()
+    model2 = MultitaskClassifier(n_tasks=2, n_features=16,
+                                 layer_sizes=[32], dropouts=0.0,
+                                 batch_size=10, model_dir=str(tmp_path))
+    model2.fit(ds, nb_epoch=2, restore=True, checkpoint_interval=0)
+    assert model2.get_global_step() > step
+
+
+def test_load_from_pretrained():
+    ds = _cls_dataset()
+    src = MultitaskClassifier(n_tasks=2, n_features=16, layer_sizes=[32],
+                              dropouts=0.0, batch_size=10)
+    src.fit(ds, nb_epoch=20, checkpoint_interval=0)
+    dst = MultitaskClassifier(n_tasks=2, n_features=16, layer_sizes=[32],
+                              dropouts=0.0, batch_size=10)
+    sample = [ds.X[:10]]
+    dst.load_from_pretrained(src, inputs=sample)
+    p1 = src.predict(ds)
+    p2 = dst.predict(ds)
+    assert np.allclose(p1, p2, atol=1e-5)
+
+
+def test_fit_on_batch_and_all_losses():
+    ds = _cls_dataset()
+    model = MultitaskClassifier(n_tasks=2, n_features=16, layer_sizes=[16],
+                                dropouts=0.0, batch_size=20)
+    losses = []
+    model.fit(ds, nb_epoch=10, all_losses=losses, checkpoint_interval=0)
+    assert len(losses) >= 1
+    assert len(model.all_losses) >= 1
+
+
+def test_validation_callback(tmp_path):
+    ds = _cls_dataset()
+    cb = ValidationCallback(ds, interval=2,
+                            metrics=[Metric(roc_auc_score, np.mean)],
+                            save_dir=str(tmp_path), save_on_minimum=False,
+                            output_file=None)
+    model = MultitaskClassifier(n_tasks=2, n_features=16, layer_sizes=[16],
+                                dropouts=0.0, batch_size=20)
+    model.fit(ds, nb_epoch=10, callbacks=[cb], checkpoint_interval=0)
+    assert cb.get_best_score() is not None
+    assert len(os.listdir(str(tmp_path))) >= 1
+
+
+def test_sklearn_model_roundtrip(tmp_path):
+    from sklearn.linear_model import LogisticRegression
+    ds = _cls_dataset(n_tasks=1)
+    model = SklearnModel(LogisticRegression(), model_dir=str(tmp_path))
+    model.fit(ds)
+    scores = model.evaluate(ds, [Metric(roc_auc_score, np.mean)])
+    assert scores['roc_auc_score'] > 0.8
+    model.save()
+    model2 = SklearnModel(None, model_dir=str(tmp_path))
+    model2.reload()
+    assert np.allclose(model.predict(ds), model2.predict(ds))
+
+
+def test_evaluate_with_transformer():
+    from deepchem_tpu.trans import NormalizationTransformer
+    ds = _reg_dataset(n_tasks=1)
+    t = NormalizationTransformer(transform_y=True, dataset=ds)
+    ds_t = t.transform(ds)
+    model = MultitaskRegressor(n_tasks=1, n_features=16, layer_sizes=[64],
+                               dropouts=0.0, batch_size=10,
+                               learning_rate=0.003)
+    model.fit(ds_t, nb_epoch=100, checkpoint_interval=0)
+    # evaluating against the untransformed scale must also score well
+    scores = model.evaluate(ds_t, [Metric(pearson_r2_score, np.mean)], [t])
+    assert scores['pearson_r2_score'] > 0.8
+
+
+def test_data_parallel_sharding():
+    """DP path: params replicated, batch sharded over the 2-device mesh."""
+    import jax
+    ds = _cls_dataset(n=64)
+    model = MultitaskClassifier(n_tasks=2, n_features=16, layer_sizes=[16],
+                                dropouts=0.0, batch_size=16,
+                                data_parallel=True)
+    assert len(jax.devices()) >= 2
+    assert model.mesh is not None
+    model.fit(ds, nb_epoch=3, checkpoint_interval=0)
+    preds = model.predict(ds)
+    assert preds.shape == (64, 2, 2)

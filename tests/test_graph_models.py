@@ -1,0 +1,105 @@
+"""Overfit + shape tests for graph models (modeled on reference
+deepchem/models/tests/test_graph_models.py:49-62 overfit style)."""
+import numpy as np
+import pytest
+
+from deepchem_tpu.data import NumpyDataset
+from deepchem_tpu.feat import ConvMolFeaturizer, MolGraphConvFeaturizer
+from deepchem_tpu.metrics import (Metric, roc_auc_score, pearson_r2_score)
+from deepchem_tpu.models import (GraphConvModel, GCNModel, GATModel,
+                                 AttentiveFPModel, MPNNModel)
+
+SMILES = ['CCO', 'CCC', 'c1ccccc1', 'CC(=O)O', 'CCN', 'c1ccncc1',
+          'C1CCCCC1', 'CCCC', 'CCOC', 'CC(C)C']
+Y_CLS = np.array([1, 0, 1, 0, 1, 1, 0, 0, 0, 0], dtype=float)[:, None]
+Y_REG = np.array([1.2, 0.1, 3.4, 0.7, 1.1, 3.1, 0.2, 0.1, 0.5, 0.3],
+                 dtype=float)[:, None]
+
+
+@pytest.fixture(scope='module')
+def conv_ds():
+    X = ConvMolFeaturizer().featurize(SMILES)
+    return NumpyDataset(X, Y_CLS)
+
+
+@pytest.fixture(scope='module')
+def graph_ds():
+    X = MolGraphConvFeaturizer().featurize(SMILES)
+    return NumpyDataset(X, Y_CLS)
+
+
+@pytest.fixture(scope='module')
+def graph_edge_ds():
+    X = MolGraphConvFeaturizer(use_edges=True).featurize(SMILES)
+    return NumpyDataset(X, Y_CLS)
+
+
+def test_graph_conv_model_overfit(conv_ds):
+    model = GraphConvModel(n_tasks=1, batch_size=10,
+                           mode='classification', learning_rate=0.003)
+    model.fit(conv_ds, nb_epoch=60, checkpoint_interval=0)
+    scores = model.evaluate(conv_ds, [Metric(roc_auc_score, np.mean)])
+    assert scores['roc_auc_score'] > 0.9
+
+
+def test_graph_conv_model_regression(conv_ds):
+    ds = NumpyDataset(conv_ds.X, Y_REG)
+    model = GraphConvModel(n_tasks=1, batch_size=10, mode='regression',
+                           learning_rate=0.003)
+    model.fit(ds, nb_epoch=80, checkpoint_interval=0)
+    scores = model.evaluate(ds, [Metric(pearson_r2_score, np.mean)])
+    assert scores['pearson_r2_score'] > 0.7
+
+
+def test_graph_conv_prediction_shapes(conv_ds):
+    model = GraphConvModel(n_tasks=1, batch_size=4, mode='classification')
+    model.fit(conv_ds, nb_epoch=1, checkpoint_interval=0)
+    preds = model.predict(conv_ds)
+    assert preds.shape == (10, 1, 2)
+    assert np.allclose(preds.sum(-1), 1.0, atol=1e-5)
+
+
+def test_gcn_model_overfit(graph_ds):
+    model = GCNModel(n_tasks=1, batch_size=10, mode='classification',
+                     learning_rate=0.003)
+    model.fit(graph_ds, nb_epoch=60, checkpoint_interval=0)
+    scores = model.evaluate(graph_ds, [Metric(roc_auc_score, np.mean)])
+    assert scores['roc_auc_score'] > 0.9
+
+
+def test_gat_model_overfit(graph_ds):
+    model = GATModel(n_tasks=1, batch_size=10, mode='classification',
+                     learning_rate=0.003)
+    model.fit(graph_ds, nb_epoch=60, checkpoint_interval=0)
+    scores = model.evaluate(graph_ds, [Metric(roc_auc_score, np.mean)])
+    assert scores['roc_auc_score'] > 0.9
+
+
+def test_attentivefp_model_overfit(graph_ds):
+    model = AttentiveFPModel(n_tasks=1, batch_size=10,
+                             mode='classification', learning_rate=0.003)
+    model.fit(graph_ds, nb_epoch=40, checkpoint_interval=0)
+    scores = model.evaluate(graph_ds, [Metric(roc_auc_score, np.mean)])
+    assert scores['roc_auc_score'] > 0.9
+
+
+def test_mpnn_model_overfit(graph_edge_ds):
+    model = MPNNModel(n_tasks=1, batch_size=10, mode='classification',
+                      learning_rate=0.003)
+    model.fit(graph_edge_ds, nb_epoch=30, checkpoint_interval=0)
+    scores = model.evaluate(graph_edge_ds,
+                            [Metric(roc_auc_score, np.mean)])
+    assert scores['roc_auc_score'] > 0.9
+
+
+def test_graph_model_checkpoint(conv_ds, tmp_path):
+    model = GraphConvModel(n_tasks=1, batch_size=10,
+                           mode='classification',
+                           model_dir=str(tmp_path))
+    model.fit(conv_ds, nb_epoch=5)
+    p1 = model.predict(conv_ds)
+    model2 = GraphConvModel(n_tasks=1, batch_size=10,
+                            mode='classification',
+                            model_dir=str(tmp_path))
+    model2.restore()
+    assert np.allclose(p1, model2.predict(conv_ds), atol=1e-5)
