@@ -23,5 +23,10 @@ try:
     from deepchem_tpu import models
     from deepchem_tpu import hyper
     from deepchem_tpu import molnet
+    from deepchem_tpu import dock
+    from deepchem_tpu import rl
+    from deepchem_tpu import metalearning
+    from deepchem_tpu import parallel
+    from deepchem_tpu import ops
 except ImportError:   # partial builds during bootstrap
     pass

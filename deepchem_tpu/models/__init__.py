@@ -36,6 +36,12 @@ from deepchem_tpu.models.scscore import ScScoreModel
 from deepchem_tpu.models.cnn import CNN, CNNModel
 from deepchem_tpu.models.chemnet import (Smiles2Vec, Smiles2VecModel,
                                          ChemCeption, ChemCeptionModel)
+from deepchem_tpu.models.seqtoseq import (SeqToSeqModel, SeqToSeq,
+                                          AspuruGuzikAutoEncoder)
+from deepchem_tpu.models.gan import GAN, WGAN, GANModel, WGANModel
+from deepchem_tpu.models.flows import (NormalizingFlow,
+                                       NormalizingFlowModel)
+from deepchem_tpu.models.wandblogger import WandbLogger, TensorboardLogger
 
 __all__ = [
     'Model', 'JaxModel', 'losses', 'optimizers', 'ValidationCallback',
@@ -47,5 +53,8 @@ __all__ = [
     'TextCNNModel', 'MultitaskIRVClassifier',
     'ProgressiveMultitaskClassifier', 'ProgressiveMultitaskRegressor',
     'ScScoreModel', 'CNN', 'CNNModel', 'Smiles2Vec', 'Smiles2VecModel',
-    'ChemCeption', 'ChemCeptionModel',
+    'ChemCeption', 'ChemCeptionModel', 'SeqToSeqModel', 'SeqToSeq',
+    'AspuruGuzikAutoEncoder', 'GAN', 'WGAN', 'GANModel', 'WGANModel',
+    'NormalizingFlow', 'NormalizingFlowModel', 'WandbLogger',
+    'TensorboardLogger',
 ]

@@ -130,6 +130,8 @@ class JaxModel(Model):
         # checkpoint config
         self.max_checkpoints_to_keep = kwargs.get(
             'max_checkpoints_to_keep', 5)
+        # loss-sync cadence in steps (see fit_generator); 0 disables
+        self.sync_interval = kwargs.get('sync_interval', 1)
         # training telemetry (reference torch_model.py:329 all_losses)
         self._losses_history: List[float] = []
         # observability hooks (reference torch_model.py:1140 tensorboard,
@@ -273,9 +275,15 @@ class JaxModel(Model):
                 self.params, self.opt_state, rng, inputs, labels, weights)
             self._global_step += 1
             current_step = self._global_step
-            # keep the loss on-device: a float() here would force a host
-            # sync every step, which stalls the dispatch pipeline
             pending_losses.append(loss_val)
+            # sync cadence: some backends (notably the tunneled axon PJRT
+            # used in this build environment) run per-step-synced work at
+            # full speed but serialize deeply-queued executions at seconds
+            # per step; sync_interval=1 is safe everywhere and costs only
+            # the device->host latency of one scalar
+            if self.sync_interval and \
+                    current_step % self.sync_interval == 0:
+                loss_val.block_until_ready()
             if current_step % self.log_frequency == 0:
                 last_avg_loss = float(np.mean(
                     [float(x) for x in pending_losses]))

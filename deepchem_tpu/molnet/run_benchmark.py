@@ -1,0 +1,252 @@
+"""Benchmark harness (reference deepchem/molnet/run_benchmark.py:18 and
+run_benchmark_models.py:18,383): dataset x model loop with preset
+hyperparameters, CSV results output."""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import deepchem_tpu.molnet as molnet
+from deepchem_tpu.metrics import (Metric, pearson_r2_score, roc_auc_score)
+
+logger = logging.getLogger(__name__)
+
+CLASSIFICATION_DATASETS = {
+    'tox21': molnet.load_tox21, 'sider': molnet.load_sider,
+    'muv': molnet.load_muv, 'hiv': molnet.load_hiv,
+    'bbbp': molnet.load_bbbp, 'clintox': molnet.load_clintox,
+    'bace_c': molnet.load_bace_classification,
+}
+REGRESSION_DATASETS = {
+    'delaney': molnet.load_delaney, 'lipo': molnet.load_lipo,
+    'freesolv': molnet.load_freesolv, 'qm7': molnet.load_qm7,
+    'qm8': molnet.load_qm8, 'qm9': molnet.load_qm9,
+    'bace_r': molnet.load_bace_regression,
+    'clearance': molnet.load_clearance, 'hppb': molnet.load_hppb,
+}
+
+# preset hyperparameters per model key
+# (reference molnet/preset_hyper_parameters.py:10ff)
+PRESET_HYPERPARAMS: Dict[str, Dict] = {
+    'tf': {'layer_sizes': [1500], 'weight_init_stddevs': 0.02,
+           'bias_init_consts': 1.0, 'dropouts': 0.5,
+           'penalty': 0.1, 'batch_size': 50, 'nb_epoch': 10,
+           'learning_rate': 0.001},
+    'tf_regression': {'layer_sizes': [1000, 1000], 'dropouts': 0.25,
+                      'batch_size': 128, 'nb_epoch': 50,
+                      'learning_rate': 0.0008},
+    'tf_robust': {'layer_sizes': [500], 'bypass_layer_sizes': [100],
+                  'dropouts': 0.5, 'bypass_dropouts': 0.5,
+                  'batch_size': 50, 'nb_epoch': 10,
+                  'learning_rate': 0.0005},
+    'logreg': {'penalty': 0.05, 'nb_epoch': None},
+    'graphconv': {'batch_size': 64, 'nb_epoch': 40,
+                  'learning_rate': 0.0005, 'n_filters': 64,
+                  'n_fully_connected_nodes': 128},
+    'graphconvreg': {'batch_size': 128, 'nb_epoch': 100,
+                     'learning_rate': 0.0005, 'n_filters': 128,
+                     'n_fully_connected_nodes': 256},
+    'weave': {'batch_size': 64, 'nb_epoch': 40,
+              'learning_rate': 0.0005, 'n_graph_feat': 128},
+    'textcnn': {'batch_size': 64, 'nb_epoch': 40,
+                'learning_rate': 0.0005},
+    'gcn': {'batch_size': 128, 'nb_epoch': 50, 'learning_rate': 0.001},
+    'gat': {'batch_size': 128, 'nb_epoch': 50, 'learning_rate': 0.001},
+}
+
+MODEL_FEATURIZERS = {
+    'tf': 'ecfp', 'tf_regression': 'ecfp', 'tf_robust': 'ecfp',
+    'logreg': 'ecfp', 'graphconv': 'graphconv',
+    'graphconvreg': 'graphconv', 'weave': 'weave', 'textcnn': 'raw',
+    'gcn': 'graph', 'gat': 'graph',
+}
+
+
+def benchmark_classification(train, valid, test, tasks, transformers,
+                             n_features: int, metric, model: str,
+                             test_on: bool = False, seed: int = 123,
+                             hyper_parameters: Optional[Dict] = None):
+    """(reference run_benchmark_models.py:18)"""
+    from deepchem_tpu.models import (MultitaskClassifier,
+                                     RobustMultitaskClassifier,
+                                     GraphConvModel, WeaveModel,
+                                     TextCNNModel, GCNModel, GATModel,
+                                     SklearnModel)
+    hp = dict(PRESET_HYPERPARAMS.get(model, {}))
+    if hyper_parameters:
+        hp.update(hyper_parameters)
+    nb_epoch = hp.pop('nb_epoch', 10)
+    n_tasks = len(tasks)
+    if model == 'tf':
+        m = MultitaskClassifier(
+            n_tasks, n_features, layer_sizes=hp['layer_sizes'],
+            dropouts=hp['dropouts'], batch_size=hp['batch_size'],
+            learning_rate=hp['learning_rate'])
+    elif model == 'tf_robust':
+        m = RobustMultitaskClassifier(
+            n_tasks, n_features, layer_sizes=hp['layer_sizes'],
+            bypass_layer_sizes=hp['bypass_layer_sizes'],
+            dropouts=hp['dropouts'],
+            bypass_dropouts=hp['bypass_dropouts'],
+            batch_size=hp['batch_size'],
+            learning_rate=hp['learning_rate'])
+    elif model == 'logreg':
+        from sklearn.linear_model import LogisticRegression
+        from deepchem_tpu.models.multitask import SingletaskToMultitask
+        m = SingletaskToMultitask(
+            tasks, lambda _task: SklearnModel(LogisticRegression(
+                C=1.0 / hp.get('penalty', 0.05), max_iter=1000)))
+        nb_epoch = None
+    elif model == 'graphconv':
+        m = GraphConvModel(
+            n_tasks, mode='classification',
+            graph_conv_layers=[hp['n_filters']] * 2,
+            dense_layer_size=hp['n_fully_connected_nodes'],
+            batch_size=hp['batch_size'],
+            learning_rate=hp['learning_rate'])
+    elif model == 'weave':
+        m = WeaveModel(n_tasks, mode='classification',
+                       n_graph_feat=hp.get('n_graph_feat', 128),
+                       batch_size=hp['batch_size'],
+                       learning_rate=hp['learning_rate'])
+    elif model == 'textcnn':
+        cd, sl = TextCNNModel.build_char_dict(train)
+        m = TextCNNModel(n_tasks, char_dict=cd, seq_length=sl,
+                         mode='classification',
+                         batch_size=hp['batch_size'],
+                         learning_rate=hp['learning_rate'])
+    elif model == 'gcn':
+        m = GCNModel(n_tasks, mode='classification',
+                     batch_size=hp['batch_size'],
+                     learning_rate=hp['learning_rate'])
+    elif model == 'gat':
+        m = GATModel(n_tasks, mode='classification',
+                     batch_size=hp['batch_size'],
+                     learning_rate=hp['learning_rate'])
+    else:
+        raise ValueError(f'unknown classification model {model}')
+    if nb_epoch is None:
+        m.fit(train)
+    else:
+        m.fit(train, nb_epoch=nb_epoch)
+    scores = {
+        'train': m.evaluate(train, [metric], transformers),
+        'valid': m.evaluate(valid, [metric], transformers)}
+    if test_on:
+        scores['test'] = m.evaluate(test, [metric], transformers)
+    return scores, m
+
+
+def benchmark_regression(train, valid, test, tasks, transformers,
+                         n_features: int, metric, model: str,
+                         test_on: bool = False, seed: int = 123,
+                         hyper_parameters: Optional[Dict] = None):
+    """(reference run_benchmark_models.py:383)"""
+    from deepchem_tpu.models import (MultitaskRegressor, GraphConvModel,
+                                     WeaveModel, GCNModel, GATModel)
+    hp = dict(PRESET_HYPERPARAMS.get(model, {}))
+    if hyper_parameters:
+        hp.update(hyper_parameters)
+    nb_epoch = hp.pop('nb_epoch', 10)
+    n_tasks = len(tasks)
+    if model == 'tf_regression':
+        m = MultitaskRegressor(
+            n_tasks, n_features, layer_sizes=hp['layer_sizes'],
+            dropouts=hp['dropouts'], batch_size=hp['batch_size'],
+            learning_rate=hp['learning_rate'])
+    elif model == 'graphconvreg':
+        m = GraphConvModel(
+            n_tasks, mode='regression',
+            graph_conv_layers=[hp['n_filters']] * 2,
+            dense_layer_size=hp['n_fully_connected_nodes'],
+            batch_size=hp['batch_size'],
+            learning_rate=hp['learning_rate'])
+    elif model == 'weave_regression':
+        m = WeaveModel(n_tasks, mode='regression',
+                       batch_size=hp.get('batch_size', 64),
+                       learning_rate=hp.get('learning_rate', 5e-4))
+    elif model == 'gcn':
+        m = GCNModel(n_tasks, mode='regression',
+                     batch_size=hp['batch_size'],
+                     learning_rate=hp['learning_rate'])
+    elif model == 'gat':
+        m = GATModel(n_tasks, mode='regression',
+                     batch_size=hp['batch_size'],
+                     learning_rate=hp['learning_rate'])
+    else:
+        raise ValueError(f'unknown regression model {model}')
+    m.fit(train, nb_epoch=nb_epoch)
+    scores = {
+        'train': m.evaluate(train, [metric], transformers),
+        'valid': m.evaluate(valid, [metric], transformers)}
+    if test_on:
+        scores['test'] = m.evaluate(test, [metric], transformers)
+    return scores, m
+
+
+def run_benchmark(datasets: Sequence[str], model: str,
+                  split: Optional[str] = None,
+                  metric=None,
+                  featurizer: Optional[str] = None,
+                  out_path: str = '.',
+                  hyper_parameters: Optional[Dict] = None,
+                  test: bool = False,
+                  reload: bool = True,
+                  seed: int = 123) -> List[Dict]:
+    """(reference run_benchmark.py:18)"""
+    results = []
+    for dataset in datasets:
+        if dataset in CLASSIFICATION_DATASETS:
+            mode = 'classification'
+            loader = CLASSIFICATION_DATASETS[dataset]
+            metric_obj = metric or Metric(roc_auc_score, np.mean)
+        elif dataset in REGRESSION_DATASETS:
+            mode = 'regression'
+            loader = REGRESSION_DATASETS[dataset]
+            metric_obj = metric or Metric(pearson_r2_score, np.mean)
+        else:
+            raise ValueError(f'unknown dataset {dataset}')
+        feat = featurizer or MODEL_FEATURIZERS.get(model, 'ecfp')
+        split_name = split or 'random'
+        t0 = time.time()
+        tasks, (train, valid, tst), transformers = loader(
+            featurizer=feat, splitter=split_name, reload=reload)
+        n_features = (train.get_shape()[0][1]
+                      if train.get_shape()[0] is not None and
+                      len(train.get_shape()[0]) > 1 else 1024)
+        if mode == 'classification':
+            scores, _ = benchmark_classification(
+                train, valid, tst, tasks, transformers, n_features,
+                metric_obj, model, test_on=test, seed=seed,
+                hyper_parameters=hyper_parameters)
+        else:
+            scores, _ = benchmark_regression(
+                train, valid, tst, tasks, transformers, n_features,
+                metric_obj, model, test_on=test, seed=seed,
+                hyper_parameters=hyper_parameters)
+        elapsed = time.time() - t0
+        row = {'dataset': dataset, 'mode': mode, 'model': model,
+               'split': split_name,
+               'train_score': list(scores['train'].values())[0],
+               'valid_score': list(scores['valid'].values())[0],
+               'time': elapsed}
+        if test:
+            row['test_score'] = list(scores['test'].values())[0]
+        results.append(row)
+        out_file = os.path.join(out_path, 'results.csv')
+        write_header = not os.path.exists(out_file)
+        with open(out_file, 'a', newline='') as f:
+            writer = csv.DictWriter(f, fieldnames=list(row.keys()))
+            if write_header:
+                writer.writeheader()
+            writer.writerow(row)
+        logger.info('%s/%s: train=%.4f valid=%.4f (%.1fs)', dataset,
+                    model, row['train_score'], row['valid_score'],
+                    elapsed)
+    return results
