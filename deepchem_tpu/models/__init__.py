@@ -42,6 +42,10 @@ from deepchem_tpu.models.gan import GAN, WGAN, GANModel, WGANModel
 from deepchem_tpu.models.flows import (NormalizingFlow,
                                        NormalizingFlowModel)
 from deepchem_tpu.models.wandblogger import WandbLogger, TensorboardLogger
+from deepchem_tpu.models.dmpnn import DMPNNModel
+from deepchem_tpu.models.atomic_conv import (AtomicConvModel,
+                                             AtomicConvFeaturizer)
+from deepchem_tpu.models.multitask import SingletaskToMultitask
 
 __all__ = [
     'Model', 'JaxModel', 'losses', 'optimizers', 'ValidationCallback',
@@ -56,5 +60,6 @@ __all__ = [
     'ChemCeption', 'ChemCeptionModel', 'SeqToSeqModel', 'SeqToSeq',
     'AspuruGuzikAutoEncoder', 'GAN', 'WGAN', 'GANModel', 'WGANModel',
     'NormalizingFlow', 'NormalizingFlowModel', 'WandbLogger',
-    'TensorboardLogger',
+    'TensorboardLogger', 'DMPNNModel', 'AtomicConvModel',
+    'AtomicConvFeaturizer', 'SingletaskToMultitask',
 ]

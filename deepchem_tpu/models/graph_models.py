@@ -52,13 +52,20 @@ class GraphModel(JaxModel):
     # axis) is the planned multi-chip path.
     batch_axis_shardable = False
 
+    #: when set, every batch pads to these (node_cap, edge_cap) — used by
+    #: fit_on_device so all stacked batches share one shape
+    _fixed_caps: Optional[Tuple[int, int]] = None
+
     def _graph_inputs(self, X_b: np.ndarray) -> List[np.ndarray]:
         graphs = list(X_b)
         batch = BatchGraphData(graphs)
-        node_cap, edge_cap = bucket_caps(batch.num_nodes + 1,
-                                         batch.num_edges,
-                                         self.node_quantum,
-                                         self.edge_quantum)
+        if self._fixed_caps is not None:
+            node_cap, edge_cap = self._fixed_caps
+        else:
+            node_cap, edge_cap = bucket_caps(batch.num_nodes + 1,
+                                             batch.num_edges,
+                                             self.node_quantum,
+                                             self.edge_quantum)
         d = batch.pad(node_cap, edge_cap, num_graphs=self.batch_size)
         inputs = [d['node_features'], d['edge_index'][0],
                   d['edge_index'][1], d['graph_index'], d['node_mask'],
@@ -69,6 +76,31 @@ class GraphModel(JaxModel):
                     'this model needs a featurizer with use_edges=True')
             inputs.append(d['edge_features'])
         return inputs
+
+    def _collect_uniform_batches(self, dataset: Dataset,
+                                 deterministic: bool = True):
+        """Fix one (node_cap, edge_cap) bucket covering every batch, then
+        collect the epoch's batches with identical shapes (fit_on_device
+        support)."""
+        max_nodes = max_edges = 0
+        for (X_b, _, _, _) in dataset.iterbatches(
+                batch_size=self.batch_size, deterministic=True,
+                pad_batches=False):
+            batch = BatchGraphData(list(X_b))
+            max_nodes = max(max_nodes, batch.num_nodes + 1)
+            max_edges = max(max_edges, max(batch.num_edges, 1))
+        caps = bucket_caps(max_nodes, max_edges, self.node_quantum,
+                           self.edge_quantum)
+        self._fixed_caps = caps
+        try:
+            out = []
+            for batch in self.default_generator(
+                    dataset, epochs=1, deterministic=deterministic,
+                    pad_batches=True):
+                out.append(self._prepare_batch(batch))
+            return out
+        finally:
+            self._fixed_caps = None
 
     def default_generator(self, dataset: Dataset, epochs: int = 1,
                           mode: str = 'fit', deterministic: bool = True,

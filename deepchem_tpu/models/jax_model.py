@@ -313,6 +313,99 @@ class JaxModel(Model):
         logger.info('TIMING: model fitting took %0.3f s', time2 - time1)
         return last_avg_loss
 
+    # -- device-resident training (TPU fast path) --------------------------
+    def _collect_uniform_batches(self, dataset: Dataset,
+                                 deterministic: bool = True):
+        """One epoch of prepared batches, all with identical shapes.
+        Subclasses with bucketed shapes (graph models) override to fix a
+        single bucket first."""
+        out = []
+        for batch in self.default_generator(dataset, epochs=1,
+                                            deterministic=deterministic,
+                                            pad_batches=True):
+            out.append(self._prepare_batch(batch, to_device=False))
+        return out
+
+    def fit_on_device(self, dataset: Dataset, nb_epoch: int = 10,
+                      seed: int = 0,
+                      all_losses: Optional[List[float]] = None) -> float:
+        """Run the entire multi-epoch training loop in ONE jit call.
+
+        The epoch's batches are uploaded once as stacked arrays; a
+        ``lax.scan`` iterates steps on device with per-epoch shuffled batch
+        order.  Eliminates all host<->device round trips from the training
+        loop — the TPU-native replacement for the reference's per-batch
+        Python fit loop (torch_model.py:423-496).
+        """
+        batches = self._collect_uniform_batches(dataset)
+        S = len(batches)
+        if S == 0:
+            return 0.0
+        inputs0, labels0, weights0 = batches[0]
+        if not self._built:
+            self.build([jnp.asarray(a) for a in inputs0])
+        # stack host-side, then ONE upload per array: many small transfers
+        # interleaved with execution are pathological on tunneled backends
+        stacked_inputs = [jnp.asarray(np.stack([b[0][i] for b in batches]))
+                          for i in range(len(inputs0))]
+        stacked_labels = [jnp.asarray(np.stack([b[1][i] for b in batches]))
+                          for i in range(len(labels0))]
+        stacked_weights = [jnp.asarray(np.stack([b[2][i] for b in batches]))
+                           for i in range(len(weights0))]
+        # per-epoch batch order (host-side RNG, tiny upload)
+        rng_np = np.random.RandomState(seed)
+        perms = np.stack([rng_np.permutation(S)
+                          for _ in range(nb_epoch)]).astype(np.int32)
+        optimizer = self._optax
+        model = self
+
+        # stacked data enters as jit ARGUMENTS (donated), never as closed-
+        # over constants — constants would be baked into the executable
+        def run(params, opt_state, rng, s_in, s_lab, s_w, perms_d):
+            def body(carry, step):
+                params, opt_state, rng = carry
+                epoch = step // S
+                idx = perms_d[epoch, step % S]
+                inputs = [a[idx] for a in s_in]
+                labels = [a[idx] for a in s_lab]
+                weights = [a[idx] for a in s_w]
+                step_rng = jax.random.fold_in(rng, step)
+
+                def loss_fn(p):
+                    outputs = model._forward(p, inputs, training=True,
+                                             rng=step_rng)
+                    return model._compute_loss(outputs, labels, weights)
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, rng), loss
+            (params, opt_state, _), losses = jax.lax.scan(
+                body, (params, opt_state, rng),
+                jnp.arange(S * nb_epoch))
+            return params, opt_state, losses
+
+        cache_key = ('fit_on_device', S, nb_epoch,
+                     tuple(a.shape for a in stacked_inputs))
+        run_jit = self._predict_fn_cache.get(cache_key)
+        if run_jit is None:
+            run_jit = jax.jit(run, donate_argnums=(0, 1))
+            self._predict_fn_cache[cache_key] = run_jit
+        rng = self._next_rng()
+        self.params, self.opt_state, losses = run_jit(
+            self.params, self.opt_state, rng, stacked_inputs,
+            stacked_labels, stacked_weights, jnp.asarray(perms))
+        losses = np.asarray(losses)
+        self._global_step += S * nb_epoch
+        # record per-epoch averages
+        per_epoch = losses.reshape(nb_epoch, S).mean(axis=1)
+        for v in per_epoch:
+            self._losses_history.append(float(v))
+            if all_losses is not None:
+                all_losses.append(float(v))
+        self._train_step_fn = None
+        return float(per_epoch[-1])
+
     def fit_on_batch(self, X, y, w, variables=None, loss=None,
                      callbacks=(), checkpoint: bool = False,
                      max_checkpoints_to_keep: int = 5) -> float:
@@ -335,8 +428,10 @@ class JaxModel(Model):
                     pad_batches=pad_batches):
                 yield ([X_b], [y_b], [w_b])
 
-    def _prepare_batch(self, batch: Tuple) -> Tuple[List, List, List]:
-        """numpy -> float32 jnp arrays (reference torch_model.py:923)."""
+    def _prepare_batch(self, batch: Tuple,
+                       to_device: bool = True) -> Tuple[List, List, List]:
+        """numpy -> float32 (jnp by default) arrays (reference
+        torch_model.py:923)."""
         inputs, labels, weights = batch
 
         def conv(arrs):
@@ -350,7 +445,7 @@ class JaxModel(Model):
                 elif a.dtype == object:
                     a = np.stack([np.asarray(x, dtype=np.float32)
                                   for x in a])
-                out.append(jnp.asarray(a))
+                out.append(jnp.asarray(a) if to_device else a)
             return out
         return conv(inputs), conv(labels), conv(weights)
 
