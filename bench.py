@@ -2,16 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline anchor: the reference's committed benchmark run trained graphconv on
-tox21 (random split) with batch_size=64 x 40 epochs in 159.5 s wall-clock
-(BASELINE.md, examples/stable_results.csv:30; preset hyperparameters
-molnet/preset_hyper_parameters.py:49).  Train split = 6411 molecules, so the
-implied reference training throughput is ~6411*40/150 ~= 1710 mol-graphs/s.
-vs_baseline = our steady-state mol-graphs/s divided by that.
+Protocol: the reference's committed benchmark trained graphconv on tox21
+(random split) with batch_size=64 x 40 epochs in 159.5 s wall-clock
+(BASELINE.md, examples/stable_results.csv:30; presets
+molnet/preset_hyper_parameters.py:49).  Train split = 6411 molecules ->
+implied reference training throughput ~1710 mol-graphs/s.  We measure
+steady-state training throughput of the same model/hyperparameters using
+the device-resident training loop (fit_on_device: one jit'd lax.scan over
+the uploaded epoch) and report vs_baseline = ours / 1710.
 """
 
 import json
-import os
 import sys
 import time
 
@@ -30,27 +31,30 @@ def main() -> None:
     tasks, (train, valid, test), transformers = load_tox21(
         featurizer='graphconv', splitter='random', reload=True)
     n_train = len(train)
+    print(f'# loaded in {time.time() - t_start:.1f}s', file=sys.stderr)
 
-    batch_size = 64
-    model = GraphConvModel(n_tasks=len(tasks), batch_size=batch_size,
+    model = GraphConvModel(n_tasks=len(tasks), batch_size=64,
                            mode='classification', learning_rate=0.0005,
                            graph_conv_layers=[64, 64],
                            dense_layer_size=128)
-    # warmup: 1 epoch covers compile for every shape bucket
-    model.fit(train, nb_epoch=1, checkpoint_interval=0)
-    # timed steady-state epochs
-    n_epochs = 5
+    # warmup: compiles the scan for this epoch count
+    n_epochs = 10
     t0 = time.time()
-    model.fit(train, nb_epoch=n_epochs, checkpoint_interval=0)
+    model.fit_on_device(train, nb_epoch=n_epochs)
+    warm = time.time() - t0
+    print(f'# warmup(+compile) {warm:.1f}s', file=sys.stderr)
+    # timed steady-state run (same shapes -> cached executable)
+    t0 = time.time()
+    model.fit_on_device(train, nb_epoch=n_epochs)
     dt = time.time() - t0
     mols_per_sec = n_train * n_epochs / dt
 
-    # sanity quality gate (not part of the metric): short eval
     try:
         metric = Metric(roc_auc_score, np.mean)
         valid_score = model.evaluate(
             valid, [metric], transformers)['roc_auc_score']
-    except Exception:
+    except Exception as e:                     # quality gate is advisory
+        print(f'# eval failed: {e}', file=sys.stderr)
         valid_score = float('nan')
 
     result = {
@@ -60,8 +64,8 @@ def main() -> None:
         'vs_baseline': round(mols_per_sec / REFERENCE_MOLS_PER_SEC, 3),
     }
     print(json.dumps(result))
-    print(f'# device={jax.devices()[0]} '
-          f'epochs={n_epochs} train={n_train} time={dt:.1f}s '
+    print(f'# device={jax.devices()[0]} epochs={n_epochs} '
+          f'train={n_train} time={dt:.1f}s '
           f'valid_roc_auc={valid_score:.4f} '
           f'total_wall={time.time() - t_start:.1f}s', file=sys.stderr)
 

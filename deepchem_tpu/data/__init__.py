@@ -5,6 +5,11 @@ from deepchem_tpu.data.loaders import (DataLoader, CSVLoader, UserCSVLoader,
                                        JsonLoader, SDFLoader, FASTALoader,
                                        FASTQLoader, ImageLoader,
                                        InMemoryLoader)
+from deepchem_tpu.data.supports import (remove_dead_examples,
+                                        get_task_dataset,
+                                        get_single_task_test,
+                                        get_task_support,
+                                        SupportGenerator, EpisodeGenerator)
 
 __all__ = [
     'Dataset', 'NumpyDataset', 'DiskDataset', 'ImageDataset', 'Databag',

@@ -253,6 +253,40 @@ class Dataset:
         """Whole-dataset (X, y, w) as numpy ready for jnp conversion."""
         return self.X, self.y, self.w
 
+    def make_pytorch_dataset(self, epochs: int = 1,
+                             deterministic: bool = False,
+                             batch_size: Optional[int] = None):
+        """torch IterableDataset adapter (reference datasets.py
+        make_pytorch_dataset)."""
+        from deepchem_tpu.data.pytorch_datasets import make_pytorch_dataset
+        return make_pytorch_dataset(self, epochs, deterministic,
+                                    batch_size)
+
+    def make_tf_dataset(self, batch_size: int = 100, epochs: int = 1,
+                        deterministic: bool = False,
+                        pad_batches: bool = False):
+        """tf.data.Dataset adapter (reference datasets.py
+        make_tf_dataset); gated on tensorflow being importable."""
+        import tensorflow as tf
+        shapes, types = None, None
+        for X, y, w, _ in self.iterbatches(batch_size, 1, True,
+                                           pad_batches):
+            shapes = (X.shape, y.shape, w.shape)
+            types = (X.dtype, y.dtype, w.dtype)
+            break
+
+        def gen():
+            for X, y, w, _ in self.iterbatches(batch_size, epochs,
+                                               deterministic,
+                                               pad_batches):
+                yield (np.asarray(X, dtype=np.float32),
+                       np.asarray(y, dtype=np.float32),
+                       np.asarray(w, dtype=np.float32))
+        return tf.data.Dataset.from_generator(
+            gen, output_signature=tuple(
+                tf.TensorSpec(shape=(None,) + s[1:], dtype=tf.float32)
+                for s in shapes))
+
     def __repr__(self) -> str:
         try:
             x_shape, y_shape, w_shape, _ = self.get_shape()

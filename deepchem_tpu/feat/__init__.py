@@ -10,6 +10,12 @@ from deepchem_tpu.feat.molecule_featurizers import (
     ConvMolFeaturizer, MolGraphConvFeaturizer, PagtnMolGraphFeaturizer,
     WeaveFeaturizer, OneHotFeaturizer, SmilesToSeq, SmilesToImage,
     CoulombMatrix, CoulombMatrixEig, AtomicCoordinates, create_char_to_idx)
+from deepchem_tpu.feat.tokenizers import (BasicSmilesTokenizer,
+                                           SmilesTokenizer,
+                                           HuggingFaceFeaturizer,
+                                           BertFeaturizer,
+                                           RobertaFeaturizer,
+                                           RxnFeaturizer)
 from deepchem_tpu.feat import feature_utils
 
 __all__ = [
@@ -21,5 +27,7 @@ __all__ = [
     'ConvMolFeaturizer', 'MolGraphConvFeaturizer', 'PagtnMolGraphFeaturizer',
     'WeaveFeaturizer', 'OneHotFeaturizer', 'SmilesToSeq', 'SmilesToImage',
     'CoulombMatrix', 'CoulombMatrixEig', 'AtomicCoordinates',
-    'create_char_to_idx', 'feature_utils',
+    'create_char_to_idx', 'feature_utils', 'BasicSmilesTokenizer',
+    'SmilesTokenizer', 'HuggingFaceFeaturizer', 'BertFeaturizer',
+    'RobertaFeaturizer', 'RxnFeaturizer',
 ]

@@ -46,6 +46,7 @@ from deepchem_tpu.models.dmpnn import DMPNNModel
 from deepchem_tpu.models.atomic_conv import (AtomicConvModel,
                                              AtomicConvFeaturizer)
 from deepchem_tpu.models.multitask import SingletaskToMultitask
+from deepchem_tpu.models.hf_models import HuggingFaceModel, Chemberta
 
 __all__ = [
     'Model', 'JaxModel', 'losses', 'optimizers', 'ValidationCallback',
@@ -62,4 +63,5 @@ __all__ = [
     'NormalizingFlow', 'NormalizingFlowModel', 'WandbLogger',
     'TensorboardLogger', 'DMPNNModel', 'AtomicConvModel',
     'AtomicConvFeaturizer', 'SingletaskToMultitask',
+    'HuggingFaceModel', 'Chemberta',
 ]
