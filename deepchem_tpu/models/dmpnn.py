@@ -87,10 +87,16 @@ class DMPNNModel(GraphModel):
         self.n_tasks = n_tasks
         self.mode = mode
         self.n_classes = n_classes
+        from deepchem_tpu.models.graph_models import graph_dp_shards
+        shards = graph_dp_shards(kwargs.get('data_parallel', True))
+        if batch_size % shards:
+            shards = 1
         module = _DMPNNModule(
             n_tasks=n_tasks, n_classes=n_classes, enc_hidden=enc_hidden,
             depth=depth, ffn_hidden=ffn_hidden, ffn_layers=ffn_layers,
-            dropout=dropout_p, mode=mode, num_graphs=batch_size)
+            dropout=dropout_p, mode=mode,
+            num_graphs=batch_size // shards)
         loss, output_types = _gnn_loss_outputs(mode)
         super().__init__(module, loss, output_types=output_types,
                          batch_size=batch_size, **kwargs)
+        self._graph_shards = shards

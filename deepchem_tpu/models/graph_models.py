@@ -38,35 +38,80 @@ from deepchem_tpu.ops import graph_pool, node_degrees
 logger = logging.getLogger(__name__)
 
 
+def graph_dp_shards(data_parallel: bool = True) -> int:
+    """Number of data-parallel shards for graph models: one sub-batch of
+    graphs per device, stacked on a leading (sharded) axis."""
+    import jax
+    n = len(jax.devices())
+    return n if (data_parallel and n > 1) else 1
+
+
 class GraphModel(JaxModel):
     """Shared harness for COO graph models: pads ragged graph batches into
     static shapes (the TPU answer to reference hot loop #3,
-    ConvMol.agglomerate_mols)."""
+    ConvMol.agglomerate_mols).
+
+    Multi-chip: with >1 device, each batch is split into per-device
+    sub-batches stacked on a leading axis sharded over the mesh; the module
+    is vmapped over that axis, so each device runs message passing on its
+    own subgraph block and XLA all-reduces only the gradients (SURVEY.md
+    section 2.7 DP requirement).
+    """
 
     #: quanta for node/edge caps — tradeoff: padding waste vs recompiles
     node_quantum = 512
     edge_quantum = 1024
     uses_edge_features = False
-    # COO arrays are node/edge-flat, not batch-major; replicate them.
-    # Graph-level DP (stacking per-device sub-batches on a leading sharded
-    # axis) is the planned multi-chip path.
+    # flat-COO arrays replicate; in DP mode the stacked leading axis is the
+    # device axis and IS sharded (see _shard_batch logic + _n_shards)
     batch_axis_shardable = False
+
+    @property
+    def _n_shards(self) -> int:
+        n = getattr(self, '_graph_shards', 1)
+        return n
+
+    def _module_init_inputs(self, sample_inputs):
+        if self._n_shards > 1:
+            return [a[0] for a in sample_inputs]
+        return sample_inputs
+
+    def _forward(self, params, inputs, training, rng):
+        if self._n_shards <= 1:
+            return super()._forward(params, inputs, training, rng)
+        import jax as _jax
+        rngs = {c: _jax.random.fold_in(rng, i)
+                for i, c in enumerate(self._rng_collections)} \
+            if training or rng is not None else None
+
+        def apply_one(*xs):
+            out = self.module.apply(params, *xs, training=training,
+                                    rngs=rngs)
+            return tuple(out) if isinstance(out, (list, tuple)) else (out,)
+        outs = _jax.vmap(apply_one)(*inputs)
+        # [D, B/D, ...] -> [B, ...]; device-major order matches the flat
+        # label order because graphs are chunked contiguously
+        return [o.reshape((-1,) + o.shape[2:]) for o in outs]
+
+    def _shard_batch(self, arrays):
+        if self.mesh is None or self._n_shards <= 1:
+            return arrays
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return [_jax.device_put(a, NamedSharding(self.mesh, P('data')))
+                if hasattr(a, 'ndim') and a.ndim >= 1
+                and a.shape[0] == self._n_shards
+                else _jax.device_put(a, NamedSharding(self.mesh, P()))
+                for a in arrays]
 
     #: when set, every batch pads to these (node_cap, edge_cap) — used by
     #: fit_on_device so all stacked batches share one shape
     _fixed_caps: Optional[Tuple[int, int]] = None
 
-    def _graph_inputs(self, X_b: np.ndarray) -> List[np.ndarray]:
-        graphs = list(X_b)
+    def _pack_one(self, graphs: List, node_cap: int, edge_cap: int,
+                  num_graphs: int) -> List[np.ndarray]:
         batch = BatchGraphData(graphs)
-        if self._fixed_caps is not None:
-            node_cap, edge_cap = self._fixed_caps
-        else:
-            node_cap, edge_cap = bucket_caps(batch.num_nodes + 1,
-                                             batch.num_edges,
-                                             self.node_quantum,
-                                             self.edge_quantum)
-        d = batch.pad(node_cap, edge_cap, num_graphs=self.batch_size)
+        d = batch.pad(node_cap, edge_cap, num_graphs=num_graphs)
         inputs = [d['node_features'], d['edge_index'][0],
                   d['edge_index'][1], d['graph_index'], d['node_mask'],
                   d['edge_mask']]
@@ -76,6 +121,40 @@ class GraphModel(JaxModel):
                     'this model needs a featurizer with use_edges=True')
             inputs.append(d['edge_features'])
         return inputs
+
+    def _graph_inputs(self, X_b: np.ndarray) -> List[np.ndarray]:
+        graphs = list(X_b)
+        n_shards = self._n_shards
+        if n_shards <= 1:
+            batch = BatchGraphData(graphs)
+            if self._fixed_caps is not None:
+                node_cap, edge_cap = self._fixed_caps
+            else:
+                node_cap, edge_cap = bucket_caps(batch.num_nodes + 1,
+                                                 batch.num_edges,
+                                                 self.node_quantum,
+                                                 self.edge_quantum)
+            return self._pack_one(graphs, node_cap, edge_cap,
+                                  self.batch_size)
+        # DP: chunk graphs contiguously across devices, one common cap
+        per_dev = self.batch_size // n_shards
+        chunks = [graphs[i * per_dev:(i + 1) * per_dev]
+                  for i in range(n_shards)]
+        chunks = [c if c else [graphs[0]] for c in chunks]
+        if self._fixed_caps is not None:
+            node_cap, edge_cap = self._fixed_caps
+        else:
+            max_nodes = max(sum(g.num_nodes for g in c) + 1
+                            for c in chunks)
+            max_edges = max(max(sum(g.num_edges for g in c), 1)
+                            for c in chunks)
+            node_cap, edge_cap = bucket_caps(max_nodes, max_edges,
+                                             self.node_quantum,
+                                             self.edge_quantum)
+        packed = [self._pack_one(c, node_cap, edge_cap, per_dev)
+                  for c in chunks]
+        return [np.stack([p[i] for p in packed])
+                for i in range(len(packed[0]))]
 
     def _collect_uniform_batches(self, dataset: Dataset,
                                  deterministic: bool = True):
@@ -207,11 +286,14 @@ class GraphConvModel(GraphModel):
             raise ValueError('uncertainty requires regression mode')
         if uncertainty and dropout == 0.0:
             raise ValueError('uncertainty requires dropout > 0')
+        shards = graph_dp_shards(kwargs.get('data_parallel', True))
+        if batch_size % shards:
+            shards = 1
         module = _GraphConvModule(
             n_tasks=n_tasks, n_classes=n_classes,
             graph_conv_layers=tuple(graph_conv_layers),
             dense_layer_size=dense_layer_size, dropout=dropout,
-            mode=mode, num_graphs=batch_size,
+            mode=mode, num_graphs=batch_size // shards,
             batch_normalize=batch_normalize, uncertainty=uncertainty)
         if mode == 'classification':
             loss: Union[Loss, Callable] = SoftmaxCrossEntropy()
@@ -232,6 +314,7 @@ class GraphConvModel(GraphModel):
             output_types = ['prediction']
         super().__init__(module, loss, output_types=output_types,
                          batch_size=batch_size, **kwargs)
+        self._graph_shards = shards
 
 
 class _StackedGNNModule(nn.Module):
@@ -298,14 +381,18 @@ class GCNModel(GraphModel):
         self.n_tasks = n_tasks
         self.mode = mode
         self.n_classes = n_classes
+        shards = graph_dp_shards(kwargs.get('data_parallel', True))
+        if batch_size % shards:
+            shards = 1
         module = _StackedGNNModule(
             n_tasks=n_tasks, n_classes=n_classes,
             layer_sizes=tuple(graph_conv_layers), layer_kind='gcn',
-            mode=mode, num_graphs=batch_size, dropout=dropout,
+            mode=mode, num_graphs=batch_size // shards, dropout=dropout,
             predictor_hidden_feats=predictor_hidden_feats)
         loss, output_types = _gnn_loss_outputs(mode)
         super().__init__(module, loss, output_types=output_types,
                          batch_size=batch_size, **kwargs)
+        self._graph_shards = shards
 
 
 class GATModel(GraphModel):
@@ -319,15 +406,19 @@ class GATModel(GraphModel):
         self.n_tasks = n_tasks
         self.mode = mode
         self.n_classes = n_classes
+        shards = graph_dp_shards(kwargs.get('data_parallel', True))
+        if batch_size % shards:
+            shards = 1
         module = _StackedGNNModule(
             n_tasks=n_tasks, n_classes=n_classes,
             layer_sizes=tuple(graph_attention_layers), layer_kind='gat',
-            mode=mode, num_graphs=batch_size, dropout=dropout,
+            mode=mode, num_graphs=batch_size // shards, dropout=dropout,
             predictor_hidden_feats=predictor_hidden_feats,
             n_attention_heads=n_attention_heads)
         loss, output_types = _gnn_loss_outputs(mode)
         super().__init__(module, loss, output_types=output_types,
                          batch_size=batch_size, **kwargs)
+        self._graph_shards = shards
 
 
 class AttentiveFPModel(GraphModel):
@@ -342,14 +433,19 @@ class AttentiveFPModel(GraphModel):
         self.n_tasks = n_tasks
         self.mode = mode
         self.n_classes = n_classes
+        shards = graph_dp_shards(kwargs.get('data_parallel', True))
+        if batch_size % shards:
+            shards = 1
         module = _StackedGNNModule(
             n_tasks=n_tasks, n_classes=n_classes,
             layer_sizes=tuple([graph_feat_size] * num_layers),
-            layer_kind='attentivefp', mode=mode, num_graphs=batch_size,
+            layer_kind='attentivefp', mode=mode,
+            num_graphs=batch_size // shards,
             dropout=dropout, readout='sum')
         loss, output_types = _gnn_loss_outputs(mode)
         super().__init__(module, loss, output_types=output_types,
                          batch_size=batch_size, **kwargs)
+        self._graph_shards = shards
 
 
 class _MPNNModule(nn.Module):
@@ -390,10 +486,14 @@ class MPNNModel(GraphModel):
         self.n_tasks = n_tasks
         self.mode = mode
         self.n_classes = n_classes
+        shards = graph_dp_shards(kwargs.get('data_parallel', True))
+        if batch_size % shards:
+            shards = 1
         module = _MPNNModule(
             n_tasks=n_tasks, n_classes=n_classes, node_dim=node_dim,
             edge_dim=n_pair_feat, n_steps=T, mode=mode,
-            num_graphs=batch_size, set2set_steps=M)
+            num_graphs=batch_size // shards, set2set_steps=M)
         loss, output_types = _gnn_loss_outputs(mode)
         super().__init__(module, loss, output_types=output_types,
                          batch_size=batch_size, **kwargs)
+        self._graph_shards = shards

@@ -151,7 +151,8 @@ class JaxModel(Model):
         rngs = {'params': self._next_rng()}
         for c in self._rng_collections:
             rngs[c] = self._next_rng()
-        inputs = [jnp.asarray(x) for x in sample_inputs]
+        inputs = [jnp.asarray(x)
+                  for x in self._module_init_inputs(sample_inputs)]
 
         # one jitted computation for module init + optimizer init: eager
         # execution pays a per-op XLA compile which is very slow on some
@@ -165,6 +166,11 @@ class JaxModel(Model):
             self.params = jax.device_put(self.params, rep)
             self.opt_state = jax.device_put(self.opt_state, rep)
         self._built = True
+
+    def _module_init_inputs(self, sample_inputs):
+        """Hook: inputs handed to module.init; subclasses whose runtime
+        inputs carry an extra leading device axis strip it here."""
+        return sample_inputs
 
     # -- forward/loss ------------------------------------------------------
     def _forward(self, params, inputs: Sequence[jnp.ndarray],
@@ -337,21 +343,32 @@ class JaxModel(Model):
         loop — the TPU-native replacement for the reference's per-batch
         Python fit loop (torch_model.py:423-496).
         """
-        batches = self._collect_uniform_batches(dataset)
-        S = len(batches)
-        if S == 0:
-            return 0.0
-        inputs0, labels0, weights0 = batches[0]
-        if not self._built:
-            self.build([jnp.asarray(a) for a in inputs0])
-        # stack host-side, then ONE upload per array: many small transfers
-        # interleaved with execution are pathological on tunneled backends
-        stacked_inputs = [jnp.asarray(np.stack([b[0][i] for b in batches]))
-                          for i in range(len(inputs0))]
-        stacked_labels = [jnp.asarray(np.stack([b[1][i] for b in batches]))
-                          for i in range(len(labels0))]
-        stacked_weights = [jnp.asarray(np.stack([b[2][i] for b in batches]))
-                           for i in range(len(weights0))]
+        data_key = ('fit_on_device_data', id(dataset))
+        cached = self._predict_fn_cache.get(data_key)
+        if cached is not None:
+            S, stacked_inputs, stacked_labels, stacked_weights = cached
+        else:
+            batches = self._collect_uniform_batches(dataset)
+            S = len(batches)
+            if S == 0:
+                return 0.0
+            inputs0, labels0, weights0 = batches[0]
+            if not self._built:
+                self.build([jnp.asarray(a) for a in inputs0])
+            # stack host-side, then ONE upload per array: many small
+            # transfers interleaved with execution are pathological on
+            # tunneled backends
+            stacked_inputs = [
+                jnp.asarray(np.stack([b[0][i] for b in batches]))
+                for i in range(len(inputs0))]
+            stacked_labels = [
+                jnp.asarray(np.stack([b[1][i] for b in batches]))
+                for i in range(len(labels0))]
+            stacked_weights = [
+                jnp.asarray(np.stack([b[2][i] for b in batches]))
+                for i in range(len(weights0))]
+            self._predict_fn_cache[data_key] = (
+                S, stacked_inputs, stacked_labels, stacked_weights)
         # per-epoch batch order (host-side RNG, tiny upload)
         rng_np = np.random.RandomState(seed)
         perms = np.stack([rng_np.permutation(S)
