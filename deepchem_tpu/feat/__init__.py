@@ -16,6 +16,8 @@ from deepchem_tpu.feat.tokenizers import (BasicSmilesTokenizer,
                                            BertFeaturizer,
                                            RobertaFeaturizer,
                                            RxnFeaturizer)
+from deepchem_tpu.feat.molgan_featurizer import (GraphMatrix,
+                                                 MolGanFeaturizer)
 from deepchem_tpu.feat import feature_utils
 
 __all__ = [
@@ -29,5 +31,6 @@ __all__ = [
     'CoulombMatrix', 'CoulombMatrixEig', 'AtomicCoordinates',
     'create_char_to_idx', 'feature_utils', 'BasicSmilesTokenizer',
     'SmilesTokenizer', 'HuggingFaceFeaturizer', 'BertFeaturizer',
-    'RobertaFeaturizer', 'RxnFeaturizer',
+    'RobertaFeaturizer', 'RxnFeaturizer', 'GraphMatrix',
+    'MolGanFeaturizer',
 ]

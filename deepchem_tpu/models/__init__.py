@@ -47,6 +47,7 @@ from deepchem_tpu.models.atomic_conv import (AtomicConvModel,
                                              AtomicConvFeaturizer)
 from deepchem_tpu.models.multitask import SingletaskToMultitask
 from deepchem_tpu.models.hf_models import HuggingFaceModel, Chemberta
+from deepchem_tpu.models.molgan import BasicMolGANModel
 
 __all__ = [
     'Model', 'JaxModel', 'losses', 'optimizers', 'ValidationCallback',
@@ -63,5 +64,5 @@ __all__ = [
     'NormalizingFlow', 'NormalizingFlowModel', 'WandbLogger',
     'TensorboardLogger', 'DMPNNModel', 'AtomicConvModel',
     'AtomicConvFeaturizer', 'SingletaskToMultitask',
-    'HuggingFaceModel', 'Chemberta',
+    'HuggingFaceModel', 'Chemberta', 'BasicMolGANModel',
 ]

@@ -133,11 +133,12 @@ class GAN(Model):
                 d_fake = gan.discriminator.apply(dp, *fake, *cond)
                 loss = gan.create_discriminator_loss(d_real, d_fake)
                 if gan.gradient_penalty > 0:
-                    eps = jax.random.uniform(
-                        rng, (data[0].shape[0],) + (1,) *
-                        (data[0].ndim - 1))
-                    interp = [eps * r + (1 - eps) * f
-                              for r, f in zip(data, fake)]
+                    eps0 = jax.random.uniform(rng, (data[0].shape[0],))
+                    interp = [
+                        eps0.reshape((-1,) + (1,) * (r.ndim - 1)) * r
+                        + (1 - eps0.reshape((-1,) + (1,) * (r.ndim - 1)))
+                        * f
+                        for r, f in zip(data, fake)]
 
                     def d_on(x_list):
                         return jnp.sum(gan.discriminator.apply(
