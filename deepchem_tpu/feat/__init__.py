@@ -18,6 +18,10 @@ from deepchem_tpu.feat.tokenizers import (BasicSmilesTokenizer,
                                            RxnFeaturizer)
 from deepchem_tpu.feat.molgan_featurizer import (GraphMatrix,
                                                  MolGanFeaturizer)
+from deepchem_tpu.feat.material_featurizers import (
+    ElementPropertyFingerprint, ElemNetFeaturizer, SineCoulombMatrix,
+    PositionFrequencyMatrix, SparseMatrixOneHotFeaturizer,
+    parse_composition)
 from deepchem_tpu.feat import feature_utils
 
 __all__ = [
@@ -32,5 +36,7 @@ __all__ = [
     'create_char_to_idx', 'feature_utils', 'BasicSmilesTokenizer',
     'SmilesTokenizer', 'HuggingFaceFeaturizer', 'BertFeaturizer',
     'RobertaFeaturizer', 'RxnFeaturizer', 'GraphMatrix',
-    'MolGanFeaturizer',
+    'MolGanFeaturizer', 'ElementPropertyFingerprint', 'ElemNetFeaturizer',
+    'SineCoulombMatrix', 'PositionFrequencyMatrix',
+    'SparseMatrixOneHotFeaturizer', 'parse_composition',
 ]

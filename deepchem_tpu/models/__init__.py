@@ -48,6 +48,7 @@ from deepchem_tpu.models.atomic_conv import (AtomicConvModel,
 from deepchem_tpu.models.multitask import SingletaskToMultitask
 from deepchem_tpu.models.hf_models import HuggingFaceModel, Chemberta
 from deepchem_tpu.models.molgan import BasicMolGANModel
+from deepchem_tpu.models.trainer import DistributedTrainer
 
 __all__ = [
     'Model', 'JaxModel', 'losses', 'optimizers', 'ValidationCallback',
@@ -65,4 +66,5 @@ __all__ = [
     'TensorboardLogger', 'DMPNNModel', 'AtomicConvModel',
     'AtomicConvFeaturizer', 'SingletaskToMultitask',
     'HuggingFaceModel', 'Chemberta', 'BasicMolGANModel',
+    'DistributedTrainer',
 ]

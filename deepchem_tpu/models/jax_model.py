@@ -423,6 +423,50 @@ class JaxModel(Model):
         self._train_step_fn = None
         return float(per_epoch[-1])
 
+    def predict_on_device(self, dataset: Dataset,
+                          transformers: Sequence[Transformer] = (),
+                          output_types: Optional[Sequence[str]] = None
+                          ) -> np.ndarray:
+        """Device-resident batched prediction: upload all batches once and
+        scan the forward pass — companion to fit_on_device."""
+        batches = self._collect_uniform_batches(dataset,
+                                                deterministic=True)
+        if not batches:
+            return np.zeros(0)
+        inputs0 = batches[0][0]
+        if not self._built:
+            self.build([jnp.asarray(a) for a in inputs0])
+        stacked = [jnp.asarray(np.stack([b[0][i] for b in batches]))
+                   for i in range(len(inputs0))]
+        S = len(batches)
+
+        def run(params, s_in):
+            def body(_, inputs):
+                outs = self._forward(params, list(inputs),
+                                     training=False, rng=None)
+                return _, tuple(outs)
+            _, outs = jax.lax.scan(body, None, tuple(s_in))
+            return outs
+        cache_key = ('predict_on_device',
+                     tuple(a.shape for a in stacked))
+        fn = self._predict_fn_cache.get(cache_key)
+        if fn is None:
+            fn = jax.jit(run)
+            self._predict_fn_cache[cache_key] = fn
+        outs = fn(self.params, stacked)
+        outs = [np.asarray(o).reshape((-1,) + o.shape[2:]) for o in outs]
+        if self.output_types is not None:
+            if output_types is not None:
+                idx = [i for i, t in enumerate(self.output_types)
+                       if t in output_types]
+            else:
+                idx = self._prediction_outputs
+            outs = [outs[i] for i in idx]
+        if transformers:
+            outs = [undo_transforms(o, transformers) for o in outs]
+        outs = [_trim_to(o, len(dataset)) for o in outs]
+        return outs[0] if len(outs) == 1 else outs
+
     def fit_on_batch(self, X, y, w, variables=None, loss=None,
                      callbacks=(), checkpoint: bool = False,
                      max_checkpoints_to_keep: int = 5) -> float:
