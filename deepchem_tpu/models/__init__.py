@@ -49,6 +49,8 @@ from deepchem_tpu.models.multitask import SingletaskToMultitask
 from deepchem_tpu.models.hf_models import HuggingFaceModel, Chemberta
 from deepchem_tpu.models.molgan import BasicMolGANModel
 from deepchem_tpu.models.trainer import DistributedTrainer
+from deepchem_tpu.models.infograph import (InfoGraphModel,
+                                           InfoGraphStarModel)
 
 __all__ = [
     'Model', 'JaxModel', 'losses', 'optimizers', 'ValidationCallback',
@@ -66,5 +68,5 @@ __all__ = [
     'TensorboardLogger', 'DMPNNModel', 'AtomicConvModel',
     'AtomicConvFeaturizer', 'SingletaskToMultitask',
     'HuggingFaceModel', 'Chemberta', 'BasicMolGANModel',
-    'DistributedTrainer',
+    'DistributedTrainer', 'InfoGraphModel', 'InfoGraphStarModel',
 ]

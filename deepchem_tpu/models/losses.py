@@ -187,12 +187,16 @@ class ShannonEntropy(Loss):
 class GlobalMutualInformationLoss(Loss):
     """InfoGraph global-MI JSD loss (reference losses.py:471)."""
 
-    def __call__(self, global_enc, local_enc, batch_graph_index):
+    def __call__(self, global_enc, local_enc, batch_graph_index,
+                 node_mask=None):
         # positive pairs: node belongs to graph; negatives: all others
         sim = local_enc @ global_enc.T            # (num_nodes, num_graphs)
         num_graphs = global_enc.shape[0]
         pos_mask = jax.nn.one_hot(batch_graph_index, num_graphs)
         neg_mask = 1.0 - pos_mask
+        if node_mask is not None:
+            pos_mask = pos_mask * node_mask[:, None]
+            neg_mask = neg_mask * node_mask[:, None]
         e_pos = jnp.sum(-jax.nn.softplus(-sim) * pos_mask) \
             / jnp.maximum(pos_mask.sum(), 1.0)
         e_neg = jnp.sum(jax.nn.softplus(sim) * neg_mask) \
