@@ -22,6 +22,9 @@ from deepchem_tpu.feat.material_featurizers import (
     ElementPropertyFingerprint, ElemNetFeaturizer, SineCoulombMatrix,
     PositionFrequencyMatrix, SparseMatrixOneHotFeaturizer,
     parse_composition)
+from deepchem_tpu.feat.crystal_featurizers import (CGCNNFeaturizer,
+                                                   LCNNFeaturizer,
+                                                   periodic_neighbors)
 from deepchem_tpu.feat import feature_utils
 
 __all__ = [
@@ -39,4 +42,5 @@ __all__ = [
     'MolGanFeaturizer', 'ElementPropertyFingerprint', 'ElemNetFeaturizer',
     'SineCoulombMatrix', 'PositionFrequencyMatrix',
     'SparseMatrixOneHotFeaturizer', 'parse_composition',
+    'CGCNNFeaturizer', 'LCNNFeaturizer', 'periodic_neighbors',
 ]

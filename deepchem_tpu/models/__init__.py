@@ -51,6 +51,8 @@ from deepchem_tpu.models.molgan import BasicMolGANModel
 from deepchem_tpu.models.trainer import DistributedTrainer
 from deepchem_tpu.models.infograph import (InfoGraphModel,
                                            InfoGraphStarModel)
+from deepchem_tpu.models.material_models import (CGCNNModel, MEGNetModel,
+                                                 LCNNModel, ElemNetModel)
 
 __all__ = [
     'Model', 'JaxModel', 'losses', 'optimizers', 'ValidationCallback',
@@ -69,4 +71,5 @@ __all__ = [
     'AtomicConvFeaturizer', 'SingletaskToMultitask',
     'HuggingFaceModel', 'Chemberta', 'BasicMolGANModel',
     'DistributedTrainer', 'InfoGraphModel', 'InfoGraphStarModel',
+    'CGCNNModel', 'MEGNetModel', 'LCNNModel', 'ElemNetModel',
 ]
