@@ -53,6 +53,7 @@ from deepchem_tpu.models.infograph import (InfoGraphModel,
                                            InfoGraphStarModel)
 from deepchem_tpu.models.material_models import (CGCNNModel, MEGNetModel,
                                                  LCNNModel, ElemNetModel)
+from deepchem_tpu.models.unet import UNetModel, InceptionV3Model
 
 __all__ = [
     'Model', 'JaxModel', 'losses', 'optimizers', 'ValidationCallback',
@@ -72,4 +73,5 @@ __all__ = [
     'HuggingFaceModel', 'Chemberta', 'BasicMolGANModel',
     'DistributedTrainer', 'InfoGraphModel', 'InfoGraphStarModel',
     'CGCNNModel', 'MEGNetModel', 'LCNNModel', 'ElemNetModel',
+    'UNetModel', 'InceptionV3Model',
 ]
