@@ -13,6 +13,8 @@ def _convert_hyperparam_dict_to_filename(params: Dict) -> str:
         filename += f'_{key}'
         if isinstance(value, (int, float, str, bool)):
             filename += f'_{value}'
+        elif isinstance(value, (list, tuple)):
+            filename += '_' + '-'.join(str(v) for v in value)
         elif hasattr(value, '__name__'):
             filename += f'_{value.__name__}'
         else:

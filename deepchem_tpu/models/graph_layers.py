@@ -29,7 +29,7 @@ class MaskedBatchNorm(nn.Module):
     Statistics are computed over the valid rows of each batch in both train
     and eval — acceptable for the large molecule batches used here.
     """
-    epsilon: float = 1e-5
+    epsilon: float = 1e-3
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -44,6 +44,11 @@ class MaskedBatchNorm(nn.Module):
             var = jnp.sum(jnp.square(x - mean) * m, axis=0) / count
         scale = self.param('scale', nn.initializers.ones, (x.shape[-1],))
         bias = self.param('bias', nn.initializers.zeros, (x.shape[-1],))
+        # NOTE eps=1e-3 (TF fused-BN default): near-constant feature columns
+        # (common in one-hot atom features) have var ~ 0, and the
+        # (var+eps)^{-3/2} term in the backward pass explodes on
+        # low-precision accumulators with smaller eps — observed as 1e5x
+        # gradient blowups on TPU while CPU f64-ish paths cancel exactly.
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
         return y * scale + bias
 

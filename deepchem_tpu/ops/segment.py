@@ -56,8 +56,10 @@ def segment_softmax(logits: jnp.ndarray, segment_ids: jnp.ndarray,
         m = mask if mask.ndim == logits.ndim else \
             mask.reshape(mask.shape + (1,) * (logits.ndim - mask.ndim))
         logits = jnp.where(m > 0, logits, NEG)
-    seg_max = jax.ops.segment_max(logits, segment_ids,
-                                  num_segments=num_segments)
+    # stop_gradient: the max shift cancels mathematically, and the
+    # scatter-max backward miscompiles on the experimental TPU backend
+    seg_max = jax.lax.stop_gradient(jax.ops.segment_max(
+        logits, segment_ids, num_segments=num_segments))
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
     shifted = logits - seg_max[segment_ids]
     exp = jnp.exp(shifted)
@@ -82,16 +84,45 @@ def gather_neighbors_sum(node_feats: jnp.ndarray, edge_src: jnp.ndarray,
     return segment_sum(msgs, edge_dst, node_feats.shape[0])
 
 
+def segment_max_sumgrad(data: jnp.ndarray, segment_ids: jnp.ndarray,
+                        num_segments: int,
+                        mask: Optional[jnp.ndarray] = None,
+                        empty_value: float = 0.0) -> jnp.ndarray:
+    """segment_max whose BACKWARD routes through segment_sum.
+
+    Forward: per-segment max over valid rows (ties average — equal values
+    anyway).  Backward: gradient flows to the argmax rows via a
+    segment_sum of an argmax-selection mask.  Motivation: the scatter-max
+    gradient miscompiles (1e5x blowups) on the experimental TPU backend
+    used in this build, while scatter-add gradients are exact; this
+    formulation is also the standard numerically-robust maxpool trick.
+    """
+    d = data
+    if mask is not None:
+        m = mask.reshape(mask.shape + (1,) * (d.ndim - mask.ndim))
+        d = jnp.where(m > 0, d, NEG)
+    mx = jax.lax.stop_gradient(
+        jax.ops.segment_max(d, segment_ids, num_segments=num_segments))
+    mx = jnp.where(jnp.isfinite(mx) & (mx > NEG / 2), mx, empty_value)
+    sel = (d >= jnp.take(mx, segment_ids, axis=0)).astype(data.dtype)
+    if mask is not None:
+        sel = sel * m
+    num = jax.ops.segment_sum(data * sel, segment_ids,
+                              num_segments=num_segments)
+    den = jax.lax.stop_gradient(jax.ops.segment_sum(
+        sel, segment_ids, num_segments=num_segments))
+    out = num / jnp.maximum(den, 1.0)
+    return jnp.where(den > 0, out, empty_value)
+
+
 def gather_neighbors_max(node_feats: jnp.ndarray, edge_src: jnp.ndarray,
                          edge_dst: jnp.ndarray,
                          edge_mask: Optional[jnp.ndarray] = None
                          ) -> jnp.ndarray:
     """max over neighbors (reference GraphPool, models/layers.py:256)."""
     msgs = jnp.take(node_feats, edge_src, axis=0)
-    if edge_mask is not None:
-        msgs = jnp.where(edge_mask[:, None] > 0, msgs, NEG)
-    out = jax.ops.segment_max(msgs, edge_dst, node_feats.shape[0])
-    return jnp.where(jnp.isfinite(out) & (out > NEG / 2), out, 0.0)
+    return segment_max_sumgrad(msgs, edge_dst, node_feats.shape[0],
+                               mask=edge_mask)
 
 
 def graph_pool(node_feats: jnp.ndarray, graph_index: jnp.ndarray,
@@ -112,10 +143,8 @@ def graph_pool(node_feats: jnp.ndarray, graph_index: jnp.ndarray,
         counts = segment_sum(ones, graph_index, num_graphs + 1)
         out = s / jnp.maximum(counts, 1.0)[:, None]
     elif mode == 'max':
-        if node_mask is not None:
-            feats = jnp.where(node_mask[:, None] > 0, feats, NEG)
-        out = jax.ops.segment_max(feats, graph_index, num_graphs + 1)
-        out = jnp.where(jnp.isfinite(out) & (out > NEG / 2), out, 0.0)
+        out = segment_max_sumgrad(feats, graph_index, num_graphs + 1,
+                                  mask=node_mask)
     else:
         raise ValueError(f'bad pool mode {mode}')
     return out[:num_graphs]

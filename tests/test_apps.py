@@ -1,0 +1,216 @@
+"""Tests for dock, rl, metalearning, hyper, molnet harness."""
+import numpy as np
+import pytest
+
+from deepchem_tpu.data import NumpyDataset
+
+
+def test_vina_scoring_terms():
+    import jax.numpy as jnp
+    from deepchem_tpu.dock import (pairwise_distances, cutoff_filter,
+                                   vina_energy_term)
+    c1 = np.random.RandomState(0).rand(8, 3) * 5
+    c2 = np.random.RandomState(1).rand(6, 3) * 5
+    d = pairwise_distances(c1, c2)
+    assert d.shape == (8, 6)
+    assert float(jnp.min(d)) >= 0
+    filtered = cutoff_filter(d, jnp.ones_like(d), cutoff=2.0)
+    assert float(filtered.max()) <= 1.0
+    e = vina_energy_term(c1, c2, [0.1, 0.2, 0.5, 0.3, 0.4], 0.05, 4)
+    assert np.isfinite(float(e))
+
+
+def test_pocket_finder():
+    from deepchem_tpu.dock import ConvexHullPocketFinder
+    coords = np.random.RandomState(0).rand(60, 3) * 30
+    boxes = ConvexHullPocketFinder().find_all_pockets(coords)
+    assert len(boxes) >= 1
+    assert all(b.volume() > 0 for b in boxes)
+
+
+def test_docker_requires_featurizer_with_scoring():
+    from deepchem_tpu.dock import Docker, VinaPoseGenerator
+    with pytest.raises(ValueError):
+        Docker(VinaPoseGenerator(), featurizer=None, scoring_model=object())
+
+
+def test_maml_sine_adaptation():
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+    from deepchem_tpu.metalearning import MetaLearner, MAML
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.relu(nn.Dense(32)(x))
+            return nn.Dense(1)(h)
+
+    class SineLearner(MetaLearner):
+        def __init__(self):
+            self.net = Net()
+            self.rng = np.random.RandomState(0)
+            self._vars = self.net.init(jax.random.PRNGKey(0),
+                                       jnp.zeros((1, 1)))
+            self.select_task()
+
+        @property
+        def variables(self):
+            return self._vars
+
+        def compute_model(self, inputs, variables, training):
+            x, y = inputs
+            pred = self.net.apply(variables, x)
+            return jnp.mean((pred - y) ** 2), [pred]
+
+        def select_task(self):
+            self.amp = self.rng.uniform(0.5, 2.0)
+
+        def get_batch(self):
+            x = self.rng.uniform(-2, 2, (8, 1))
+            return [x, self.amp * np.sin(x)]
+
+    learner = SineLearner()
+    maml = MAML(learner, learning_rate=0.01, meta_batch_size=3)
+    maml.fit(20, checkpoint_interval=0)
+    # adaptation reduces the loss on a fresh task
+    learner.select_task()
+    batch = learner.get_batch()
+    loss_before, _ = learner.compute_model(
+        [np.asarray(b, dtype=np.float32) for b in batch],
+        maml._params, False)
+    maml.train_on_current_task(optimization_steps=5, restore=False)
+    loss_after, _ = learner.compute_model(
+        [np.asarray(b, dtype=np.float32) for b in batch],
+        maml._params, False)
+    assert float(loss_after) <= float(loss_before) * 1.5
+
+
+class _BanditEnv:
+    """2-armed bandit as a trivial RL environment."""
+
+    def __init__(self):
+        from deepchem_tpu.rl import Environment
+        self._state = np.zeros(2, dtype=np.float32)
+        self._terminated = False
+        self.state_shape = (2,)
+        self.n_actions = 2
+        self.action_shape = None
+        self.steps = 0
+
+    @property
+    def state(self):
+        return self._state
+
+    @property
+    def terminated(self):
+        return self._terminated
+
+    def reset(self):
+        self._state = np.ones(2, dtype=np.float32)
+        self._terminated = False
+        self.steps = 0
+
+    def step(self, action):
+        self.steps += 1
+        if self.steps >= 5:
+            self._terminated = True
+        return 1.0 if action == 1 else 0.0
+
+
+def test_a2c_learns_bandit():
+    import flax.linen as nn
+    import jax.numpy as jnp
+    from deepchem_tpu.rl import A2C, Policy
+
+    class _Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.relu(nn.Dense(16)(x))
+            probs = nn.softmax(nn.Dense(2)(h))
+            value = nn.Dense(1)(h)
+            return probs, value
+
+    class BanditPolicy(Policy):
+        def __init__(self):
+            super().__init__(['action_prob', 'value'])
+
+        def create_model(self, **kwargs):
+            return _Net()
+
+    env = _BanditEnv()
+    a2c = A2C(env, BanditPolicy(), max_rollout_length=5)
+    a2c.fit(400, checkpoint_interval=0)
+    # the policy should prefer the rewarded arm
+    probs = a2c.predict(np.ones((1, 2), dtype=np.float32))[0][0]
+    assert probs[1] > 0.6
+
+
+def test_grid_hyperparam_search():
+    from deepchem_tpu.hyper import GridHyperparamOpt
+    from deepchem_tpu.models import MultitaskClassifier
+    from deepchem_tpu.metrics import Metric, roc_auc_score
+    rng = np.random.RandomState(0)
+    X = rng.rand(40, 8).astype(np.float32)
+    y = (X[:, 0] > 0.5).astype(float)[:, None]
+    train = NumpyDataset(X[:30], y[:30])
+    valid = NumpyDataset(X[30:], y[30:])
+
+    def builder(**params):
+        params.pop('model_dir', None)
+        return MultitaskClassifier(n_tasks=1, n_features=8,
+                                   dropouts=0.0, batch_size=10, **params)
+    opt = GridHyperparamOpt(builder)
+    best_model, best_params, all_scores = opt.hyperparam_search(
+        {'layer_sizes': [[8], [16]], 'learning_rate': [0.003]},
+        train, valid, Metric(roc_auc_score, np.mean), nb_epoch=20)
+    assert best_model is not None
+    assert len(all_scores) == 2
+    assert 'layer_sizes' in best_params
+
+
+def test_random_hyperparam_search():
+    from deepchem_tpu.hyper import RandomHyperparamOpt
+    from deepchem_tpu.models import MultitaskRegressor
+    from deepchem_tpu.metrics import Metric, mean_squared_error
+    rng = np.random.RandomState(0)
+    X = rng.rand(30, 6).astype(np.float32)
+    y = X[:, :1].astype(np.float32)
+    train = NumpyDataset(X[:20], y[:20])
+    valid = NumpyDataset(X[20:], y[20:])
+
+    def builder(**params):
+        params.pop('model_dir', None)
+        return MultitaskRegressor(n_tasks=1, n_features=6, dropouts=0.0,
+                                  batch_size=10, **params)
+    opt = RandomHyperparamOpt(builder, max_iter=2)
+    best_model, best_params, scores = opt.hyperparam_search(
+        {'layer_sizes': [[8], [16], [32]]},
+        train, valid, Metric(mean_squared_error), nb_epoch=10,
+        use_max=False, seed=0)
+    assert len(scores) == 2
+
+
+def test_run_benchmark_smoke(tmp_path, monkeypatch):
+    """run_benchmark end-to-end on a tiny synthetic 'delaney'."""
+    from deepchem_tpu.molnet import run_benchmark as rb
+    import pandas as pd
+    smiles = ['CCO', 'CCC', 'c1ccccc1', 'CC(=O)O', 'CCN', 'c1ccncc1',
+              'C1CCCCC1', 'CCCC', 'CCOC', 'CC(C)C'] * 3
+    df = pd.DataFrame({
+        'smiles': smiles,
+        'measured log solubility in mols per litre':
+            np.random.RandomState(0).randn(30)})
+    csv = tmp_path / 'delaney-processed.csv'
+    df.to_csv(csv, index=False)
+    monkeypatch.setenv('DEEPCHEM_DATA_DIR', str(tmp_path))
+    results = rb.run_benchmark(['delaney'], 'tf_regression',
+                               split='random', out_path=str(tmp_path),
+                               reload=False,
+                               hyper_parameters={'nb_epoch': 3,
+                                                 'layer_sizes': [32],
+                                                 'dropouts': 0.0,
+                                                 'batch_size': 10,
+                                                 'learning_rate': 1e-3})
+    assert len(results) == 1
+    assert (tmp_path / 'results.csv').exists()

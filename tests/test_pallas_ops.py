@@ -75,3 +75,39 @@ def test_empty_segments():
     assert np.allclose(out[7], 1.0)
     assert np.allclose(out[0], 0.0)
     assert np.allclose(out[15], 0.0)
+
+
+def test_segment_max_sumgrad_matches_forward_and_grad():
+    """segment_max_sumgrad must equal segment_max forward, and its grad
+    must match the autodiff grad of the plain formulation (on CPU, where
+    both are trustworthy)."""
+    import jax
+    import jax.numpy as jnp
+    from deepchem_tpu.ops import segment_max_sumgrad
+    rng = np.random.RandomState(3)
+    data = rng.rand(40, 6).astype(np.float32)
+    seg = rng.randint(0, 10, 40).astype(np.int32)
+    mask = (rng.rand(40) > 0.2).astype(np.float32)
+
+    out = segment_max_sumgrad(jnp.asarray(data), jnp.asarray(seg), 10,
+                              mask=jnp.asarray(mask))
+    # plain oracle
+    d = np.where(mask[:, None] > 0, data, -np.inf)
+    expected = np.full((10, 6), -np.inf, dtype=np.float32)
+    np.maximum.at(expected, seg, d)
+    expected = np.where(np.isfinite(expected), expected, 0.0)
+    assert np.allclose(np.asarray(out), expected, atol=1e-5)
+
+    def f_new(x):
+        return jnp.sum(jnp.tanh(segment_max_sumgrad(
+            x, jnp.asarray(seg), 10, mask=jnp.asarray(mask))))
+
+    def f_old(x):
+        dd = jnp.where(jnp.asarray(mask)[:, None] > 0, x, -9e15)
+        m = jax.ops.segment_max(dd, jnp.asarray(seg), num_segments=10)
+        m = jnp.where(jnp.isfinite(m) & (m > -4.5e15), m, 0.0)
+        return jnp.sum(jnp.tanh(m))
+
+    g_new = np.asarray(jax.grad(f_new)(jnp.asarray(data)))
+    g_old = np.asarray(jax.grad(f_old)(jnp.asarray(data)))
+    assert np.allclose(g_new, g_old, atol=1e-4)
