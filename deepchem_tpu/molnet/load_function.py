@@ -188,7 +188,7 @@ class _SDFCSVLoader:
         import pandas as pd
         from deepchem_tpu.chem import parse_sdf
         from deepchem_tpu.data import DiskDataset
-        labels = pd.read_csv(sdf_path + '.csv', header=None)
+        labels = pd.read_csv(sdf_path + '.csv')
         with open(sdf_path) as f:
             records = list(parse_sdf(f.read()))
         mols = [m for m, _ in records]
@@ -196,13 +196,12 @@ class _SDFCSVLoader:
         valid = np.array([x is not None and
                           (not isinstance(x, np.ndarray) or x.size > 0)
                           for x in X], dtype=bool)
-        y = labels.iloc[:, 1].to_numpy()[:len(mols)]
-        ids = labels.iloc[:, 0].astype(str).to_numpy()[:len(mols)]
-        if X.dtype == object:
-            Xv = X[valid]
-        else:
-            Xv = X[valid]
-        return DiskDataset.from_numpy(Xv, y[valid],
+        y = labels.iloc[:, -1].to_numpy()
+        n = min(len(mols), len(y))
+        valid = valid[:n]
+        Xv = X[:n][valid]
+        ids = np.arange(n).astype(str)
+        return DiskDataset.from_numpy(Xv, y[:n][valid],
                                       ids=ids[valid], tasks=self.tasks)
 
 
