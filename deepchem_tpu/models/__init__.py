@@ -54,6 +54,7 @@ from deepchem_tpu.models.infograph import (InfoGraphModel,
 from deepchem_tpu.models.material_models import (CGCNNModel, MEGNetModel,
                                                  LCNNModel, ElemNetModel)
 from deepchem_tpu.models.unet import UNetModel, InceptionV3Model
+from deepchem_tpu.models.gnn_modular import GNNModular, ModularModel
 
 __all__ = [
     'Model', 'JaxModel', 'losses', 'optimizers', 'ValidationCallback',
@@ -73,5 +74,5 @@ __all__ = [
     'HuggingFaceModel', 'Chemberta', 'BasicMolGANModel',
     'DistributedTrainer', 'InfoGraphModel', 'InfoGraphStarModel',
     'CGCNNModel', 'MEGNetModel', 'LCNNModel', 'ElemNetModel',
-    'UNetModel', 'InceptionV3Model',
+    'UNetModel', 'InceptionV3Model', 'GNNModular', 'ModularModel',
 ]

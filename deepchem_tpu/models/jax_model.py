@@ -205,6 +205,11 @@ class JaxModel(Model):
         return jnp.sum(losses * w) / jnp.maximum(jnp.sum(
             jnp.broadcast_to(w, losses.shape)), 1e-8)
 
+    def _transform_gradients(self, grads):
+        """Hook applied to gradients inside the jitted step (freezing,
+        clipping); default identity."""
+        return grads
+
     # -- train step --------------------------------------------------------
     def _make_train_step(self):
         optimizer = self._optax
@@ -214,6 +219,7 @@ class JaxModel(Model):
                 outputs = self._forward(p, inputs, training=True, rng=rng)
                 return self._compute_loss(outputs, labels, weights)
             loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = self._transform_gradients(grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
