@@ -55,6 +55,8 @@ from deepchem_tpu.models.material_models import (CGCNNModel, MEGNetModel,
                                                  LCNNModel, ElemNetModel)
 from deepchem_tpu.models.unet import UNetModel, InceptionV3Model
 from deepchem_tpu.models.gnn_modular import GNNModular, ModularModel
+from deepchem_tpu.models.pna import PNAModel
+from deepchem_tpu.models.mat import MATModel, MATFeaturizer
 
 __all__ = [
     'Model', 'JaxModel', 'losses', 'optimizers', 'ValidationCallback',
@@ -75,4 +77,5 @@ __all__ = [
     'DistributedTrainer', 'InfoGraphModel', 'InfoGraphStarModel',
     'CGCNNModel', 'MEGNetModel', 'LCNNModel', 'ElemNetModel',
     'UNetModel', 'InceptionV3Model', 'GNNModular', 'ModularModel',
+    'PNAModel', 'MATModel', 'MATFeaturizer',
 ]
