@@ -57,6 +57,9 @@ from deepchem_tpu.models.unet import UNetModel, InceptionV3Model
 from deepchem_tpu.models.gnn_modular import GNNModular, ModularModel
 from deepchem_tpu.models.pna import PNAModel
 from deepchem_tpu.models.mat import MATModel, MATFeaturizer
+from deepchem_tpu.models.grover import (GroverModel, GroverFeaturizer,
+                                        GroverAtomVocabularyBuilder,
+                                        GroverBondVocabularyBuilder)
 
 __all__ = [
     'Model', 'JaxModel', 'losses', 'optimizers', 'ValidationCallback',
@@ -77,5 +80,7 @@ __all__ = [
     'DistributedTrainer', 'InfoGraphModel', 'InfoGraphStarModel',
     'CGCNNModel', 'MEGNetModel', 'LCNNModel', 'ElemNetModel',
     'UNetModel', 'InceptionV3Model', 'GNNModular', 'ModularModel',
-    'PNAModel', 'MATModel', 'MATFeaturizer',
+    'PNAModel', 'MATModel', 'MATFeaturizer', 'GroverModel',
+    'GroverFeaturizer', 'GroverAtomVocabularyBuilder',
+    'GroverBondVocabularyBuilder',
 ]
