@@ -60,6 +60,7 @@ from deepchem_tpu.models.mat import MATModel, MATFeaturizer
 from deepchem_tpu.models.grover import (GroverModel, GroverFeaturizer,
                                         GroverAtomVocabularyBuilder,
                                         GroverBondVocabularyBuilder)
+from deepchem_tpu.models.ferminet import FerminetModel
 
 __all__ = [
     'Model', 'JaxModel', 'losses', 'optimizers', 'ValidationCallback',
@@ -82,5 +83,5 @@ __all__ = [
     'UNetModel', 'InceptionV3Model', 'GNNModular', 'ModularModel',
     'PNAModel', 'MATModel', 'MATFeaturizer', 'GroverModel',
     'GroverFeaturizer', 'GroverAtomVocabularyBuilder',
-    'GroverBondVocabularyBuilder',
+    'GroverBondVocabularyBuilder', 'FerminetModel',
 ]
