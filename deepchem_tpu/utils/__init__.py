@@ -1,5 +1,8 @@
 from deepchem_tpu.utils import (batch_utils, debug_utils, geometry_utils,
-                                hash_utils, voxel_utils)
+                                hash_utils, voxel_utils, genomics_utils,
+                                pdbqt_utils, fragment_utils,
+                                equivariance_utils, safeops_utils,
+                                periodic_table_utils)
 from deepchem_tpu.utils.conformers import (ConformerGenerator,
                                            embed_molecule_3d)
 from deepchem_tpu.utils.fake_data_generator import FakeGraphGenerator
@@ -15,5 +18,7 @@ __all__ = [
     'load_transformers', 'pad_array', 'untargz_file', 'unzip_file',
     'batch_utils', 'debug_utils', 'geometry_utils', 'hash_utils',
     'voxel_utils', 'ConformerGenerator', 'embed_molecule_3d',
-    'FakeGraphGenerator', 'ElectronSampler',
+    'FakeGraphGenerator', 'ElectronSampler', 'genomics_utils',
+    'pdbqt_utils', 'fragment_utils', 'equivariance_utils',
+    'safeops_utils', 'periodic_table_utils',
 ]
