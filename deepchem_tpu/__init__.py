@@ -28,5 +28,6 @@ try:
     from deepchem_tpu import metalearning
     from deepchem_tpu import parallel
     from deepchem_tpu import ops
+    from deepchem_tpu import dft
 except ImportError:   # partial builds during bootstrap
     pass

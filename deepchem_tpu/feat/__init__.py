@@ -25,6 +25,9 @@ from deepchem_tpu.feat.material_featurizers import (
 from deepchem_tpu.feat.crystal_featurizers import (CGCNNFeaturizer,
                                                    LCNNFeaturizer,
                                                    periodic_neighbors)
+from deepchem_tpu.feat.bio_seq_featurizer import (SAMFeaturizer,
+                                                  BAMFeaturizer,
+                                                  CRAMFeaturizer)
 from deepchem_tpu.feat import feature_utils
 
 __all__ = [
@@ -43,4 +46,5 @@ __all__ = [
     'SineCoulombMatrix', 'PositionFrequencyMatrix',
     'SparseMatrixOneHotFeaturizer', 'parse_composition',
     'CGCNNFeaturizer', 'LCNNFeaturizer', 'periodic_neighbors',
+    'SAMFeaturizer', 'BAMFeaturizer', 'CRAMFeaturizer',
 ]

@@ -83,7 +83,7 @@ def csr_segment_sum(msgs: jnp.ndarray, row_ptr: jnp.ndarray,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((bn, F), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
@@ -134,7 +134,7 @@ def fused_gather_segment_sum(node_feats: jnp.ndarray,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,     # row_ptr and src indices
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((bn, F), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
