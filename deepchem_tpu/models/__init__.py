@@ -61,6 +61,8 @@ from deepchem_tpu.models.grover import (GroverModel, GroverFeaturizer,
                                         GroverAtomVocabularyBuilder,
                                         GroverBondVocabularyBuilder)
 from deepchem_tpu.models.ferminet import FerminetModel
+from deepchem_tpu.models.pinns import PINNModel
+from deepchem_tpu.models.dag import DAGModel
 
 __all__ = [
     'Model', 'JaxModel', 'losses', 'optimizers', 'ValidationCallback',
@@ -83,5 +85,6 @@ __all__ = [
     'UNetModel', 'InceptionV3Model', 'GNNModular', 'ModularModel',
     'PNAModel', 'MATModel', 'MATFeaturizer', 'GroverModel',
     'GroverFeaturizer', 'GroverAtomVocabularyBuilder',
-    'GroverBondVocabularyBuilder', 'FerminetModel',
+    'GroverBondVocabularyBuilder', 'FerminetModel', 'PINNModel',
+    'DAGModel',
 ]
