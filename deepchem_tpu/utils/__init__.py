@@ -2,7 +2,8 @@ from deepchem_tpu.utils import (batch_utils, debug_utils, geometry_utils,
                                 hash_utils, voxel_utils, genomics_utils,
                                 pdbqt_utils, fragment_utils,
                                 equivariance_utils, safeops_utils,
-                                periodic_table_utils)
+                                periodic_table_utils, sequence_utils,
+                                cache_utils, noncovalent_utils)
 from deepchem_tpu.utils.conformers import (ConformerGenerator,
                                            embed_molecule_3d)
 from deepchem_tpu.utils.fake_data_generator import FakeGraphGenerator
@@ -20,5 +21,6 @@ __all__ = [
     'voxel_utils', 'ConformerGenerator', 'embed_molecule_3d',
     'FakeGraphGenerator', 'ElectronSampler', 'genomics_utils',
     'pdbqt_utils', 'fragment_utils', 'equivariance_utils',
-    'safeops_utils', 'periodic_table_utils',
+    'safeops_utils', 'periodic_table_utils', 'sequence_utils',
+    'cache_utils', 'noncovalent_utils',
 ]
