@@ -63,6 +63,7 @@ from deepchem_tpu.models.grover import (GroverModel, GroverFeaturizer,
 from deepchem_tpu.models.ferminet import FerminetModel
 from deepchem_tpu.models.pinns import PINNModel
 from deepchem_tpu.models.dag import DAGModel
+from deepchem_tpu.models.mxmnet import MXMNetModel, MXMNetFeaturizer
 
 __all__ = [
     'Model', 'JaxModel', 'losses', 'optimizers', 'ValidationCallback',
@@ -86,5 +87,5 @@ __all__ = [
     'PNAModel', 'MATModel', 'MATFeaturizer', 'GroverModel',
     'GroverFeaturizer', 'GroverAtomVocabularyBuilder',
     'GroverBondVocabularyBuilder', 'FerminetModel', 'PINNModel',
-    'DAGModel',
+    'DAGModel', 'MXMNetModel', 'MXMNetFeaturizer',
 ]
