@@ -180,3 +180,89 @@ def test_gan_learns_shifted_gaussian():
     samples = gan.predict_gan_generator(batch_size=200)
     assert abs(samples[:, 0].mean() - 3.0) < 1.0
     assert abs(samples[:, 1].mean() + 1.0) < 1.0
+
+
+def test_dag_model_overfit():
+    from deepchem_tpu.feat import ConvMolFeaturizer
+    from deepchem_tpu.models import DAGModel
+    from deepchem_tpu.models.dag import DAGTransformer
+    X = ConvMolFeaturizer().featurize(SMILES)
+    ds = DAGTransformer(max_atoms=10).transform(NumpyDataset(X, Y))
+    m = DAGModel(n_tasks=1, batch_size=10, mode='classification',
+                 learning_rate=0.005)
+    m.fit(ds, nb_epoch=60, checkpoint_interval=0)
+    s = m.evaluate(ds, [Metric(roc_auc_score, np.mean)])
+    assert s['roc_auc_score'] > 0.85
+
+
+def test_mxmnet_regression():
+    from deepchem_tpu.chem import mol_from_smiles
+    from deepchem_tpu.models import MXMNetModel, MXMNetFeaturizer
+    mols = [mol_from_smiles(s) for s in SMILES]
+    y = np.array([m.molecular_weight() for m in mols])[:, None] / 100.0
+    X = MXMNetFeaturizer().featurize(SMILES)
+    ds = NumpyDataset(X, y)
+    m = MXMNetModel(n_tasks=1, batch_size=10, learning_rate=0.003)
+    m.fit(ds, nb_epoch=100, checkpoint_interval=0)
+    s = m.evaluate(ds, [Metric(pearson_r2_score, np.mean)])
+    assert s['pearson_r2_score'] > 0.8
+
+
+def test_pinn_solves_ode():
+    import jax
+    from deepchem_tpu.models import PINNModel
+
+    def residual(u_fn, x):
+        def u_scalar(xi):
+            return u_fn(xi[None, :])[0, 0]
+        d2 = jax.vmap(lambda xi: jax.hessian(u_scalar)(xi)[0, 0])(x)
+        return d2 + u_fn(x)[:, 0]
+
+    col = np.linspace(0, np.pi, 32)[:, None].astype(np.float32)
+    xs = np.array([[0.0], [np.pi / 2], [np.pi]], dtype=np.float32)
+    ys = np.sin(xs)
+    ds = NumpyDataset(np.tile(xs, (10, 1)), np.tile(ys, (10, 1)))
+    m = PINNModel(hidden=(32, 32), pde_residual=residual,
+                  collocation_points=col, batch_size=30,
+                  learning_rate=0.005)
+    m.fit(ds, nb_epoch=200, checkpoint_interval=0)
+    test_x = np.linspace(0, np.pi, 10)[:, None].astype(np.float32)
+    pred = m.predict(NumpyDataset(test_x, np.zeros((10, 1))))
+    assert np.abs(pred[:, 0] - np.sin(test_x[:, 0])).max() < 0.15
+
+
+def test_xcmodel_learns_functional():
+    import jax.numpy as jnp
+    from deepchem_tpu.dft import XCModel, lda_xc
+    rng = np.random.RandomState(0)
+    G = 32
+    rhos = rng.rand(30, G).astype(np.float32) * 2
+    wts = np.full((30, G), 1.0 / G, dtype=np.float32)
+    target = np.asarray([
+        float(np.sum(1.2 * np.asarray(lda_xc(jnp.asarray(r))) * w))
+        for r, w in zip(rhos, wts)])[:, None]
+    X = np.stack([rhos, wts], axis=1)
+    ds = NumpyDataset(X, target)
+    m = XCModel(xcstr='lda_x', batch_size=10, learning_rate=0.003)
+    losses = []
+    m.log_frequency = 6
+    m.fit(ds, nb_epoch=40, all_losses=losses, checkpoint_interval=0)
+    assert losses[-1] < losses[0]
+
+
+def test_electron_sampler_targets_density():
+    import jax.numpy as jnp
+    from deepchem_tpu.utils import ElectronSampler
+    # sample from a gaussian density centered at the origin
+    def f(x):
+        return jnp.exp(-jnp.sum(x ** 2, axis=(1, 2)))
+    s = ElectronSampler(np.zeros((1, 3)), f, batch_no=256, steps=20,
+                        std=0.5)
+    s.gauss_initialize_position(np.array([[2]]), stddev=1.5)
+    for _ in range(10):
+        acc = s.move()
+    samples = np.asarray(s.x)
+    # equilibrium spread of exp(-r^2) per coordinate is std ~ 0.5 (for
+    # the 6-d joint density); just check it contracted toward the center
+    assert np.abs(samples.mean()) < 0.3
+    assert 0.2 < samples.std() < 1.2
