@@ -616,6 +616,14 @@ class JaxModel(Model):
                 output_types: Optional[Sequence[str]] = None
                 ) -> np.ndarray:
         """(reference torch_model.py:731)"""
+        # on accelerators, batch-at-a-time host transfers dominate; use the
+        # device-resident path (identical outputs) when possible
+        if jax.devices()[0].platform != 'cpu' and len(dataset) > 0:
+            try:
+                return self.predict_on_device(dataset, transformers,
+                                              output_types)
+            except Exception as e:     # fall back to the host loop
+                logger.debug('predict_on_device fell back: %s', e)
         generator = self.default_generator(dataset, mode='predict',
                                            deterministic=True,
                                            pad_batches=False)
