@@ -4,7 +4,9 @@ from deepchem_tpu.molnet.load_function import (
     load_tox21, load_delaney, load_freesolv, load_sampl, load_lipo,
     load_bace_classification, load_bace_regression, load_bbbp,
     load_clintox, load_hiv, load_sider, load_muv, load_qm7, load_qm8,
-    load_qm9, load_thermosol, load_hppb, load_clearance, load_chembl)
+    load_qm9, load_thermosol, load_hppb, load_clearance, load_chembl,
+    load_bandgap, load_perovskite, load_mp_formation_energy,
+    load_mp_metallicity)
 
 __all__ = [
     '_MolnetLoader', 'TransformerGenerator', 'featurizers', 'splitters',
@@ -13,4 +15,6 @@ __all__ = [
     'load_bace_regression', 'load_bbbp', 'load_clintox', 'load_hiv',
     'load_sider', 'load_muv', 'load_qm7', 'load_qm8', 'load_qm9',
     'load_thermosol', 'load_hppb', 'load_clearance', 'load_chembl',
+    'load_bandgap', 'load_perovskite', 'load_mp_formation_energy',
+    'load_mp_metallicity',
 ]

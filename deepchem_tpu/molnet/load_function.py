@@ -237,3 +237,80 @@ def load_chembl(featurizer='ECFP', splitter='scaffold', transformers=None,
                               url=DEEPCHEM_S3 + filename,
                               filename=filename, **kwargs)
     return loader.load_dataset(f'chembl_{set}', reload)
+
+
+class _MaterialLoader(_MolnetLoader):
+    """Composition/structure dataset loader (reference
+    molnet/load_function/material_datasets/: bandgap, perovskite,
+    mp_formation_energy, mp_metallicity).  Data files come from the
+    DeepChem S3 bucket (unavailable in zero-egress builds)."""
+
+    def __init__(self, *args, filename: str, input_key: str,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.filename = filename
+        self.input_key = input_key
+
+    def create_dataset(self):
+        import json
+        import pandas as pd
+        from deepchem_tpu.data import DiskDataset
+        path = download_url(DEEPCHEM_S3 + self.filename, self.data_dir,
+                            self.filename)
+        if path.endswith('.json'):
+            df = pd.read_json(path)
+        else:
+            df = pd.read_csv(path)
+        inputs = df[self.input_key].tolist()
+        X = self.featurizer.featurize(inputs)
+        valid = np.array([
+            x is not None and (not isinstance(x, np.ndarray)
+                               or x.size > 0) for x in X], dtype=bool)
+        y = df[self.tasks].to_numpy()
+        return DiskDataset.from_numpy(
+            X[valid], y[valid], ids=np.asarray(inputs, dtype=object)[valid],
+            tasks=self.tasks)
+
+
+def _make_material_load_fn(name, tasks, filename, input_key,
+                           default_feat):
+    def load_fn(featurizer=None, splitter='random', transformers=None,
+                reload=True, data_dir=None, save_dir=None, **kwargs):
+        import deepchem_tpu.feat as feat_mod
+        if featurizer is None:
+            featurizer = default_feat()
+        if transformers is None:
+            transformers = ['normalization']
+        loader = _MaterialLoader(featurizer, splitter, transformers,
+                                 tasks, data_dir, save_dir,
+                                 filename=filename, input_key=input_key,
+                                 **kwargs)
+        return loader.load_dataset(name, reload)
+    load_fn.__name__ = f'load_{name}'
+    load_fn.__doc__ = (f'Load the {name} materials dataset (reference '
+                       f'molnet/load_function/material_datasets).')
+    return load_fn
+
+
+def _elemnet_feat():
+    import deepchem_tpu.feat as f
+    return f.ElemNetFeaturizer()
+
+
+def _elemprop_feat():
+    import deepchem_tpu.feat as f
+    return f.ElementPropertyFingerprint()
+
+
+load_bandgap = _make_material_load_fn(
+    'bandgap', ['experimental_bandgap'], 'expt_gap.csv', 'composition',
+    _elemprop_feat)
+load_perovskite = _make_material_load_fn(
+    'perovskite', ['formation_energy'], 'perovskite.json', 'structure',
+    _elemprop_feat)
+load_mp_formation_energy = _make_material_load_fn(
+    'mp_formation_energy', ['formation_energy_per_atom'],
+    'mp_formation_energy.json', 'structure', _elemprop_feat)
+load_mp_metallicity = _make_material_load_fn(
+    'mp_metallicity', ['is_metal'], 'mp_is_metal.json', 'structure',
+    _elemprop_feat)

@@ -97,6 +97,10 @@ RUNS = [
 
 
 def main():
+    import sys as _sys
+    sel = None
+    if len(_sys.argv) > 1:
+        sel = {int(i) for i in _sys.argv[1].split(',')}
     lines = [
         '# Parity results (this framework on one TPU v5e chip vs the '
         "reference's committed single-GPU results)",
@@ -105,7 +109,9 @@ def main():
         ' | ours train | ours valid | ours train time(s) |',
         '|---|---|---|---|---|---|---|---|---|',
     ]
-    for dataset, model, split, fn in RUNS:
+    for idx, (dataset, model, split, fn) in enumerate(RUNS):
+        if sel is not None and idx not in sel:
+            continue
         try:
             tr, va, dt = fn(split)
         except Exception as e:
@@ -113,13 +119,13 @@ def main():
                   file=sys.stderr)
             continue
         btr, bva, btime = BASELINES[(dataset, model, split)]
-        lines.append(
+        row = (
             f'| {dataset} | {model} | {split} | {btr:.4f} | {bva:.4f} | '
             f'{btime:.1f} | {tr:.4f} | {va:.4f} | {dt:.1f} |')
-        print(lines[-1], flush=True)
-    with open('RESULTS.md', 'w') as f:
-        f.write('\n'.join(lines) + '\n')
-    print('wrote RESULTS.md', flush=True)
+        print(row, flush=True)
+        with open('results_rows.md', 'a') as f:
+            f.write(row + '\n')
+    print('rows appended to results_rows.md', flush=True)
 
 
 if __name__ == '__main__':
