@@ -20,8 +20,29 @@ from deepchem_tpu.chem import Molecule, mol_from_smiles
 logger = logging.getLogger(__name__)
 
 
+def _featurize_one(args):
+    featurizer, point = args
+    try:
+        if point is not None:
+            return featurizer._featurize(point)
+        return np.array([])
+    except Exception as e:
+        logger.warning('Failed to featurize datapoint %s: %s', point, e)
+        return np.array([])
+
+
 def _featurize_many(featurizer: 'Featurizer', datapoints: Sequence,
-                    log_every_n: int, **kwargs) -> List:
+                    log_every_n: int, n_jobs: int = 1, **kwargs) -> List:
+    """Per-datapoint try/except log-and-drop loop (reference
+    feat/base_classes.py:254ff — that behavior is load-bearing).  With
+    ``n_jobs > 1`` featurization fans out over a process pool to keep
+    accelerators fed (SURVEY.md hot loop #1)."""
+    if n_jobs > 1 and len(datapoints) > 64:
+        ctx = mp.get_context('fork')
+        with ctx.Pool(n_jobs) as pool:
+            return pool.map(_featurize_one,
+                            [(featurizer, p) for p in datapoints],
+                            chunksize=max(1, len(datapoints) // (n_jobs * 4)))
     features: List[Any] = []
     for i, point in enumerate(datapoints):
         if i % log_every_n == 0:
@@ -44,12 +65,13 @@ class Featurizer:
     implement ``_featurize`` (reference feat/base_classes.py:15)."""
 
     def featurize(self, datapoints: Iterable[Any], log_every_n: int = 1000,
-                  **kwargs) -> np.ndarray:
+                  n_jobs: int = 1, **kwargs) -> np.ndarray:
         if isinstance(datapoints, (str, bytes)) or not hasattr(
                 datapoints, '__iter__'):
             datapoints = [datapoints]
         datapoints = list(datapoints)
-        features = _featurize_many(self, datapoints, log_every_n, **kwargs)
+        features = _featurize_many(self, datapoints, log_every_n,
+                                   n_jobs=n_jobs, **kwargs)
         return _stack_or_object(features)
 
     def __call__(self, datapoints: Iterable[Any], **kwargs) -> np.ndarray:
@@ -94,7 +116,7 @@ class MolecularFeaturizer(Featurizer):
         self.use_original_atoms_order = use_original_atoms_order
 
     def featurize(self, datapoints, log_every_n: int = 1000,
-                  **kwargs) -> np.ndarray:
+                  n_jobs: int = 1, **kwargs) -> np.ndarray:
         if isinstance(datapoints, (str, Molecule)):
             datapoints = [datapoints]
         mols: List[Optional[Molecule]] = []
@@ -108,7 +130,8 @@ class MolecularFeaturizer(Featurizer):
             else:
                 # objects exposing .to_molecule() (e.g. other frameworks)
                 mols.append(getattr(point, 'to_molecule', lambda: None)())
-        features = _featurize_many(self, mols, log_every_n, **kwargs)
+        features = _featurize_many(self, mols, log_every_n,
+                                   n_jobs=n_jobs, **kwargs)
         return _stack_or_object(features)
 
 
