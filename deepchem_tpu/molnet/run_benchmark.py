@@ -134,7 +134,7 @@ def benchmark_classification(train, valid, test, tasks, transformers,
     if nb_epoch is None:
         m.fit(train)
     else:
-        m.fit(train, nb_epoch=nb_epoch)
+        _fit_fast(m, train, nb_epoch)
     scores = {
         'train': m.evaluate(train, [metric], transformers),
         'valid': m.evaluate(valid, [metric], transformers)}
@@ -181,13 +181,26 @@ def benchmark_regression(train, valid, test, tasks, transformers,
                      learning_rate=hp['learning_rate'])
     else:
         raise ValueError(f'unknown regression model {model}')
-    m.fit(train, nb_epoch=nb_epoch)
+    _fit_fast(m, train, nb_epoch)
     scores = {
         'train': m.evaluate(train, [metric], transformers),
         'valid': m.evaluate(valid, [metric], transformers)}
     if test_on:
         scores['test'] = m.evaluate(test, [metric], transformers)
     return scores, m
+
+
+def _fit_fast(model, train, nb_epoch: int) -> None:
+    """Use the device-resident loop on accelerators; host loop on CPU."""
+    import jax
+    if hasattr(model, 'fit_on_device') and \
+            jax.devices()[0].platform != 'cpu':
+        try:
+            model.fit_on_device(train, nb_epoch=nb_epoch)
+            return
+        except Exception as e:
+            logger.debug('fit_on_device fell back: %s', e)
+    model.fit(train, nb_epoch=nb_epoch)
 
 
 def run_benchmark(datasets: Sequence[str], model: str,

@@ -116,11 +116,14 @@ class NormalizationTransformer(Transformer):
         self.move_mean = move_mean
         self.transform_gradients = transform_gradients
         if transform_X:
-            X_means, X_stds, _, _ = dataset.get_statistics(True, True)
+            # request only X stats: y may be absent, and computing stats
+            # over object-dtype X (e.g. GraphData) must be avoided when
+            # only y is transformed
+            X_means, X_stds = dataset.get_statistics(True, False)
             self.X_means = X_means
             self.X_stds = np.where(np.asarray(X_stds) != 0, X_stds, 1.0)
         if transform_y:
-            _, _, y_means, y_stds = dataset.get_statistics(True, True)
+            y_means, y_stds = dataset.get_statistics(False, True)
             self.y_means = y_means
             self.y_stds = np.where(np.asarray(y_stds) != 0, y_stds, 1.0)
 
