@@ -9,7 +9,8 @@ from deepchem_tpu.feat.molecule_featurizers import (
     CircularFingerprint, MACCSKeysFingerprint, RDKitDescriptors,
     ConvMolFeaturizer, MolGraphConvFeaturizer, PagtnMolGraphFeaturizer,
     WeaveFeaturizer, OneHotFeaturizer, SmilesToSeq, SmilesToImage,
-    CoulombMatrix, CoulombMatrixEig, AtomicCoordinates, create_char_to_idx)
+    CoulombMatrix, CoulombMatrixEig, AtomicCoordinates, create_char_to_idx,
+    BPSymmetryFunctionInput, SNAPFeaturizer)
 from deepchem_tpu.feat.tokenizers import (BasicSmilesTokenizer,
                                            SmilesTokenizer,
                                            HuggingFaceFeaturizer,
@@ -47,4 +48,5 @@ __all__ = [
     'SparseMatrixOneHotFeaturizer', 'parse_composition',
     'CGCNNFeaturizer', 'LCNNFeaturizer', 'periodic_neighbors',
     'SAMFeaturizer', 'BAMFeaturizer', 'CRAMFeaturizer',
+    'BPSymmetryFunctionInput', 'SNAPFeaturizer',
 ]

@@ -588,3 +588,52 @@ class AtomicCoordinates(MolecularFeaturizer):
 class DummyFeaturizer(Featurizer):
     def featurize(self, datapoints, log_every_n=1000, **kwargs):
         return np.asarray(datapoints)
+
+
+class BPSymmetryFunctionInput(MolecularFeaturizer):
+    """Behler-Parrinello symmetry function input (reference
+    feat/molecule_featurizers/coulomb_matrices.py
+    BPSymmetryFunctionInput): per-atom (Z, x, y, z) rows padded to
+    max_atoms; the radial/angular symmetry expansion happens on device in
+    the model (ANI-style)."""
+
+    def __init__(self, max_atoms: int):
+        super().__init__()
+        self.max_atoms = max_atoms
+
+    def _featurize(self, mol: Molecule, **kwargs) -> np.ndarray:
+        if mol.conformer is None:
+            from deepchem_tpu.utils.conformers import embed_molecule_3d
+            coords = embed_molecule_3d(mol)
+        else:
+            coords = np.asarray(mol.conformer, dtype=np.float64)
+        z = np.array([a.atomic_num for a in mol.atoms],
+                     dtype=np.float64)[:, None]
+        feats = np.concatenate([z, coords], axis=1)
+        out = np.zeros((self.max_atoms, 4))
+        out[:len(feats)] = feats[:self.max_atoms]
+        return out
+
+
+class SNAPFeaturizer(MolecularFeaturizer):
+    """SNAP pretraining featurizer (reference
+    feat/molecule_featurizers/snap_featurizer.py): minimal
+    (atom type, chirality) nodes and (bond type, direction) edges."""
+
+    def _featurize(self, mol: Molecule, **kwargs) -> 'GraphData':
+        from deepchem_tpu.feat.graph_data import GraphData
+        zs = {6: 0, 7: 1, 8: 2, 9: 3, 15: 4, 16: 5, 17: 6, 35: 7, 53: 8}
+        nodes = np.zeros((mol.num_atoms, 2), dtype=np.float32)
+        for i, a in enumerate(mol.atoms):
+            nodes[i, 0] = zs.get(a.atomic_num, 9)
+            nodes[i, 1] = {'': 0, '@': 1, '@@': 2}.get(a.chirality, 0)
+        src, dst, ef = [], [], []
+        bt = {1.0: 0, 2.0: 1, 3.0: 2, 1.5: 3}
+        for b in mol.bonds:
+            src += [b.a1, b.a2]
+            dst += [b.a2, b.a1]
+            ef += [[bt.get(b.order, 0), 0], [bt.get(b.order, 0), 0]]
+        ei = np.array([src, dst], dtype=np.int64).reshape(2, -1)
+        return GraphData(nodes, ei,
+                         np.asarray(ef, dtype=np.float32).reshape(
+                             ei.shape[1], 2))
