@@ -1,5 +1,7 @@
 from deepchem_tpu.molnet.loader import (_MolnetLoader, TransformerGenerator,
                                         featurizers, splitters, transformers)
+from deepchem_tpu.molnet.check_availability import (CheckFeaturizer,
+                                                    CheckSplit)
 from deepchem_tpu.molnet.load_function import (
     load_tox21, load_delaney, load_freesolv, load_sampl, load_lipo,
     load_bace_classification, load_bace_regression, load_bbbp,
@@ -16,5 +18,5 @@ __all__ = [
     'load_sider', 'load_muv', 'load_qm7', 'load_qm8', 'load_qm9',
     'load_thermosol', 'load_hppb', 'load_clearance', 'load_chembl',
     'load_bandgap', 'load_perovskite', 'load_mp_formation_energy',
-    'load_mp_metallicity',
+    'load_mp_metallicity', 'CheckFeaturizer', 'CheckSplit',
 ]

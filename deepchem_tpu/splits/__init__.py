@@ -3,7 +3,7 @@ from deepchem_tpu.splits.splitters import (
     RandomGroupSplitter, RandomStratifiedSplitter,
     SingletaskStratifiedSplitter, MolecularWeightSplitter, ScaffoldSplitter,
     FingerprintSplitter, ButinaSplitter, MaxMinSplitter, TaskSplitter,
-    generate_scaffold, butina_cluster)
+    generate_scaffold, butina_cluster, TimeSplitter, TimeSplitterPDBbind)
 
 __all__ = [
     'Splitter', 'RandomSplitter', 'IndexSplitter', 'SpecifiedSplitter',
@@ -11,4 +11,5 @@ __all__ = [
     'SingletaskStratifiedSplitter', 'MolecularWeightSplitter',
     'ScaffoldSplitter', 'FingerprintSplitter', 'ButinaSplitter',
     'MaxMinSplitter', 'TaskSplitter', 'generate_scaffold', 'butina_cluster',
+    'TimeSplitter', 'TimeSplitterPDBbind',
 ]

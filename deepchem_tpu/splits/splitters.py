@@ -499,3 +499,29 @@ class TaskSplitter(Splitter):
             e = n_tasks if i == k - 1 else (i + 1) * fold_size
             folds.append(NumpyDataset(X, y[:, s:e], w[:, s:e], ids))
         return folds
+
+
+class TimeSplitter(Splitter):
+    """Order-preserving split on a user-provided time ordering (reference
+    splits/splitters.py:1623 TimeSplitterPDBbind generalized: pass
+    ``time_values`` aligned with the dataset; earliest goes to train)."""
+
+    def __init__(self, time_values: Optional[Sequence] = None):
+        self.time_values = time_values
+
+    def split(self, dataset, frac_train=0.8, frac_valid=0.1, frac_test=0.1,
+              seed=None, log_every_n=None):
+        _validate_fracs(frac_train, frac_valid, frac_test)
+        n = len(dataset)
+        if self.time_values is not None:
+            order = np.argsort(np.asarray(self.time_values),
+                               kind='stable')
+        else:
+            order = np.arange(n)
+        train_cut = int(frac_train * n)
+        valid_cut = int((frac_train + frac_valid) * n)
+        return (order[:train_cut], order[train_cut:valid_cut],
+                order[valid_cut:])
+
+
+TimeSplitterPDBbind = TimeSplitter
