@@ -14,7 +14,8 @@ from deepchem_tpu.chem.fingerprints import (morgan_fingerprint,
                                             sparse_morgan_fingerprint,
                                             tanimoto, bulk_tanimoto)
 from deepchem_tpu.chem.scaffolds import murcko_scaffold, scaffold_smiles
-from deepchem_tpu.chem.sdf import mol_from_molblock, parse_sdf
+from deepchem_tpu.chem.sdf import (mol_from_molblock, parse_sdf,
+                                   mol_to_molblock, write_sdf)
 
 __all__ = [
     'Atom', 'Bond', 'Molecule', 'PERIODIC_TABLE', 'ATOMIC_SYMBOL',
@@ -22,4 +23,5 @@ __all__ = [
     'canonical_ranks', 'morgan_fingerprint', 'morgan_fingerprint_counts',
     'sparse_morgan_fingerprint', 'tanimoto', 'bulk_tanimoto',
     'murcko_scaffold', 'scaffold_smiles', 'mol_from_molblock', 'parse_sdf',
+    'mol_to_molblock', 'write_sdf',
 ]

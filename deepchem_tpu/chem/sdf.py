@@ -100,3 +100,42 @@ def parse_sdf(text: str) -> Iterator[Tuple[Optional[Molecule], Dict[str, str]]]:
         if key is not None:
             props[key] = '\n'.join(buf).strip()
         yield mol, props
+
+
+def mol_to_molblock(mol, name: str = '') -> str:
+    """Write a V2000 molblock (counterpart of mol_from_molblock; the
+    reference uses RDKit MolToMolBlock)."""
+    from .mol import ATOMIC_SYMBOL
+    coords = mol.conformer
+    if coords is None:
+        from deepchem_tpu.utils.conformers import embed_molecule_3d
+        coords = [(float(x), float(y), float(z))
+                  for x, y, z in embed_molecule_3d(mol)]
+    lines = [name, '     dctpu          3D', '',
+             f'{mol.num_atoms:3d}{mol.num_bonds:3d}  0  0  0  0  0  0  0  0999 V2000']
+    for atom, (x, y, z) in zip(mol.atoms, coords):
+        sym = ATOMIC_SYMBOL.get(atom.atomic_num, '*')
+        lines.append(f'{x:10.4f}{y:10.4f}{z:10.4f} {sym:<3s} 0  0  0  0  0'
+                     '  0  0  0  0  0  0  0')
+    rev = {1.0: 1, 2.0: 2, 3.0: 3, 1.5: 4}
+    for b in mol.bonds:
+        code = rev.get(b.order, 1)
+        lines.append(f'{b.a1 + 1:3d}{b.a2 + 1:3d}{code:3d}  0')
+    charged = [(i + 1, a.formal_charge)
+               for i, a in enumerate(mol.atoms) if a.formal_charge]
+    if charged:
+        parts = ' '.join(f'{i:3d} {c:3d}' for i, c in charged)
+        lines.append(f'M  CHG{len(charged):3d} {parts}')
+    lines.append('M  END')
+    return '\n'.join(lines) + '\n'
+
+
+def write_sdf(path: str, mols, properties=None) -> None:
+    """Write molecules (+ per-mol property dicts) to an SDF file."""
+    with open(path, 'w') as f:
+        for i, mol in enumerate(mols):
+            f.write(mol_to_molblock(mol))
+            if properties is not None and i < len(properties):
+                for k, v in properties[i].items():
+                    f.write(f'>  <{k}>\n{v}\n\n')
+            f.write('$$$$\n')
