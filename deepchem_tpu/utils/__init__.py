@@ -3,7 +3,7 @@ from deepchem_tpu.utils import (batch_utils, debug_utils, geometry_utils,
                                 pdbqt_utils, fragment_utils,
                                 equivariance_utils, safeops_utils,
                                 periodic_table_utils, sequence_utils,
-                                cache_utils, noncovalent_utils)
+                                cache_utils, noncovalent_utils, profiling)
 from deepchem_tpu.utils.conformers import (ConformerGenerator,
                                            embed_molecule_3d)
 from deepchem_tpu.utils.fake_data_generator import FakeGraphGenerator
@@ -22,5 +22,5 @@ __all__ = [
     'FakeGraphGenerator', 'ElectronSampler', 'genomics_utils',
     'pdbqt_utils', 'fragment_utils', 'equivariance_utils',
     'safeops_utils', 'periodic_table_utils', 'sequence_utils',
-    'cache_utils', 'noncovalent_utils',
+    'cache_utils', 'noncovalent_utils', 'profiling',
 ]
