@@ -258,7 +258,10 @@ class MolGraphConvFeaturizer(MolecularFeaturizer):
 
 class PagtnMolGraphFeaturizer(MolecularFeaturizer):
     """PAGTN graph featurizer (reference mol_graph_conv_featurizer.py:264):
-    94-dim atoms, 42-dim shortest-path edge features, complete graph."""
+    atom one-hots + shortest-path edge features on a complete graph.  The
+    reference (dgllife) emits 94/42 dims; this in-repo perception emits a
+    compact 49/38 with the same feature families — PagtnModel reads the
+    dims from the data, so the two are interchangeable."""
 
     def __init__(self, max_length: int = 5):
         super().__init__()

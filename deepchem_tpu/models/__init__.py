@@ -26,7 +26,8 @@ from deepchem_tpu.models.sklearn_models import SklearnModel
 from deepchem_tpu.models.gbdt_models import GBDTModel
 from deepchem_tpu.models.graph_models import (GraphModel, GraphConvModel,
                                               GCNModel, GATModel,
-                                              AttentiveFPModel, MPNNModel)
+                                              AttentiveFPModel, MPNNModel,
+                                              PagtnModel)
 from deepchem_tpu.models.weave_models import WeaveModel, DTNNModel
 from deepchem_tpu.models.text_cnn import TextCNNModel
 from deepchem_tpu.models.irv import MultitaskIRVClassifier
@@ -71,7 +72,8 @@ __all__ = [
     'MultitaskFitTransformRegressor', 'RobustMultitaskClassifier',
     'RobustMultitaskRegressor', 'SklearnModel', 'GBDTModel',
     'GraphModel', 'GraphConvModel', 'GCNModel', 'GATModel',
-    'AttentiveFPModel', 'MPNNModel', 'WeaveModel', 'DTNNModel',
+    'AttentiveFPModel', 'MPNNModel', 'PagtnModel', 'WeaveModel',
+    'DTNNModel',
     'TextCNNModel', 'MultitaskIRVClassifier',
     'ProgressiveMultitaskClassifier', 'ProgressiveMultitaskRegressor',
     'ScScoreModel', 'CNN', 'CNNModel', 'Smiles2Vec', 'Smiles2VecModel',

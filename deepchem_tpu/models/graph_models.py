@@ -33,7 +33,8 @@ from deepchem_tpu.models.losses import (L2Loss, Loss, SoftmaxCrossEntropy)
 from deepchem_tpu.models.graph_layers import (
     AttentiveFPLayer, EdgeNetworkMPNN, GATLayer, GCNLayer, GraphConv,
     GraphGather, MaskedBatchNorm, SetGather, graph_pool_max)
-from deepchem_tpu.ops import graph_pool, node_degrees
+from deepchem_tpu.ops import (graph_pool, node_degrees, segment_softmax,
+                              segment_sum)
 
 logger = logging.getLogger(__name__)
 
@@ -493,6 +494,109 @@ class MPNNModel(GraphModel):
             n_tasks=n_tasks, n_classes=n_classes, node_dim=node_dim,
             edge_dim=n_pair_feat, n_steps=T, mode=mode,
             num_graphs=batch_size // shards, set2set_steps=M)
+        loss, output_types = _gnn_loss_outputs(mode)
+        super().__init__(module, loss, output_types=output_types,
+                         batch_size=batch_size, **kwargs)
+        self._graph_shards = shards
+
+
+class PagtnLayer(nn.Module):
+    """One Path-Augmented Graph Transformer layer (Chen et al. 2019,
+    arXiv:1905.12712; reference torch_models/pagtn.py:11 delegates to
+    dgllife's PAGTNGNN — here re-derived as COO segment ops).
+
+    Linear additive attention over incoming edges: each edge (u->v) scores
+    LeakyReLU(W_a [h_u ; e_uv]) per head, normalized with a segment softmax
+    on the destination node; messages are attention-weighted projections of
+    the same concatenation.  All gathers/scatters are static-shape COO so
+    XLA lowers them to one-hot matmuls on the MXU.
+    """
+    hidden_features: int
+    n_heads: int = 1
+
+    @nn.compact
+    def __call__(self, h, ef, esrc, edst, emask):
+        H, F = self.n_heads, self.hidden_features
+        src_h = jnp.take(h, esrc, axis=0)
+        pair = jnp.concatenate([src_h, ef], axis=-1)
+        logits = nn.Dense(H, name='attn')(nn.leaky_relu(
+            nn.Dense(H * F, name='attn_hidden')(pair), 0.2))
+        alpha = segment_softmax(logits, edst, h.shape[0],
+                                mask=emask)             # [E, H]
+        msg = nn.Dense(H * F, name='msg')(pair).reshape(-1, H, F)
+        weighted = msg * alpha[..., None] * emask[:, None, None]
+        agg = segment_sum(weighted.reshape(-1, H * F), edst, h.shape[0])
+        return nn.gelu(nn.Dense(h.shape[-1], name='out')(agg))
+
+
+class _PagtnModule(nn.Module):
+    n_tasks: int
+    n_classes: int
+    mode: str
+    num_graphs: int
+    hidden_features: int = 32
+    output_node_features: int = 256
+    num_layers: int = 5
+    num_heads: int = 1
+    dropout: float = 0.1
+    pool_mode: str = 'sum'
+
+    @nn.compact
+    def __call__(self, nf, esrc, edst, gidx, nmask, emask, ef,
+                 training: bool = False):
+        esrc = esrc.astype(jnp.int32)
+        edst = edst.astype(jnp.int32)
+        h0 = nn.Dense(self.hidden_features * self.num_heads,
+                      name='embed')(nf)
+        h = nn.leaky_relu(h0, 0.2)
+        for i in range(self.num_layers):
+            m = PagtnLayer(self.hidden_features, self.num_heads,
+                           name=f'pagtn_{i}')(h, ef, esrc, edst, emask)
+            # residual to the layer-0 embedding each round (PAGTN keeps a
+            # global residual so deep stacks stay trainable)
+            h = nn.leaky_relu(h0 + m, 0.2)
+            if self.dropout > 0:
+                h = nn.Dropout(self.dropout,
+                               deterministic=not training)(h)
+        # final atom representation sees both the transformer output and
+        # the raw input features (dgllife concatenates them before readout)
+        x = nn.relu(nn.Dense(self.output_node_features)(
+            jnp.concatenate([h, nf], axis=-1)))
+        g = graph_pool(x, gidx, self.num_graphs, nmask, self.pool_mode)
+        return _heads(g, self.n_tasks, self.n_classes, self.mode,
+                      False, training)
+
+
+class PagtnModel(GraphModel):
+    """Path-Augmented Graph Transformer Network (reference
+    torch_models/pagtn.py:184 ``PagtnModel``; featurizer
+    PagtnMolGraphFeaturizer — atom one-hots plus shortest-path edge
+    features on a complete graph; feature dims are read from the data)."""
+
+    uses_edge_features = True
+    # complete-graph edges grow as n^2; use a larger edge quantum so the
+    # bucketing doesn't thrash
+    edge_quantum = 2048
+
+    def __init__(self, n_tasks: int, number_atom_features: int = 94,
+                 number_bond_features: int = 42, mode: str = 'regression',
+                 n_classes: int = 2, output_node_features: int = 256,
+                 hidden_features: int = 32, num_layers: int = 5,
+                 num_heads: int = 1, dropout: float = 0.1,
+                 pool_mode: str = 'sum', batch_size: int = 16, **kwargs):
+        self.n_tasks = n_tasks
+        self.mode = mode
+        self.n_classes = n_classes
+        shards = graph_dp_shards(kwargs.get('data_parallel', True))
+        if batch_size % shards:
+            shards = 1
+        module = _PagtnModule(
+            n_tasks=n_tasks, n_classes=n_classes, mode=mode,
+            num_graphs=batch_size // shards,
+            hidden_features=hidden_features,
+            output_node_features=output_node_features,
+            num_layers=num_layers, num_heads=num_heads, dropout=dropout,
+            pool_mode=pool_mode)
         loss, output_types = _gnn_loss_outputs(mode)
         super().__init__(module, loss, output_types=output_types,
                          batch_size=batch_size, **kwargs)

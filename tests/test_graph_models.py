@@ -7,7 +7,7 @@ from deepchem_tpu.data import NumpyDataset
 from deepchem_tpu.feat import ConvMolFeaturizer, MolGraphConvFeaturizer
 from deepchem_tpu.metrics import (Metric, roc_auc_score, pearson_r2_score)
 from deepchem_tpu.models import (GraphConvModel, GCNModel, GATModel,
-                                 AttentiveFPModel, MPNNModel)
+                                 AttentiveFPModel, MPNNModel, PagtnModel)
 
 SMILES = ['CCO', 'CCC', 'c1ccccc1', 'CC(=O)O', 'CCN', 'c1ccncc1',
           'C1CCCCC1', 'CCCC', 'CCOC', 'CC(C)C']
@@ -103,3 +103,14 @@ def test_graph_model_checkpoint(conv_ds, tmp_path):
                             model_dir=str(tmp_path))
     model2.restore()
     assert np.allclose(p1, model2.predict(conv_ds), atol=1e-5)
+
+
+def test_pagtn_model_overfit():
+    from deepchem_tpu.feat import PagtnMolGraphFeaturizer
+    X = PagtnMolGraphFeaturizer(max_length=5).featurize(SMILES)
+    ds = NumpyDataset(X, Y_REG)
+    model = PagtnModel(n_tasks=1, batch_size=10, mode='regression',
+                       num_layers=2, learning_rate=0.003)
+    model.fit(ds, nb_epoch=60, checkpoint_interval=0)
+    scores = model.evaluate(ds, [Metric(pearson_r2_score, np.mean)])
+    assert scores['pearson_r2_score'] > 0.8
