@@ -3,7 +3,14 @@ from deepchem_tpu.dft.functionals import (lda_exchange, lda_correlation_vwn,
                                           lda_xc, pbe_xc)
 from deepchem_tpu.dft.nnxc import NNLDA, NNPBE, HybridXC
 from deepchem_tpu.dft.xcmodel import XCModel
+from deepchem_tpu.dft.basis import (STO3G, BasisFunction, build_basis,
+                                    nuclear_repulsion)
+from deepchem_tpu.dft.grid import molecular_grid
+from deepchem_tpu.dft.scf import (DFTSystem, KSCalc, KohnShamSCF, XCNNSCF,
+                                  scf_loop)
 
 __all__ = ['lda_exchange', 'lda_correlation_vwn', 'pbe_exchange',
            'pbe_correlation', 'lda_xc', 'pbe_xc', 'NNLDA', 'NNPBE',
-           'HybridXC', 'XCModel']
+           'HybridXC', 'XCModel', 'STO3G', 'BasisFunction', 'build_basis',
+           'nuclear_repulsion', 'molecular_grid', 'DFTSystem', 'KSCalc',
+           'KohnShamSCF', 'XCNNSCF', 'scf_loop']

@@ -2,11 +2,12 @@
 
 Redesign of reference deepchem/models/dft/dftxc.py:89 (XCModel trains an
 NN-XC against DFT entries — atomization energies / density profiles via the
-DQC SCF).  The full Kohn-Sham SCF driver (reference models/dft/scf.py:16
-XCNNSCF over dft_utils' ~19k-LoC hamiltonian stack) is a documented round-1
-gap; this model trains against density-grid targets:
-each sample provides (rho[, sigma], grid weights) and a target XC energy —
-the 'DensityProfileLoss'-style supervision of the reference (losses.py:1266).
+DQC SCF).  This model trains against density-grid targets: each sample
+provides (rho[, sigma], grid weights) and a target XC energy — the
+'DensityProfileLoss'-style supervision of the reference (losses.py:1266).
+For end-to-end training THROUGH a self-consistent field (the reference's
+XCNNSCF path), see deepchem_tpu/dft/scf.py: ``XCNNSCF.energy_fn`` returns a
+params -> total-energy function differentiable through the whole SCF.
 """
 
 from __future__ import annotations
