@@ -44,6 +44,9 @@ from deepchem_tpu.models.flows import (NormalizingFlow,
                                        NormalizingFlowModel)
 from deepchem_tpu.models.wandblogger import WandbLogger, TensorboardLogger
 from deepchem_tpu.models.dmpnn import DMPNNModel
+from deepchem_tpu.models.low_data import (AttnLSTMEmbedding,
+                                          IterRefLSTMEmbedding,
+                                          SupportGraphClassifier)
 from deepchem_tpu.models.atomic_conv import (AtomicConvModel,
                                              AtomicConvFeaturizer)
 from deepchem_tpu.models.multitask import SingletaskToMultitask
@@ -81,6 +84,7 @@ __all__ = [
     'AspuruGuzikAutoEncoder', 'GAN', 'WGAN', 'GANModel', 'WGANModel',
     'NormalizingFlow', 'NormalizingFlowModel', 'WandbLogger',
     'TensorboardLogger', 'DMPNNModel', 'AtomicConvModel',
+    'AttnLSTMEmbedding', 'IterRefLSTMEmbedding', 'SupportGraphClassifier',
     'AtomicConvFeaturizer', 'SingletaskToMultitask',
     'HuggingFaceModel', 'Chemberta', 'BasicMolGANModel',
     'DistributedTrainer', 'InfoGraphModel', 'InfoGraphStarModel',
