@@ -29,6 +29,9 @@ from deepchem_tpu.feat.crystal_featurizers import (CGCNNFeaturizer,
 from deepchem_tpu.feat.bio_seq_featurizer import (SAMFeaturizer,
                                                   BAMFeaturizer,
                                                   CRAMFeaturizer)
+from deepchem_tpu.feat.deepvariant import (Read, Realigner,
+                                           RealignerFeaturizer,
+                                           PileupFeaturizer)
 from deepchem_tpu.feat import feature_utils
 
 __all__ = [
@@ -49,4 +52,5 @@ __all__ = [
     'CGCNNFeaturizer', 'LCNNFeaturizer', 'periodic_neighbors',
     'SAMFeaturizer', 'BAMFeaturizer', 'CRAMFeaturizer',
     'BPSymmetryFunctionInput', 'SNAPFeaturizer',
+    'Read', 'Realigner', 'RealignerFeaturizer', 'PileupFeaturizer',
 ]

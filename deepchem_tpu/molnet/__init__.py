@@ -2,6 +2,11 @@ from deepchem_tpu.molnet.loader import (_MolnetLoader, TransformerGenerator,
                                         featurizers, splitters, transformers)
 from deepchem_tpu.molnet.check_availability import (CheckFeaturizer,
                                                     CheckSplit)
+from deepchem_tpu.molnet.dnasim import (
+    simulate_single_motif_detection, simulate_motif_counting,
+    simulate_motif_density_localization, simulate_multi_motif_embedding,
+    simulate_differential_accessibility, simulate_heterodimer_grammar,
+    simple_motif_embedding, motif_density, register_motif)
 from deepchem_tpu.molnet.load_function import (
     load_tox21, load_delaney, load_freesolv, load_sampl, load_lipo,
     load_bace_classification, load_bace_regression, load_bbbp,
@@ -19,4 +24,8 @@ __all__ = [
     'load_thermosol', 'load_hppb', 'load_clearance', 'load_chembl',
     'load_bandgap', 'load_perovskite', 'load_mp_formation_energy',
     'load_mp_metallicity', 'CheckFeaturizer', 'CheckSplit',
+    'simulate_single_motif_detection', 'simulate_motif_counting',
+    'simulate_motif_density_localization', 'simulate_multi_motif_embedding',
+    'simulate_differential_accessibility', 'simulate_heterodimer_grammar',
+    'simple_motif_embedding', 'motif_density', 'register_motif',
 ]
