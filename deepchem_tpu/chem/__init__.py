@@ -16,6 +16,10 @@ from deepchem_tpu.chem.fingerprints import (morgan_fingerprint,
 from deepchem_tpu.chem.scaffolds import murcko_scaffold, scaffold_smiles
 from deepchem_tpu.chem.sdf import (mol_from_molblock, parse_sdf,
                                    mol_to_molblock, write_sdf)
+from deepchem_tpu.chem.smarts import (Pattern, SmartsParseError,
+                                      smarts_pattern, has_substructure,
+                                      count_substructures,
+                                      find_substructures)
 
 __all__ = [
     'Atom', 'Bond', 'Molecule', 'PERIODIC_TABLE', 'ATOMIC_SYMBOL',
@@ -23,5 +27,7 @@ __all__ = [
     'canonical_ranks', 'morgan_fingerprint', 'morgan_fingerprint_counts',
     'sparse_morgan_fingerprint', 'tanimoto', 'bulk_tanimoto',
     'murcko_scaffold', 'scaffold_smiles', 'mol_from_molblock', 'parse_sdf',
-    'mol_to_molblock', 'write_sdf',
+    'mol_to_molblock', 'write_sdf', 'Pattern', 'SmartsParseError',
+    'smarts_pattern', 'has_substructure', 'count_substructures',
+    'find_substructures',
 ]

@@ -6,7 +6,8 @@ from deepchem_tpu.feat.graph_data import (GraphData, BatchGraphData,
                                           pad_graph_batch, bucket_caps,
                                           graphs_to_padded_batch)
 from deepchem_tpu.feat.molecule_featurizers import (
-    CircularFingerprint, MACCSKeysFingerprint, RDKitDescriptors,
+    CircularFingerprint, MACCSKeysFingerprint, PubChemFingerprint,
+    Mol2VecFingerprint, MordredDescriptors, RDKitDescriptors,
     ConvMolFeaturizer, MolGraphConvFeaturizer, PagtnMolGraphFeaturizer,
     WeaveFeaturizer, OneHotFeaturizer, SmilesToSeq, SmilesToImage,
     CoulombMatrix, CoulombMatrixEig, AtomicCoordinates, create_char_to_idx,
@@ -39,7 +40,8 @@ __all__ = [
     'UserDefinedFeaturizer', 'DummyFeaturizer', 'RawFeaturizer',
     'GraphData', 'BatchGraphData', 'WeightedDirectedGraphData',
     'pad_graph_batch', 'bucket_caps', 'graphs_to_padded_batch',
-    'CircularFingerprint', 'MACCSKeysFingerprint', 'RDKitDescriptors',
+    'CircularFingerprint', 'MACCSKeysFingerprint', 'PubChemFingerprint',
+    'Mol2VecFingerprint', 'MordredDescriptors', 'RDKitDescriptors',
     'ConvMolFeaturizer', 'MolGraphConvFeaturizer', 'PagtnMolGraphFeaturizer',
     'WeaveFeaturizer', 'OneHotFeaturizer', 'SmilesToSeq', 'SmilesToImage',
     'CoulombMatrix', 'CoulombMatrixEig', 'AtomicCoordinates',

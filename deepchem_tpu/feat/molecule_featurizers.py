@@ -66,39 +66,56 @@ class CircularFingerprint(MolecularFeaturizer):
 
 
 class MACCSKeysFingerprint(MolecularFeaturizer):
-    """167-bit structural key fingerprint.
+    """167-bit MACCS structural keys (reference
+    maccs_keys_fingerprint.py delegates to RDKit).
 
-    The reference delegates to RDKit's MACCS SMARTS definitions
-    (maccs_keys_fingerprint.py); exact SMARTS matching is out of scope for
-    the pure-Python core, so this computes a deterministic 167-bit key set
-    from simple structural predicates + hashed Morgan features.  Bit
-    positions are NOT RDKit-compatible but are stable and informative.
+    Computed with the in-repo SMARTS engine over 166 MACCS-theme keys
+    (deepchem_tpu/feat/structural_keys.py); key THEMES follow the
+    published definitions but bit positions are not guaranteed
+    RDKit-bit-compatible.
     """
 
     def _featurize(self, mol: Molecule, **kwargs) -> np.ndarray:
-        bits = np.zeros(167, dtype=np.float64)
-        zs = [a.atomic_num for a in mol.atoms]
-        # coarse structural predicates in fixed slots
-        preds = [
-            any(z not in (6, 1) for z in zs),
-            any(a.is_aromatic for a in mol.atoms),
-            any(b.order == 3.0 for b in mol.bonds),
-            any(b.order == 2.0 for b in mol.bonds),
-            any(a.in_ring for a in mol.atoms),
-            any(z == 7 for z in zs), any(z == 8 for z in zs),
-            any(z == 16 for z in zs),
-            any(z in (9, 17, 35, 53) for z in zs),
-            any(a.formal_charge != 0 for a in mol.atoms),
-            mol.num_atoms > 20, mol.num_atoms > 40,
-            len(mol.rings()) > 1, len(mol.rings()) > 2,
-            any(len(r) == 5 for r in mol.rings()),
-            any(len(r) == 6 for r in mol.rings()),
-        ]
-        for i, p in enumerate(preds):
-            bits[i] = float(p)
-        fp = morgan_fingerprint(mol, 2, 151)
-        bits[16:] = fp
-        return bits
+        from deepchem_tpu.feat.structural_keys import maccs_fingerprint
+        return maccs_fingerprint(mol)
+
+
+class PubChemFingerprint(MolecularFeaturizer):
+    """881-bit PubChem/CACTVS-style substructure fingerprint (the
+    reference's pubchem_fingerprint.py calls the PubChem REST service —
+    unavailable offline; this computes the sections locally: element
+    counts, ESSSR ring features, bonded atom pairs, SMARTS
+    environments)."""
+
+    def _featurize(self, mol: Molecule, **kwargs) -> np.ndarray:
+        from deepchem_tpu.feat.structural_keys import pubchem_fingerprint
+        return pubchem_fingerprint(mol)
+
+
+class Mol2VecFingerprint(MolecularFeaturizer):
+    """Mol2Vec embeddings (reference mol2vec_fingerprint.py) need the
+    pretrained gensim corpus model, which cannot be downloaded in this
+    offline build; construction raises with instructions."""
+
+    def __init__(self, pretrain_model_path: Optional[str] = None,
+                 radius: int = 1, unseen: str = 'UNK'):
+        raise ImportError(
+            'Mol2VecFingerprint requires the pretrained mol2vec gensim '
+            'model (model_300dim.pkl) and the gensim package; neither is '
+            'available in this environment. Use CircularFingerprint or '
+            'MACCSKeysFingerprint instead.')
+
+
+class MordredDescriptors(MolecularFeaturizer):
+    """Mordred descriptor vectors (reference mordred_descriptors.py)
+    need the mordred package (absent); construction raises.  Use
+    RDKitDescriptors for the in-repo descriptor set."""
+
+    def __init__(self, ignore_3D: bool = True):
+        raise ImportError(
+            'MordredDescriptors requires the mordred package, which is '
+            'not available in this environment. RDKitDescriptors '
+            'provides the in-repo descriptor set.')
 
 
 class RDKitDescriptors(MolecularFeaturizer):

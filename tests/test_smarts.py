@@ -1,0 +1,87 @@
+"""SMARTS engine + structural-key fingerprint tests (the reference
+delegates these to RDKit; cases below are standard RDKit-verified
+match/count facts)."""
+import numpy as np
+import pytest
+
+from deepchem_tpu.chem import (count_substructures, find_substructures,
+                               has_substructure, mol_from_smiles,
+                               smarts_pattern, SmartsParseError)
+
+
+CASES = [
+    # (molecule, smarts, matches?)
+    ('CCO', '[OH]', True),
+    ('CCOC', '[OH]', False),
+    ('CC(=O)O', '[CX3](=O)[OX2H1]', True),       # carboxylic acid
+    ('CC(=O)OC', '[CX3](=O)[OX2H1]', False),     # ester is not an acid
+    ('CC(=O)OC', '[CX3](=O)[OX2][#6]', True),
+    ('c1ccccc1', 'c1ccccc1', True),
+    ('C1CCCCC1', 'c1ccccc1', False),
+    ('c1ccccc1', 'C1CCCCC1', False),
+    ('CCN', '[NX3;H2]', True),
+    ('CN(C)C', '[NX3;H2]', False),
+    ('CC(=O)N', '[NX3][CX3](=[OX1])', True),
+    ('c1ccncc1', '[nX2]', True),
+    ('CC#N', 'C#N', True),
+    ('CC=C', 'C#N', False),
+    ('[NH4+]', '[N+]', True),
+    ('CC[O-]', '[O-]', True),
+    ('CCO', '[O-]', False),
+    ('C1CC1', '[r3]', True),
+    ('C1CCC1', '[r3]', False),
+    ('CC(N)C(=O)O', '[NX3;H2].[CX3](=O)[OX2H1]', True),  # two components
+    ('CCCl', '[Cl]', True),
+    ('c1ccc2ccccc2c1', '[cR2]', True),           # naphthalene fusion atoms
+    ('c1ccccc1', '[cR2]', False),
+    ('C=CC=C', 'C=CC=C', True),
+    ('CCCC', 'C=C', False),
+]
+
+
+@pytest.mark.parametrize('smi,sma,want', CASES)
+def test_match(smi, sma, want):
+    assert has_substructure(mol_from_smiles(smi), sma) == want
+
+
+def test_counts():
+    assert count_substructures(mol_from_smiles('OCC(O)CO'), '[OH]') == 3
+    assert count_substructures(mol_from_smiles('C1CCCCC1'), '[R]') == 6
+    assert count_substructures(mol_from_smiles('C1CC1'), '[r3]') == 3
+    # benzene has 6 CH aromatic atoms
+    assert count_substructures(mol_from_smiles('c1ccccc1'), '[cH]') == 6
+
+
+def test_find_substructures_indices():
+    mol = mol_from_smiles('CC(=O)O')
+    hits = find_substructures(mol, 'C=O')
+    assert len(hits) == 1
+    c, o = hits[0]
+    assert mol.atoms[c].atomic_num == 6 and mol.atoms[o].atomic_num == 8
+
+
+def test_parse_error():
+    with pytest.raises(SmartsParseError):
+        smarts_pattern('C(((')
+
+
+def test_maccs_and_pubchem_fingerprints():
+    from deepchem_tpu.feat import (MACCSKeysFingerprint,
+                                   PubChemFingerprint)
+    smiles = ['CCO', 'CC(=O)Oc1ccccc1C(=O)O', 'c1ccccc1', 'C1CCCCC1']
+    maccs = MACCSKeysFingerprint().featurize(smiles)
+    pub = PubChemFingerprint().featurize(smiles)
+    assert maccs.shape == (4, 167) and pub.shape == (4, 881)
+    # aspirin strictly richer than ethanol
+    assert maccs[1].sum() > maccs[0].sum()
+    # aromatic vs aliphatic ring must differ
+    assert not np.allclose(maccs[2], maccs[3])
+    assert not np.allclose(pub[2], pub[3])
+
+
+def test_gated_featurizers_raise():
+    from deepchem_tpu.feat import Mol2VecFingerprint, MordredDescriptors
+    with pytest.raises(ImportError):
+        Mol2VecFingerprint()
+    with pytest.raises(ImportError):
+        MordredDescriptors()
