@@ -3,6 +3,7 @@ from deepchem_tpu.data.datasets import (Dataset, NumpyDataset, DiskDataset,
                                         sparsify_features, densify_features)
 from deepchem_tpu.data.loaders import (DataLoader, CSVLoader, UserCSVLoader,
                                        JsonLoader, SDFLoader, FASTALoader,
+                                       DFTYamlLoader,
                                        FASTQLoader, ImageLoader,
                                        InMemoryLoader)
 from deepchem_tpu.data.supports import (remove_dead_examples,
@@ -16,4 +17,5 @@ __all__ = [
     'pad_batch', 'sparsify_features', 'densify_features',
     'DataLoader', 'CSVLoader', 'UserCSVLoader', 'JsonLoader', 'SDFLoader',
     'FASTALoader', 'FASTQLoader', 'ImageLoader', 'InMemoryLoader',
+    'DFTYamlLoader',
 ]

@@ -412,3 +412,45 @@ class InMemoryLoader(DataLoader):
                        np.asarray(ids, dtype=object)[valid])
         return DiskDataset.create_dataset(shard_generator(), data_dir,
                                           self.tasks)
+
+
+class DFTYamlLoader(DataLoader):
+    """Load DFT entries from YAML (reference data_loader.py:1772).
+
+    Each record: ``e_type`` ('ae' atomization / 'ie' / 'e'), ``true_val``
+    (Hartree), and ``systems`` (list of dicts with a DQC-style
+    ``moldesc``).  X holds :class:`deepchem_tpu.dft.scf.DFTEntry`
+    objects ready for the in-repo SCF driver (dft/scf.py), y the true
+    values.
+    """
+
+    def __init__(self, log_every_n: int = 1000, **entry_kwargs):
+        self.tasks = ['true_val']
+        self.featurizer = None
+        self.id_field = None
+        self.log_every_n = log_every_n
+        self.user_specified_features = None
+        self.entry_kwargs = entry_kwargs
+
+    def create_dataset(self, inputs, data_dir=None,
+                       shard_size: Optional[int] = 8192):
+        import yaml
+        from deepchem_tpu.dft.scf import DFTEntry
+        if isinstance(inputs, (str, os.PathLike)):
+            inputs = [inputs]
+        entries, ys = [], []
+        for path in inputs:
+            with open(path) as f:
+                records = yaml.safe_load(f) or []
+            for rec in records:
+                entries.append(DFTEntry(rec['e_type'],
+                                        float(rec['true_val']),
+                                        rec['systems'],
+                                        **self.entry_kwargs))
+                ys.append(float(rec['true_val']))
+        X = np.empty(len(entries), dtype=object)
+        X[:] = entries
+        y = np.asarray(ys).reshape(-1, 1)
+        from deepchem_tpu.data.datasets import NumpyDataset
+        return NumpyDataset(X, y, np.ones_like(y),
+                            np.arange(len(entries)))

@@ -7,10 +7,13 @@ from deepchem_tpu.dft.basis import (STO3G, BasisFunction, build_basis,
                                     nuclear_repulsion)
 from deepchem_tpu.dft.grid import molecular_grid
 from deepchem_tpu.dft.scf import (DFTSystem, KSCalc, KohnShamSCF, XCNNSCF,
-                                  scf_loop)
+                                  scf_loop, scf_loop_unrestricted,
+                                  run_unrestricted, DFTEntry,
+                                  parse_moldesc)
 
 __all__ = ['lda_exchange', 'lda_correlation_vwn', 'pbe_exchange',
            'pbe_correlation', 'lda_xc', 'pbe_xc', 'NNLDA', 'NNPBE',
            'HybridXC', 'XCModel', 'STO3G', 'BasisFunction', 'build_basis',
            'nuclear_repulsion', 'molecular_grid', 'DFTSystem', 'KSCalc',
-           'KohnShamSCF', 'XCNNSCF', 'scf_loop']
+           'KohnShamSCF', 'XCNNSCF', 'scf_loop', 'scf_loop_unrestricted',
+           'run_unrestricted', 'DFTEntry', 'parse_moldesc']

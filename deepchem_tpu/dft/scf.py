@@ -115,9 +115,6 @@ class DFTSystem:
         self.coords = coords
         self.charges = [ATOMIC_NUMBER[s] for s in self.symbols]
         self.n_elec = sum(self.charges) - charge
-        if self.n_elec % 2:
-            raise ValueError('restricted SCF needs an even electron '
-                             f'count, got {self.n_elec}')
         self.basis = build_basis(self.symbols, coords)
         self.S = ints.overlap_matrix(self.basis)
         self.T = ints.kinetic_matrix(self.basis)
@@ -185,6 +182,10 @@ class KohnShamSCF:
             raise ValueError(f'unknown xc {xc!r}')
 
     def run(self, system: DFTSystem) -> KSCalc:
+        if system.n_elec % 2:
+            raise ValueError(
+                'restricted SCF needs an even electron count, got '
+                f'{system.n_elec}; use run_unrestricted for open shells')
         E, D, mo_e = scf_loop(
             jnp.asarray(system.T + system.V),
             jnp.asarray(system.S_invsqrt),
@@ -251,3 +252,166 @@ class XCNNSCF:
                              iterations=self.iterations,
                              mixing=self.mixing)
         return solver.run(system)
+
+
+def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
+                          exc_fn: Optional[Callable] = None,
+                          phi=None, dphi=None, weights=None,
+                          use_sigma: bool = False,
+                          hf_exchange: float = 0.0,
+                          iterations: int = 50, mixing: float = 0.5):
+    """Unrestricted (spin-polarized occupations) SCF for open-shell
+    systems — atomization-energy references need isolated atoms.  The XC
+    functional is evaluated on the TOTAL density (spin-unpolarized
+    approximation; the reference's libxc path uses true spin-density
+    functionals).  Returns (E_electronic, (Da, Db), (mo_a, mo_b))."""
+    n = H.shape[0]
+
+    def fock(Da, Db):
+        D = Da + Db
+        J = jnp.einsum('ijkl,kl->ij', eri, D)
+        Fa = H + J
+        Fb = H + J
+        E2 = 0.5 * jnp.einsum('ij,ij->', D, J)
+        if hf_exchange:
+            Ka = jnp.einsum('ikjl,kl->ij', eri, Da)
+            Kb = jnp.einsum('ikjl,kl->ij', eri, Db)
+            Fa = Fa - hf_exchange * Ka
+            Fb = Fb - hf_exchange * Kb
+            E2 = E2 - 0.5 * hf_exchange * (
+                jnp.einsum('ij,ij->', Da, Ka)
+                + jnp.einsum('ij,ij->', Db, Kb))
+        Exc = 0.0
+        if exc_fn is not None:
+            Exc, Vxc = jax.value_and_grad(_exc_energy)(
+                D, phi, dphi, weights, exc_fn, use_sigma)
+            Vxc = 0.5 * (Vxc + Vxc.T)
+            Fa = Fa + Vxc
+            Fb = Fb + Vxc
+        E = jnp.einsum('ij,ij->', D, H) + E2 + Exc
+        return Fa, Fb, E
+
+    def density(F, nocc):
+        Fp = S_invsqrt.T @ F @ S_invsqrt
+        mo_e, Cp = jnp.linalg.eigh(Fp)
+        C = S_invsqrt @ Cp
+        occ = C[:, :nocc] if nocc > 0 else C[:, :1] * 0.0
+        return occ @ occ.T, mo_e
+
+    def step(carry, _):
+        Da, Db = carry
+        Fa, Fb, E = fock(Da, Db)
+        Da_new, _ = density(Fa, n_alpha)
+        Db_new, _ = density(Fb, n_beta)
+        Da = mixing * Da_new + (1.0 - mixing) * Da
+        Db = mixing * Db_new + (1.0 - mixing) * Db
+        return (Da, Db), E
+
+    # break spin symmetry slightly so alpha != beta solutions can emerge
+    D0a = jnp.eye(n, dtype=H.dtype) * (n_alpha / max(n, 1)) * 0.1
+    D0b = jnp.zeros((n, n), dtype=H.dtype)
+    (Da, Db), _ = jax.lax.scan(step, (D0a, D0b), None, length=iterations)
+    Fa, Fb, E_final = fock(Da, Db)
+    _, mo_a = density(Fa, n_alpha)
+    _, mo_b = density(Fb, n_beta)
+    return E_final, (Da, Db), (mo_a, mo_b)
+
+
+#: ground-state unpaired electrons for light atoms (Hund's rule)
+_ATOM_SPIN = {1: 1, 2: 0, 3: 1, 4: 0, 5: 1, 6: 2, 7: 3, 8: 2, 9: 1}
+
+
+def run_unrestricted(system: 'DFTSystem', xc='lda',
+                     spin: Optional[int] = None, iterations: int = 80,
+                     mixing: float = 0.4):
+    """Convenience: one unrestricted SCF on a DFTSystem; spin = n_alpha -
+    n_beta (defaults to the atomic ground state for single atoms, else
+    n_elec % 2)."""
+    if spin is None:
+        if len(system.symbols) == 1:
+            spin = _ATOM_SPIN.get(system.charges[0], system.n_elec % 2)
+        else:
+            spin = system.n_elec % 2
+    n_alpha = (system.n_elec + spin) // 2
+    n_beta = system.n_elec - n_alpha
+    solver = KohnShamSCF(xc, iterations=iterations, mixing=mixing)
+    E, (Da, Db), _ = scf_loop_unrestricted(
+        jnp.asarray(system.T + system.V),
+        jnp.asarray(system.S_invsqrt), jnp.asarray(system.eri),
+        n_alpha, n_beta, exc_fn=solver.exc_fn,
+        phi=jnp.asarray(system.phi), dphi=jnp.asarray(system.dphi),
+        weights=jnp.asarray(system.grid_weights),
+        use_sigma=solver.use_sigma, hf_exchange=solver.hf_exchange,
+        iterations=iterations, mixing=mixing)
+    return float(E) + system.e_nuc
+
+
+def parse_moldesc(moldesc: str) -> Tuple[List[str], 'np.ndarray']:
+    """'Li 1.5070 0 0; H -1.5070 0 0' -> (symbols, coords[bohr])
+    (DQC moldesc format used by the reference's DFT yaml entries)."""
+    symbols, coords = [], []
+    for part in moldesc.split(';'):
+        toks = part.split()
+        if not toks:
+            continue
+        symbols.append(toks[0])
+        coords.append([float(x) for x in toks[1:4]])
+    return symbols, np.asarray(coords, dtype=np.float64)
+
+
+class DFTEntry:
+    """One labeled DFT datapoint (reference feat/dft_data.py DFTEntry):
+    e_type 'ae' (atomization energy) or 'ie'/'e' (total energy), the true
+    value (Hartree), and one or more systems given as DQC moldesc
+    strings."""
+
+    def __init__(self, e_type: str, true_val: float,
+                 systems: Sequence[dict], n_radial: int = 40,
+                 grid_level: int = 1):
+        self.e_type = e_type
+        self.true_val = float(true_val)
+        self.system_descs = list(systems)
+        self._kw = dict(n_radial=n_radial, grid_level=grid_level)
+        self._systems: Optional[List[DFTSystem]] = None
+
+    def get_systems(self) -> List['DFTSystem']:
+        if self._systems is None:
+            self._systems = []
+            for desc in self.system_descs:
+                symbols, coords = parse_moldesc(desc['moldesc'])
+                self._systems.append(DFTSystem(
+                    symbols, coords, charge=int(desc.get('charge', 0)),
+                    units='bohr', **self._kw))
+        return self._systems
+
+    def atom_systems(self) -> List[Tuple[str, int]]:
+        """Unique (symbol, count) pairs across all systems — the isolated
+        atoms an atomization energy references."""
+        from collections import Counter
+        c: Counter = Counter()
+        for desc in self.system_descs:
+            symbols, _ = parse_moldesc(desc['moldesc'])
+            c.update(symbols)
+        return sorted(c.items())
+
+    def compute(self, xc='lda', iterations: int = 80) -> float:
+        """Evaluate this entry's quantity with a classical functional:
+        'ae' -> sum(E_atoms) - E_molecule; otherwise total energy."""
+        systems = self.get_systems()
+        if self.e_type == 'ae':
+            e_mol = sum(run_unrestricted(s, xc, iterations=iterations)
+                        if s.n_elec % 2 else
+                        float(KohnShamSCF(xc, iterations=iterations)
+                              .run(s).energy())
+                        for s in systems)
+            e_atoms = 0.0
+            for sym, count in self.atom_systems():
+                atom_sys = DFTSystem([sym], np.zeros((1, 3)),
+                                     units='bohr', **self._kw)
+                e_atoms += count * run_unrestricted(
+                    atom_sys, xc, iterations=iterations)
+            return e_atoms - e_mol
+        return sum(float(KohnShamSCF(xc, iterations=iterations)
+                         .run(s).energy()) if s.n_elec % 2 == 0
+                   else run_unrestricted(s, xc, iterations=iterations)
+                   for s in systems)

@@ -72,3 +72,25 @@ def test_nnxc_scf_gradient(h2):
     gnorm = jax.tree_util.tree_reduce(
         lambda a, b: a + float(np.abs(b).sum()), g, 0.0)
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_unrestricted_h_atom():
+    from deepchem_tpu.dft import DFTSystem, run_unrestricted
+    h = DFTSystem(['H'], np.zeros((1, 3)), units='bohr', n_radial=40,
+                  grid_level=1)
+    # UHF/STO-3G hydrogen atom: -0.46658 Ha
+    assert abs(run_unrestricted(h, 'hf') - (-0.46658)) < 1e-4
+
+
+def test_dft_yaml_loader_atomization(tmp_path):
+    from deepchem_tpu.data import DFTYamlLoader
+    yml = tmp_path / 'entries.yaml'
+    yml.write_text(
+        "- e_type: 'ae'\n"
+        "  true_val: '0.1835'\n"
+        "  systems: [{'moldesc': 'H 0 0 0; H 0 0 1.4'}]\n")
+    ds = DFTYamlLoader(n_radial=30, grid_level=1).create_dataset(str(yml))
+    assert len(ds) == 1
+    entry = ds.X[0]
+    # HF atomization of H2: E(H2) - 2 E(H) = 0.1835 Ha
+    assert abs(entry.compute('hf', iterations=40) - 0.1835) < 1e-3
