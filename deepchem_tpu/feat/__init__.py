@@ -33,6 +33,9 @@ from deepchem_tpu.feat.bio_seq_featurizer import (SAMFeaturizer,
 from deepchem_tpu.feat.deepvariant import (Read, Realigner,
                                            RealignerFeaturizer,
                                            PileupFeaturizer)
+from deepchem_tpu.feat.complex_featurizers import (
+    ContactCircularFingerprint, ContactCircularVoxelizer,
+    SplifFingerprint, SplifVoxelizer)
 from deepchem_tpu.feat import feature_utils
 
 __all__ = [
@@ -55,4 +58,6 @@ __all__ = [
     'SAMFeaturizer', 'BAMFeaturizer', 'CRAMFeaturizer',
     'BPSymmetryFunctionInput', 'SNAPFeaturizer',
     'Read', 'Realigner', 'RealignerFeaturizer', 'PileupFeaturizer',
+    'ContactCircularFingerprint', 'ContactCircularVoxelizer',
+    'SplifFingerprint', 'SplifVoxelizer',
 ]

@@ -85,3 +85,25 @@ def test_gated_featurizers_raise():
         Mol2VecFingerprint()
     with pytest.raises(ImportError):
         MordredDescriptors()
+
+
+def test_complex_featurizers():
+    from deepchem_tpu.utils.conformers import embed_molecule_3d
+    from deepchem_tpu.feat import (ContactCircularFingerprint,
+                                   SplifFingerprint, SplifVoxelizer)
+    lig = mol_from_smiles('CCO')
+    lig.conformer = [tuple(x) for x in np.asarray(embed_molecule_3d(lig))]
+    prot = mol_from_smiles('CC(=O)NC')
+    pc = np.asarray(embed_molecule_3d(prot)) + np.array([2.5, 0, 0])
+    prot.conformer = [tuple(x) for x in pc]
+    f = ContactCircularFingerprint(size=6)._featurize((lig, prot))
+    assert f.shape == (128,) and f.sum() > 0
+    s = SplifFingerprint(size=6)._featurize((lig, prot))
+    assert s.shape == (192,) and s.sum() > 0
+    v = SplifVoxelizer(size=4, box_width=16)._featurize((lig, prot))
+    assert v.shape == (16, 16, 16, 48) and v.sum() == s.sum()
+    # no contacts when fragments far apart
+    far = mol_from_smiles('CC(=O)NC')
+    far.conformer = [tuple(x) for x in pc + 100.0]
+    f2 = ContactCircularFingerprint(size=6)._featurize((lig, far))
+    assert f2.sum() == 0
