@@ -16,6 +16,11 @@ from deepchem_tpu.chem.fingerprints import (morgan_fingerprint,
 from deepchem_tpu.chem.scaffolds import murcko_scaffold, scaffold_smiles
 from deepchem_tpu.chem.sdf import (mol_from_molblock, parse_sdf,
                                    mol_to_molblock, write_sdf)
+from deepchem_tpu.chem.descriptors import (tpsa, chi0, chi1, kappa1,
+                                            kappa2, kappa3,
+                                            hall_kier_alpha,
+                                            num_valence_electrons,
+                                            crippen_logp)
 from deepchem_tpu.chem.smarts import (Pattern, SmartsParseError,
                                       smarts_pattern, has_substructure,
                                       count_substructures,
@@ -29,5 +34,6 @@ __all__ = [
     'murcko_scaffold', 'scaffold_smiles', 'mol_from_molblock', 'parse_sdf',
     'mol_to_molblock', 'write_sdf', 'Pattern', 'SmartsParseError',
     'smarts_pattern', 'has_substructure', 'count_substructures',
-    'find_substructures',
+    'find_substructures', 'tpsa', 'chi0', 'chi1', 'kappa1', 'kappa2',
+    'kappa3', 'hall_kier_alpha', 'num_valence_electrons', 'crippen_logp',
 ]

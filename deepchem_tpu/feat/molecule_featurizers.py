@@ -138,6 +138,10 @@ class RDKitDescriptors(MolecularFeaturizer):
             'MeanAtomicMass', 'MaxDegree', 'MeanDegree', 'NumTriple',
             'NumDouble', 'NumSingle', 'NumAromaticBonds',
             'RingAtomFraction', 'BalabanLikeIndex',
+            # graph-theoretic descriptors (chem/descriptors.py; TPSA
+            # matches RDKit's Ertl values exactly)
+            'TPSA', 'Chi0', 'Chi1', 'Chi0v', 'Chi1v', 'Kappa1', 'Kappa2',
+            'Kappa3', 'HallKierAlpha', 'NumValenceElectrons', 'MolLogP',
         ]
 
     def _featurize(self, mol: Molecule, **kwargs) -> np.ndarray:
@@ -183,6 +187,13 @@ class RDKitDescriptors(MolecularFeaturizer):
             sum(1 for a in mol.atoms if a.in_ring) / n,
             mol.num_bonds / n,
         ]
+        from deepchem_tpu.chem.descriptors import (
+            tpsa, chi0, chi1, kappa1, kappa2, kappa3, hall_kier_alpha,
+            num_valence_electrons, crippen_logp)
+        vals += [tpsa(mol), chi0(mol), chi1(mol), chi0(mol, True),
+                 chi1(mol, True), kappa1(mol), kappa2(mol), kappa3(mol),
+                 hall_kier_alpha(mol), num_valence_electrons(mol),
+                 crippen_logp(mol)]
         return np.array(vals, dtype=np.float64)
 
 

@@ -107,3 +107,36 @@ def test_complex_featurizers():
     far.conformer = [tuple(x) for x in pc + 100.0]
     f2 = ContactCircularFingerprint(size=6)._featurize((lig, far))
     assert f2.sum() == 0
+
+
+def test_tpsa_matches_rdkit_values():
+    from deepchem_tpu.chem import tpsa
+    # anchors verified against RDKit's Ertl implementation
+    for smi, want in [('CCO', 20.23), ('c1ccccc1', 0.0),
+                      ('c1ccncc1', 12.89), ('Nc1ccccc1', 26.02),
+                      ('CC(=O)Oc1ccccc1C(=O)O', 63.60),
+                      ('CC(=O)N', 43.09), ('CC#N', 23.79),
+                      ('CC(=O)O', 37.30)]:
+        assert abs(tpsa(mol_from_smiles(smi)) - want) < 0.01, smi
+
+
+def test_connectivity_indices():
+    from deepchem_tpu.chem import chi0, chi1, kappa1, kappa2, \
+        num_valence_electrons
+    m = mol_from_smiles('CCO')
+    assert abs(chi0(m) - 2.7071) < 1e-3
+    assert abs(chi1(m) - 1.4142) < 1e-3
+    assert num_valence_electrons(m) == 20
+    iso = mol_from_smiles('CC(C)C')
+    assert abs(kappa1(iso) - 4.0) < 1e-6
+    assert abs(kappa2(iso) - 4.0 / 3.0) < 1e-3
+
+
+def test_rdkit_descriptors_extended():
+    from deepchem_tpu.feat import RDKitDescriptors
+    feat = RDKitDescriptors()
+    out = feat.featurize(['CCO', 'c1ccccc1'])
+    assert out.shape == (2, len(feat.descriptors))
+    ti = feat.descriptors.index('TPSA')
+    assert abs(out[0, ti] - 20.23) < 0.01
+    assert abs(out[1, ti]) < 0.01
