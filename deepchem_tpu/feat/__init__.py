@@ -36,6 +36,8 @@ from deepchem_tpu.feat.deepvariant import (Read, Realigner,
 from deepchem_tpu.feat.complex_featurizers import (
     ContactCircularFingerprint, ContactCircularVoxelizer,
     SplifFingerprint, SplifVoxelizer)
+from deepchem_tpu.feat.conformer_featurizers import (
+    RDKitConformerFeaturizer, EquivariantGraphFeaturizer)
 from deepchem_tpu.feat import feature_utils
 
 __all__ = [
@@ -60,4 +62,5 @@ __all__ = [
     'Read', 'Realigner', 'RealignerFeaturizer', 'PileupFeaturizer',
     'ContactCircularFingerprint', 'ContactCircularVoxelizer',
     'SplifFingerprint', 'SplifVoxelizer',
+    'RDKitConformerFeaturizer', 'EquivariantGraphFeaturizer',
 ]

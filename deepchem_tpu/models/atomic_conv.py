@@ -178,3 +178,9 @@ class AtomicConvFeaturizer:
                          dtype=np.int32)
             out[i] = (coords, nbrs, z)
         return out
+
+
+class ComplexNeighborListFragmentAtomicCoordinates(AtomicConvFeaturizer):
+    """Alias kept for reference-API compatibility (reference
+    complex_atomic_coordinates.py:317 deprecates this name in favor of
+    AtomicConvFeaturizer)."""

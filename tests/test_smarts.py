@@ -140,3 +140,22 @@ def test_rdkit_descriptors_extended():
     ti = feat.descriptors.index('TPSA')
     assert abs(out[0, ti] - 20.23) < 0.01
     assert abs(out[1, ti]) < 0.01
+
+
+def test_conformer_and_equivariant_featurizers():
+    from deepchem_tpu.feat import (RDKitConformerFeaturizer,
+                                   EquivariantGraphFeaturizer)
+    g = RDKitConformerFeaturizer().featurize(['CCO'])[0]
+    assert g.node_features.shape == (3, 30)
+    assert g.node_pos_features.shape == (3, 3)
+    g = EquivariantGraphFeaturizer(fully_connected=True).featurize(
+        ['CCO'])[0]
+    assert g.edge_index.shape == (2, 6)      # complete digraph on 3
+    assert g.edge_features.shape == (6, 3)   # displacement vectors
+    assert g.edge_weights.shape == (6, 5)    # 4 bins + overflow one-hot
+    # displacements are antisymmetric for reversed edges
+    ei = g.edge_index
+    for k in range(ei.shape[1]):
+        rev = np.nonzero((ei[0] == ei[1][k]) & (ei[1] == ei[0][k]))[0]
+        assert np.allclose(g.edge_features[k], -g.edge_features[rev[0]],
+                           atol=1e-6)
