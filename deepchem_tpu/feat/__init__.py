@@ -35,7 +35,7 @@ from deepchem_tpu.feat.deepvariant import (Read, Realigner,
                                            PileupFeaturizer)
 from deepchem_tpu.feat.complex_featurizers import (
     ContactCircularFingerprint, ContactCircularVoxelizer,
-    SplifFingerprint, SplifVoxelizer)
+    SplifFingerprint, SplifVoxelizer, RdkitGridFeaturizer)
 from deepchem_tpu.feat.conformer_featurizers import (
     RDKitConformerFeaturizer, EquivariantGraphFeaturizer)
 from deepchem_tpu.feat import feature_utils
@@ -61,6 +61,6 @@ __all__ = [
     'BPSymmetryFunctionInput', 'SNAPFeaturizer',
     'Read', 'Realigner', 'RealignerFeaturizer', 'PileupFeaturizer',
     'ContactCircularFingerprint', 'ContactCircularVoxelizer',
-    'SplifFingerprint', 'SplifVoxelizer',
+    'SplifFingerprint', 'SplifVoxelizer', 'RdkitGridFeaturizer',
     'RDKitConformerFeaturizer', 'EquivariantGraphFeaturizer',
 ]

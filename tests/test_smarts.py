@@ -159,3 +159,18 @@ def test_conformer_and_equivariant_featurizers():
         rev = np.nonzero((ei[0] == ei[1][k]) & (ei[1] == ei[0][k]))[0]
         assert np.allclose(g.edge_features[k], -g.edge_features[rev[0]],
                            atol=1e-6)
+
+
+def test_rdkit_grid_featurizer():
+    from deepchem_tpu.utils.conformers import embed_molecule_3d
+    from deepchem_tpu.feat import RdkitGridFeaturizer
+    lig = mol_from_smiles('CCO')
+    lig.conformer = [tuple(x) for x in np.asarray(embed_molecule_3d(lig))]
+    prot = mol_from_smiles('CC(=O)NC')
+    prot.conformer = [tuple(x) for x in
+                      np.asarray(embed_molecule_3d(prot))
+                      + np.array([2.0, 0, 0])]
+    g = RdkitGridFeaturizer(feature_types='voxel_combined', ecfp_power=3,
+                            splif_power=3)._featurize((lig, prot))
+    assert g.shape == (16, 16, 16, 43)
+    assert g.sum() != 0
