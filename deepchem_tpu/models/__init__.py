@@ -44,6 +44,7 @@ from deepchem_tpu.models.flows import (NormalizingFlow,
                                        NormalizingFlowModel)
 from deepchem_tpu.models.wandblogger import WandbLogger, TensorboardLogger
 from deepchem_tpu.models.dmpnn import DMPNNModel
+from deepchem_tpu.models.gnn3d import InfoMax3DModular, Net3DLayer
 from deepchem_tpu.models.low_data import (AttnLSTMEmbedding,
                                           IterRefLSTMEmbedding,
                                           SupportGraphClassifier)
@@ -85,6 +86,7 @@ __all__ = [
     'NormalizingFlow', 'NormalizingFlowModel', 'WandbLogger',
     'TensorboardLogger', 'DMPNNModel', 'AtomicConvModel',
     'AttnLSTMEmbedding', 'IterRefLSTMEmbedding', 'SupportGraphClassifier',
+    'InfoMax3DModular', 'Net3DLayer',
     'AtomicConvFeaturizer', 'SingletaskToMultitask',
     'HuggingFaceModel', 'Chemberta', 'BasicMolGANModel',
     'DistributedTrainer', 'InfoGraphModel', 'InfoGraphStarModel',

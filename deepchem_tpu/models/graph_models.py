@@ -121,6 +121,12 @@ class GraphModel(JaxModel):
                 raise ValueError(
                     'this model needs a featurizer with use_edges=True')
             inputs.append(d['edge_features'])
+        if getattr(self, 'uses_positions', False):
+            if 'node_pos_features' not in d:
+                raise ValueError('this model needs a featurizer that '
+                                 'emits 3D positions (e.g. '
+                                 'RDKitConformerFeaturizer)')
+            inputs.append(d['node_pos_features'])
         return inputs
 
     def _graph_inputs(self, X_b: np.ndarray) -> List[np.ndarray]:

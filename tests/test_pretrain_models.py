@@ -197,3 +197,26 @@ def test_seqtoseq_copy_task():
     assert len(pred) == 2
     emb = m.predict_embeddings(['abc', 'dd'])
     assert emb.shape[0] == 2
+
+
+def test_infomax3d_pretrain_and_finetune():
+    import numpy as np
+    from deepchem_tpu.feat import RDKitConformerFeaturizer
+    from deepchem_tpu.data import NumpyDataset
+    from deepchem_tpu.models import InfoMax3DModular
+    smiles = ['CCO', 'CCC', 'c1ccccc1', 'CC(=O)O', 'CCN', 'c1ccncc1',
+              'C1CCCCC1', 'CCCC']
+    X = RDKitConformerFeaturizer().featurize(smiles)
+    ds = NumpyDataset(X, np.array([[float(len(s))] for s in smiles]))
+    m = InfoMax3DModular(task='pretrain', hidden_dim=16, num_layers=2,
+                         batch_size=8, learning_rate=1e-3)
+    l0 = m.fit(ds, nb_epoch=1, checkpoint_interval=0)
+    l1 = m.fit(ds, nb_epoch=15, checkpoint_interval=0)
+    assert l1 < l0                       # contrastive loss decreases
+    emb = m.predict_embeddings(ds)
+    assert np.asarray(emb).shape == (8, 16)
+    m2 = InfoMax3DModular(task='regression', n_tasks=1, hidden_dim=16,
+                          num_layers=2, batch_size=8, learning_rate=3e-3)
+    l0 = m2.fit(ds, nb_epoch=1, checkpoint_interval=0)
+    l1 = m2.fit(ds, nb_epoch=30, checkpoint_interval=0)
+    assert l1 < l0
