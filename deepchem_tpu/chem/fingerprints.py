@@ -106,7 +106,26 @@ def morgan_fingerprint(mol: Molecule,
                        use_bond_types: bool = True,
                        use_features: bool = False,
                        counts: bool = False) -> np.ndarray:
-    """Folded fingerprint vector (binary or counts) of length ``n_bits``."""
+    """Folded fingerprint vector (binary or counts) of length ``n_bits``.
+
+    Uses the native C++ kernel (deepchem_tpu/native/chemops.cpp,
+    bit-identical env iteration) when available; pure Python otherwise.
+    """
+    try:
+        from deepchem_tpu.native import morgan_fold_native
+        invs = np.asarray(
+            _initial_invariants(mol, use_chirality, use_features),
+            dtype=np.uint32)
+        a1 = np.array([b.a1 for b in mol.bonds], dtype=np.int32)
+        a2 = np.array([b.a2 for b in mol.bonds], dtype=np.int32)
+        oc = np.array([int(round(b.order * 2)) if use_bond_types else 1
+                       for b in mol.bonds], dtype=np.int32)
+        native = morgan_fold_native(invs, a1, a2, oc, radius, n_bits,
+                                    counts)
+        if native is not None:
+            return native if counts else native.astype(np.uint8)
+    except Exception:   # pragma: no cover - fall through to Python path
+        pass
     feats = morgan_fingerprint_counts(mol, radius, use_chirality,
                                       use_bond_types, use_features)
     out = np.zeros(n_bits, dtype=np.float32 if counts else np.uint8)

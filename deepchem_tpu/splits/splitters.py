@@ -340,18 +340,26 @@ class FingerprintSplitter(Splitter):
                 np.array(test_inds))
 
 
+def _tanimoto_block(blk: np.ndarray, fps: np.ndarray,
+                    counts: np.ndarray, s: int) -> np.ndarray:
+    """Tanimoto similarities of a row block vs all rows via float32 GEMM
+    (BLAS beats the native popcount kernel when BLAS is available;
+    deepchem_tpu.native.tanimoto_matrix_native is the bit-packed
+    alternative for BLAS-free / memory-constrained hosts)."""
+    f = blk.astype(np.float32)
+    inter = f @ fps.astype(np.float32).T
+    union = counts[s:s + len(blk), None] + counts[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+
+
 def _pairwise_tanimoto_rowmeans(fps: np.ndarray) -> np.ndarray:
     """Mean Tanimoto similarity of each row to all others, blockwise."""
     n = len(fps)
-    f = fps.astype(np.float32)
-    counts = f.sum(axis=1)
+    counts = fps.astype(np.float32).sum(axis=1)
     sums = np.zeros(n, dtype=np.float64)
     B = 512
     for s in range(0, n, B):
-        blk = f[s:s + B]
-        inter = blk @ f.T
-        union = counts[s:s + B, None] + counts[None, :] - inter
-        sims = np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+        sims = _tanimoto_block(fps[s:s + B], fps, counts, s)
         sums[s:s + B] = sims.sum(axis=1)
     return sums / max(n - 1, 1)
 
@@ -397,17 +405,13 @@ def butina_cluster(fps: np.ndarray, sim_cutoff: float) -> List[List[int]]:
     ``sim_cutoff`` is the minimum similarity to join a cluster.
     """
     n = len(fps)
-    f = fps.astype(np.float32)
-    counts = f.sum(axis=1)
+    counts = fps.astype(np.float32).sum(axis=1)
     # neighbor lists
     neighbors: List[set] = []
     B = 512
     for s in range(0, n, B):
-        blk = f[s:s + B]
-        inter = blk @ f.T
-        union = counts[s:s + B, None] + counts[None, :] - inter
-        sims = np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
-        for r in range(blk.shape[0]):
+        sims = _tanimoto_block(fps[s:s + B], fps, counts, s)
+        for r in range(sims.shape[0]):
             neighbors.append(set(np.nonzero(sims[r] >= sim_cutoff)[0]))
     order = np.argsort([-len(nb) for nb in neighbors], kind='stable')
     assigned = np.zeros(n, dtype=bool)

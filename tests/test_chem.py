@@ -152,3 +152,42 @@ def test_charged_species_hydrogens():
     assert mol.atoms[0].total_hs == 3
     mol = mol_from_smiles('C[N+](C)(C)C')
     assert mol.atoms[1].total_hs == 0
+
+
+def test_native_morgan_bit_identical():
+    """The C++ Morgan kernel (deepchem_tpu/native) must reproduce the
+    pure-Python environment iteration bit-for-bit."""
+    import numpy as np
+    from deepchem_tpu.chem import mol_from_smiles
+    from deepchem_tpu.chem.fingerprints import (morgan_fingerprint,
+                                                morgan_fingerprint_counts)
+    from deepchem_tpu.native import get_lib
+    if get_lib() is None:
+        import pytest
+        pytest.skip('native toolchain unavailable')
+    for smi in ['CC(=O)Oc1ccccc1C(=O)O', 'CN1C=NC2=C1C(=O)N(C)C(=O)N2C',
+                'c1ccc2ccccc2c1', 'CC(N)C(=O)O', 'C']:
+        m = mol_from_smiles(smi)
+        native = morgan_fingerprint(m, 2, 2048)     # native path
+        py = np.zeros(2048, dtype=np.uint8)
+        for h in morgan_fingerprint_counts(m, 2):   # python path
+            py[h % 2048] = 1
+        assert np.array_equal(native, py), smi
+
+
+def test_native_tanimoto_matrix():
+    import numpy as np
+    from deepchem_tpu.native import tanimoto_matrix_native, get_lib
+    if get_lib() is None:
+        import pytest
+        pytest.skip('native toolchain unavailable')
+    rng = np.random.RandomState(0)
+    A = rng.rand(20, 1024) < 0.05
+    B = rng.rand(30, 1024) < 0.05
+    out = tanimoto_matrix_native(A, B)
+    fa = A.astype(np.float32)
+    fb = B.astype(np.float32)
+    inter = fa @ fb.T
+    union = fa.sum(1)[:, None] + fb.sum(1)[None, :] - inter
+    ref = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    assert np.allclose(out, ref)
