@@ -611,6 +611,30 @@ class JaxModel(Model):
         dataset = NumpyDataset(X, None, None)
         return self.predict(dataset, transformers)
 
+    def compute_saliency(self, X) -> 'OneOrMany[np.ndarray]':
+        """Jacobian of each prediction output w.r.t. ONE input sample
+        (reference keras_model.py:968 / torch_model.py:869 use tape/
+        autograd; here it is one ``jax.jacrev`` call).
+
+        X: a single unbatched input; returns array(s) of shape
+        output_shape + X.shape.
+        """
+        X = np.asarray(X, dtype=np.float32)
+        if not self._built:
+            inputs, _, _ = self._prepare_batch(([X[None]], None, None))
+            self.build(inputs)
+        pred_idx = (self._prediction_outputs
+                    if self.output_types is not None else None)
+
+        def fwd(x):
+            outs = self._forward(self.params, [x[None]], False, None)
+            if pred_idx is not None:
+                outs = [outs[i] for i in pred_idx]
+            return [o[0] for o in outs]
+        jac = jax.jacrev(fwd)(jnp.asarray(X))
+        jac = [np.asarray(j) for j in jac]
+        return jac[0] if len(jac) == 1 else jac
+
     def predict(self, dataset: Dataset,
                 transformers: Sequence[Transformer] = (),
                 output_types: Optional[Sequence[str]] = None

@@ -215,3 +215,21 @@ def test_data_parallel_sharding():
     model.fit(ds, nb_epoch=3, checkpoint_interval=0)
     preds = model.predict(ds)
     assert preds.shape == (64, 2, 2)
+
+
+def test_compute_saliency_matches_finite_differences():
+    np.random.seed(0)
+    X = np.random.randn(20, 8).astype(np.float32)
+    y = X[:, :1] * 2.0 + X[:, 1:2]
+    m = MultitaskRegressor(n_tasks=1, n_features=8, layer_sizes=[16],
+                           batch_size=10)
+    m.fit(NumpyDataset(X, y), nb_epoch=20, checkpoint_interval=0)
+    s = np.asarray(m.compute_saliency(X[0]))
+    assert s.shape == (1, 8)
+    eps, x0 = 1e-3, X[0].copy()
+    f0 = m.predict_on_batch(x0[None])[0]
+    for k in range(8):
+        xp = x0.copy()
+        xp[k] += eps
+        fd = (m.predict_on_batch(xp[None])[0] - f0) / eps
+        assert np.allclose(s[:, k], fd, atol=1e-2)
