@@ -13,7 +13,10 @@ from deepchem_tpu.molnet.load_function import (
     load_clintox, load_hiv, load_sider, load_muv, load_qm7, load_qm8,
     load_qm9, load_thermosol, load_hppb, load_clearance, load_chembl,
     load_bandgap, load_perovskite, load_mp_formation_energy,
-    load_mp_metallicity)
+    load_mp_metallicity, load_toxcast, load_pcba, load_nci, load_ppb,
+    load_sweetlead, load_chembl25, load_hopv, load_kaggle, load_factors,
+    load_kinase, load_uv, load_zinc15, load_uspto, load_pdbbind,
+    load_bbbc001, load_bbbc002, load_cell_counting)
 
 __all__ = [
     '_MolnetLoader', 'TransformerGenerator', 'featurizers', 'splitters',
@@ -24,6 +27,10 @@ __all__ = [
     'load_thermosol', 'load_hppb', 'load_clearance', 'load_chembl',
     'load_bandgap', 'load_perovskite', 'load_mp_formation_energy',
     'load_mp_metallicity', 'CheckFeaturizer', 'CheckSplit',
+    'load_toxcast', 'load_pcba', 'load_nci', 'load_ppb', 'load_sweetlead',
+    'load_chembl25', 'load_hopv', 'load_kaggle', 'load_factors',
+    'load_kinase', 'load_uv', 'load_zinc15', 'load_uspto', 'load_pdbbind',
+    'load_bbbc001', 'load_bbbc002', 'load_cell_counting',
     'simulate_single_motif_detection', 'simulate_motif_counting',
     'simulate_motif_density_localization', 'simulate_multi_motif_embedding',
     'simulate_differential_accessibility', 'simulate_heterodimer_grammar',

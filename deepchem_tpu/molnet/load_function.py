@@ -314,3 +314,175 @@ load_mp_formation_energy = _make_material_load_fn(
 load_mp_metallicity = _make_material_load_fn(
     'mp_metallicity', ['is_metal'], 'mp_is_metal.json', 'structure',
     _elemprop_feat)
+
+
+class _DynamicCSVMolnetLoader(_CSVMolnetLoader):
+    """CSV loader whose task list is discovered from the file header
+    (reference loaders hardcode the lists; deriving them from the file is
+    equivalent for the wide benchmark CSVs like toxcast's 617 columns)."""
+
+    def __init__(self, *args, drop_cols=(), task_prefix=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.drop_cols = set(drop_cols) | {self.feature_field}
+        self.task_prefix = task_prefix
+
+    def _discover_tasks(self, dataset_file: str) -> List[str]:
+        import pandas as pd
+        header = pd.read_csv(dataset_file, nrows=0)
+        cols = [c for c in header.columns if c not in self.drop_cols]
+        if self.task_prefix:
+            cols = [c for c in cols if c.startswith(self.task_prefix)]
+        return cols
+
+    def create_dataset(self) -> Dataset:
+        dataset_file = os.path.join(self.data_dir, self.filename)
+        if not os.path.exists(dataset_file):
+            download_url(self.url, self.data_dir, self.filename)
+        self.tasks = self._discover_tasks(dataset_file)
+        loader = CSVLoader(tasks=self.tasks, featurizer=self.featurizer,
+                           feature_field=self.feature_field)
+        return loader.create_dataset(
+            dataset_file, shard_size=self.args.get('shard_size', 8192))
+
+    def load_dataset(self, name, reload):
+        tasks, datasets, transformers = super().load_dataset(name, reload)
+        if not tasks and datasets:                  # cache hit: recover
+            tasks = list(getattr(datasets[0], 'tasks', []) or [])
+        return tasks, datasets, transformers
+
+
+def _make_dynamic_csv_load_fn(name: str, filename: str,
+                              default_transformers: List[str],
+                              feature_field: str = 'smiles',
+                              drop_cols=(), task_prefix=None,
+                              url: Optional[str] = None):
+    url = url or (DEEPCHEM_S3 + filename)
+
+    def load_fn(featurizer='ECFP', splitter='scaffold',
+                transformers=None, reload: bool = True,
+                data_dir: Optional[str] = None,
+                save_dir: Optional[str] = None, **kwargs):
+        if transformers is None:
+            transformers = list(default_transformers)
+        loader = _DynamicCSVMolnetLoader(
+            featurizer, splitter, transformers, [], data_dir, save_dir,
+            url=url, filename=filename, feature_field=feature_field,
+            drop_cols=drop_cols, task_prefix=task_prefix, **kwargs)
+        return loader.load_dataset(name, reload)
+    load_fn.__name__ = f'load_{name}'
+    load_fn.__doc__ = (
+        f'Load the {name} dataset (reference molnet/load_function/'
+        f'{name}_datasets.py); task list is read from the CSV header. '
+        'Returns (tasks, (train, valid, test), transformers).')
+    return load_fn
+
+
+# wide multi-task benchmark CSVs (reference hardcodes these task lists)
+load_toxcast = _make_dynamic_csv_load_fn(
+    'toxcast', 'toxcast_data.csv.gz', ['balancing'])
+load_pcba = _make_dynamic_csv_load_fn(
+    'pcba', 'pcba.csv.gz', ['balancing'], drop_cols=('mol_id',),
+    task_prefix='PCBA-')
+load_nci = _make_dynamic_csv_load_fn(
+    'nci', 'nci_unique.csv', ['normalization'],
+    drop_cols=('mol_id', 'Compound'))
+load_ppb = _make_dynamic_csv_load_fn('ppb', 'PPB.csv', ['normalization'])
+load_sweetlead = _make_dynamic_csv_load_fn(
+    'sweetlead', 'sweet.csv.gz', ['balancing'])
+load_chembl25 = _make_dynamic_csv_load_fn(
+    'chembl25', 'chembl25.csv.gz', ['normalization'])
+load_hopv = _make_dynamic_csv_load_fn('hopv', 'hopv.csv',
+                                      ['normalization'])
+# Merck disguised-descriptor datasets (reference kaggle/factors/kinase/uv
+# loaders; the user supplies the proprietary CSVs)
+load_kaggle = _make_dynamic_csv_load_fn(
+    'kaggle', 'KAGGLE_training_disguised_combined_full.csv.gz',
+    ['normalization'], drop_cols=('Molecule',), feature_field='smiles')
+load_factors = _make_dynamic_csv_load_fn(
+    'factors', 'FACTORS_training_disguised_combined_full.csv.gz',
+    ['normalization'], drop_cols=('Molecule',))
+load_kinase = _make_dynamic_csv_load_fn(
+    'kinase', 'KINASE_training_disguised_combined_full.csv.gz',
+    ['normalization'], drop_cols=('Molecule',))
+load_uv = _make_dynamic_csv_load_fn(
+    'uv', 'UV_training_disguised_combined_full.csv.gz',
+    ['normalization'], drop_cols=('Molecule',))
+load_zinc15 = _make_csv_load_fn(
+    'zinc15', ['mwt', 'logp', 'reactive'], 'zinc15_270K_2D.csv',
+    ['normalization'])
+load_uspto = _make_dynamic_csv_load_fn(
+    'uspto', 'USPTO_MIT.csv', [], feature_field='reactions')
+
+
+def load_pdbbind(featurizer=None, splitter='random', transformers=(),
+                 reload: bool = True, data_dir: Optional[str] = None,
+                 save_dir: Optional[str] = None, pocket: bool = True,
+                 set_name: str = 'core', **kwargs):
+    """PDBBind protein-ligand affinity (reference pdbbind_datasets.py).
+
+    Needs the PDBBind structure archive (not redistributable; place
+    pdbbind_v2019_{core,refined}.tar.gz or the reference's processed
+    ``pdbbind_core_df.pkl.gz`` in data_dir)."""
+    import pandas as pd
+    from deepchem_tpu.data import NumpyDataset
+    from deepchem_tpu.utils.data_utils import get_data_dir
+    data_dir = data_dir or get_data_dir()
+    for fname in (f'pdbbind_{set_name}_5_df.pkl.gz',
+                  f'pdbbind_{set_name}_df.pkl.gz'):
+        path = os.path.join(data_dir, fname)
+        if not os.path.exists(path):
+            try:
+                download_url(DEEPCHEM_S3 + fname, data_dir, fname)
+            except Exception:
+                continue
+        if os.path.exists(path):
+            df = pd.read_pickle(path)
+            y = df['label'].values.reshape(-1, 1).astype(float)
+            X = df.drop(columns=['label']).values
+            ds = NumpyDataset(X, y, ids=np.arange(len(df)))
+            from deepchem_tpu.molnet.loader import splitters as _spl
+            spl = _spl[splitter] if isinstance(splitter, str) else splitter
+            tr, va, te = spl.train_valid_test_split(ds)
+            return ['-logKd/Ki'], (tr, va, te), []
+    raise FileNotFoundError(
+        'PDBBind data not found: place the processed dataframe '
+        f'(pdbbind_{set_name}_df.pkl.gz) or structures in ' + data_dir)
+
+
+def _image_dataset_stub(name: str, filename: str):
+    def load_fn(*args, data_dir: Optional[str] = None, **kwargs):
+        from deepchem_tpu.utils.data_utils import get_data_dir
+        data_dir = data_dir or get_data_dir()
+        path = os.path.join(data_dir, filename)
+        if not os.path.exists(path):
+            try:
+                download_url(DEEPCHEM_S3 + filename, data_dir, filename)
+            except Exception:
+                pass
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f'{name} image data ({filename}) not available offline; '
+                f'place it in {data_dir}')
+        import zipfile
+        from deepchem_tpu.data import ImageDataset
+        with zipfile.ZipFile(path) as z:
+            names = [n for n in z.namelist()
+                     if n.lower().endswith(('.png', '.jpg', '.tif',
+                                            '.tiff'))]
+            import tempfile
+            tmp = tempfile.mkdtemp()
+            z.extractall(tmp, members=names)
+        files = [os.path.join(tmp, n) for n in names]
+        ds = ImageDataset(files, None)
+        return [], (ds,), []
+    load_fn.__name__ = f'load_{name}'
+    load_fn.__doc__ = (f'Load the {name} image dataset (reference '
+                       f'molnet/load_function/{name}.py); requires the '
+                       'image archive locally (zero-egress builds).')
+    return load_fn
+
+
+load_bbbc001 = _image_dataset_stub('bbbc001', 'BBBC001_v1_images_tif.zip')
+load_bbbc002 = _image_dataset_stub('bbbc002', 'BBBC002_v1_images.zip')
+load_cell_counting = _image_dataset_stub('cell_counting',
+                                         'cell_counting.zip')

@@ -186,3 +186,22 @@ def test_databag():
     batch = next(bag.iterbatches(batch_size=3))
     assert batch['a'].shape == (3, 2)
     assert batch['b'].shape == (3, 3)
+
+
+def test_dynamic_csv_molnet_loader(tmp_path):
+    """Dynamic-task loaders (toxcast/pcba family) read the task list from
+    the CSV header."""
+    import pandas as pd
+    csv = tmp_path / 'toxcast_data.csv.gz'
+    pd.DataFrame({
+        'smiles': ['CCO', 'CCC', 'c1ccccc1', 'CC(=O)O', 'CCN', 'CCCC'],
+        'assay_a': [1, 0, 1, 0, 1, 0],
+        'assay_b': [0, 0, 1, 1, 0, 1],
+    }).to_csv(csv, index=False, compression='gzip')
+    from deepchem_tpu.molnet import load_toxcast
+    tasks, (train, valid, test), tr = load_toxcast(
+        featurizer='ecfp', splitter='random', data_dir=str(tmp_path),
+        save_dir=str(tmp_path), reload=False)
+    assert tasks == ['assay_a', 'assay_b']
+    assert len(train) + len(valid) + len(test) == 6
+    assert train.y.shape[1] == 2
