@@ -184,3 +184,80 @@ class ComplexNeighborListFragmentAtomicCoordinates(AtomicConvFeaturizer):
     """Alias kept for reference-API compatibility (reference
     complex_atomic_coordinates.py:317 deprecates this name in favor of
     AtomicConvFeaturizer)."""
+
+
+def ani_symmetry_features(coords: jnp.ndarray, atomic_numbers: jnp.ndarray,
+                          atom_mask: Optional[jnp.ndarray] = None,
+                          atom_cases: Sequence[int] = (1, 6, 7, 8, 16),
+                          radial_cutoff: float = 4.6,
+                          angular_cutoff: float = 3.1,
+                          radial_length: int = 32,
+                          angular_length: int = 8,
+                          radial_eta: float = 16.0,
+                          angular_eta: float = 8.0,
+                          zeta: float = 32.0) -> jnp.ndarray:
+    """ANI-1 symmetry functions (Smith et al. 2017; reference TF layer
+    ``ANIFeat``, models/layers.py:2185) as one jittable function.
+
+    coords [N, 3] (angstrom), atomic_numbers [N] int, atom_mask [N]
+    optional.  Returns [N, 1 + S*R + S*(S+1)/2 * R_a * A] features per
+    atom: atomic number, per-species radial terms, per-species-pair
+    angular terms.  All pair/triplet loops are dense masked tensor ops
+    (MXU/VPU friendly; no data-dependent shapes).
+    """
+    n = coords.shape[0]
+    z = atomic_numbers.astype(jnp.int32)
+    mask = (jnp.ones(n) if atom_mask is None
+            else atom_mask.astype(jnp.float32))
+    species = jnp.stack([(z == s).astype(jnp.float32) * mask
+                         for s in atom_cases], axis=-1)   # [N, S]
+    d = coords[:, None, :] - coords[None, :, :]
+    r = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-12)         # [N, N]
+    not_self = 1.0 - jnp.eye(n)
+    pair_mask = not_self * mask[:, None] * mask[None, :]
+
+    def fc(rr, rc):
+        return jnp.where(rr < rc,
+                         0.5 * jnp.cos(jnp.pi * rr / rc) + 0.5, 0.0)
+
+    # radial: G_i[s, k] = sum_{j in s} exp(-eta (r_ij - Rs_k)^2) fc(r_ij)
+    rs = jnp.linspace(0.5, radial_cutoff, radial_length)
+    rad = jnp.exp(-radial_eta
+                  * (r[:, :, None] - rs[None, None, :]) ** 2) \
+        * (fc(r, radial_cutoff) * pair_mask)[:, :, None]   # [N, N, R]
+    g_rad = jnp.einsum('ijk,js->isk', rad, species)        # [N, S, R]
+
+    # angular: triplets (j, k) around i
+    ars = jnp.linspace(0.5, angular_cutoff, angular_length)
+    thetas = jnp.linspace(0.0, jnp.pi, angular_length)
+    cos_ijk = jnp.einsum('ijA,ikA->ijk', d, d) / \
+        jnp.maximum(r[:, :, None] * r[:, None, :], 1e-6)
+    cos_ijk = jnp.clip(cos_ijk, -1.0 + 1e-6, 1.0 - 1e-6)
+    theta = jnp.arccos(cos_ijk)                            # [N, N, N]
+    fpair = fc(r, angular_cutoff) * pair_mask              # [N, N]
+    tri_mask = fpair[:, :, None] * fpair[:, None, :] * \
+        (1.0 - jnp.eye(n))[None, :, :]
+    ang_r = 0.5 * (r[:, :, None] + r[:, None, :])          # [N, N, N]
+    # factorized angular basis: radial shells x angle shells
+    shell = jnp.exp(-angular_eta
+                    * (ang_r[..., None] - ars) ** 2)       # [N,N,N,Ra]
+    angle = (2.0 ** (1.0 - zeta)) * \
+        (1.0 + jnp.cos(theta[..., None] - thetas)) ** zeta  # [N,N,N,A]
+    tri = shell[..., :, None] * angle[..., None, :] * \
+        tri_mask[..., None, None]                          # [N,N,N,Ra,A]
+    # species-pair sums (unordered pairs s1 <= s2)
+    pair_feats = []
+    S = len(atom_cases)
+    for s1 in range(S):
+        for s2 in range(s1, S):
+            w = species[:, s1][None, :, None] * \
+                species[:, s2][None, None, :]
+            if s1 != s2:
+                w = w + species[:, s2][None, :, None] * \
+                    species[:, s1][None, None, :]
+            g = jnp.einsum('ijkra,ijk->ira', tri, w * jnp.ones((n, 1, 1)))
+            pair_feats.append(g.reshape(n, -1))
+    out = jnp.concatenate(
+        [z[:, None].astype(jnp.float32) * mask[:, None],
+         g_rad.reshape(n, -1)] + pair_feats, axis=-1)
+    return out

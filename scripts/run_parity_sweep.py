@@ -128,5 +128,68 @@ def main():
     print('rows appended to results_rows.md', flush=True)
 
 
+
+
+def tox21_tf_robust(split):
+    tasks, (train, valid, test), transformers = dc.molnet.load_tox21(
+        featurizer='ecfp', splitter=split, reload=True)
+    model = dc.models.RobustMultitaskClassifier(
+        n_tasks=len(tasks), n_features=1024, layer_sizes=[500],
+        bypass_layer_sizes=[100], dropouts=0.25, bypass_dropouts=0.25,
+        batch_size=64, learning_rate=0.0008)
+    t0 = time.time()
+    model.fit_on_device(train, nb_epoch=15)
+    dt = time.time() - t0
+    metric = Metric(roc_auc_score, np.mean)
+    tr = model.evaluate(train, [metric], transformers)['roc_auc_score']
+    va = model.evaluate(valid, [metric], transformers)['roc_auc_score']
+    return tr, va, dt
+
+
+def tox21_logreg(split):
+    tasks, (train, valid, test), transformers = dc.molnet.load_tox21(
+        featurizer='ecfp', splitter=split, reload=True)
+    from sklearn.linear_model import LogisticRegression
+    t0 = time.time()
+
+    def builder(model_dir=None):
+        return dc.models.SklearnModel(
+            LogisticRegression(penalty='l2', C=1.0, max_iter=200))
+    model = dc.models.SingletaskToMultitask(tasks, builder)
+    model.fit(train)
+    dt = time.time() - t0
+    metric = Metric(roc_auc_score, np.mean)
+    tr = model.evaluate(train, [metric], transformers)['roc_auc_score']
+    va = model.evaluate(valid, [metric], transformers)['roc_auc_score']
+    return tr, va, dt
+
+
+def muv_tf(split):
+    tasks, (train, valid, test), transformers = dc.molnet.load_muv(
+        featurizer='ecfp', splitter=split, reload=True)
+    model = dc.models.MultitaskClassifier(
+        n_tasks=len(tasks), n_features=1024, layer_sizes=[1000],
+        dropouts=0.25, batch_size=64, learning_rate=0.0005)
+    t0 = time.time()
+    model.fit_on_device(train, nb_epoch=10)
+    dt = time.time() - t0
+    metric = Metric(roc_auc_score, np.mean)
+    tr = model.evaluate(train, [metric], transformers)['roc_auc_score']
+    va = model.evaluate(valid, [metric], transformers)['roc_auc_score']
+    return tr, va, dt
+
+
+BASELINES.update({
+    ('tox21', 'tf_robust', 'random'): (0.8550, 0.7735, 88.9),
+    ('tox21', 'logreg', 'random'): (0.9028, 0.7351, 60.2),
+    ('muv', 'tf', 'random'): (0.9019, 0.7342, 341.1),
+})
+RUNS.extend([
+    ('tox21', 'tf_robust', 'random', tox21_tf_robust),
+    ('tox21', 'logreg', 'random', tox21_logreg),
+    ('muv', 'tf', 'random', muv_tf),
+])
+
+
 if __name__ == '__main__':
     main()

@@ -266,3 +266,24 @@ def test_electron_sampler_targets_density():
     # the 6-d joint density); just check it contracted toward the center
     assert np.abs(samples.mean()) < 0.3
     assert 0.2 < samples.std() < 1.2
+
+
+def test_ani_symmetry_features_invariances():
+    import jax
+    import jax.numpy as jnp
+    from deepchem_tpu.models.atomic_conv import ani_symmetry_features
+    coords = jnp.array([[0., 0, 0], [0.96, 0, 0], [-0.24, 0.93, 0]])
+    z = jnp.array([8, 1, 1])
+    kw = dict(radial_length=8, angular_length=4)
+    f = ani_symmetry_features(coords, z, **kw)
+    assert f.shape == (3, 281)
+    th = 0.7
+    R = jnp.array([[jnp.cos(th), -jnp.sin(th), 0],
+                   [jnp.sin(th), jnp.cos(th), 0], [0, 0, 1.]])
+    f2 = ani_symmetry_features(coords @ R.T + 5.0, z, **kw)
+    assert jnp.allclose(f, f2, atol=1e-4)          # SE(3) invariant
+    perm = jnp.array([0, 2, 1])
+    f3 = ani_symmetry_features(coords[perm], z[perm], **kw)
+    assert jnp.allclose(f[perm], f3, atol=1e-4)    # permutation equiv.
+    g = jax.grad(lambda c: ani_symmetry_features(c, z, **kw).sum())(coords)
+    assert bool(jnp.all(jnp.isfinite(g)))
