@@ -76,7 +76,22 @@ def canonical_ranks(mol: Molecule) -> List[int]:
     return rank
 
 
-def _atom_token(mol: Molecule, idx: int) -> str:
+def _perm_parity(src: List, dst: List) -> int:
+    """0 = even permutation src->dst, 1 = odd; -1 if not a permutation."""
+    if len(src) != len(dst) or set(map(str, src)) != set(map(str, dst)):
+        return -1
+    pos = {str(x): i for i, x in enumerate(dst)}
+    perm = [pos[str(x)] for x in src]
+    parity = 0
+    for i in range(len(perm)):
+        for j in range(i + 1, len(perm)):
+            if perm[i] > perm[j]:
+                parity ^= 1
+    return parity
+
+
+def _atom_token(mol: Molecule, idx: int,
+                chirality_out: str = None) -> str:
     a = mol.atoms[idx]
     sym = a.symbol
     plain = (sym in ORGANIC_SUBSET and a.formal_charge == 0 and
@@ -92,6 +107,12 @@ def _atom_token(mol: Molecule, idx: int) -> str:
     if a.isotope:
         body += str(a.isotope)
     body += sym_out
+    if chirality_out is None and a.chirality and a.chiral_order is None:
+        # no neighbor-order bookkeeping (e.g. programmatic construction):
+        # emit the stored tag as-is
+        chirality_out = a.chirality
+    if chirality_out:
+        body += chirality_out
     h = a.total_hs
     if h == 1:
         body += 'H'
@@ -159,10 +180,11 @@ def mol_to_smiles(mol: Molecule, canonical: bool = True) -> str:
 
         def dfs(u: int, from_bond: int) -> None:
             visited[u] = True
-            tokens.append(_atom_token(mol, u))
             # ring closures at this atom, in canonical neighbor-rank order;
             # numbers are assigned at first encounter so output labels are
             # traversal-ordered (stable across input atom orderings)
+            ring_tokens: List[str] = []
+            ring_partners: List[int] = []
             for b in sorted(mol.atom_bonds(u),
                             key=lambda bb: rank[bb.other(u)]):
                 if b.index in back_edges and b.index != from_bond:
@@ -170,14 +192,37 @@ def mol_to_smiles(mol: Molecule, canonical: bool = True) -> str:
                         ring_num_of_bond[b.index] = next_ring[0]
                         next_ring[0] += 1
                     num = ring_num_of_bond[b.index]
-                    tokens.append(bond_sym(b) +
-                                  (str(num) if num < 10 else f'%{num:02d}'))
+                    ring_tokens.append(
+                        bond_sym(b) +
+                        (str(num) if num < 10 else f'%{num:02d}'))
+                    ring_partners.append(b.other(u))
             children = []
             for b in sorted(mol.atom_bonds(u),
                             key=lambda bb: rank[bb.other(u)]):
                 v = b.other(u)
                 if not visited[v] and b.index not in back_edges:
                     children.append((b, v))
+            # re-derive the tetrahedral tag in THIS traversal's neighbor
+            # order (parse order lives in atom.chiral_order)
+            a = mol.atoms[u]
+            chir_out = None
+            if a.chirality and a.chiral_order is not None:
+                write_order: List = []
+                if from_bond >= 0:
+                    write_order.append(mol.bonds[from_bond].other(u))
+                if a.total_hs > 0:
+                    write_order.append('H')
+                write_order += ring_partners
+                write_order += [v for (_b, v) in children]
+                parity = _perm_parity(a.chiral_order, write_order)
+                if parity < 0:
+                    chir_out = ''          # bookkeeping mismatch: drop tag
+                elif parity == 0:
+                    chir_out = a.chirality
+                else:
+                    chir_out = '@@' if a.chirality == '@' else '@'
+            tokens.append(_atom_token(mol, u, chir_out))
+            tokens.extend(ring_tokens)
             for ci, (b, v) in enumerate(children):
                 last = ci == len(children) - 1
                 if not last:

@@ -97,6 +97,10 @@ class Atom:
     chirality: str = CHI_NONE
     num_radical_electrons: int = 0
     atom_map: int = 0
+    #: SMILES-order neighbor list for chiral atoms (atom indices, 'H' for
+    #: the bracket hydrogen slot); set by the parser, consumed by the
+    #: canonical writer to re-derive @/@@ in its own traversal order
+    chiral_order: Optional[List] = None
     # Filled in by Molecule.finalize():
     implicit_hs: int = 0
     degree: int = 0                # heavy-atom degree (explicit connections)
@@ -397,11 +401,19 @@ class Molecule:
         out = Molecule()
         for a in atom_indices:
             old = self.atoms[a]
-            out.add_atom(Atom(
+            na = Atom(
                 atomic_num=old.atomic_num, formal_charge=old.formal_charge,
                 explicit_hs=old.explicit_hs, is_aromatic=old.is_aromatic,
                 isotope=old.isotope, chirality=old.chirality,
-                num_radical_electrons=old.num_radical_electrons))
+                num_radical_electrons=old.num_radical_electrons)
+            if old.chiral_order is not None:
+                if all(x == 'H' or x in keep for x in old.chiral_order):
+                    na.chiral_order = ['H' if x == 'H' else keep[x]
+                                       for x in old.chiral_order]
+                else:
+                    # a stereo neighbor was cut away; parity undefined
+                    na.chirality = CHI_NONE
+            out.add_atom(na)
         for b in self.bonds:
             if b.a1 in keep and b.a2 in keep:
                 out.add_bond(keep[b.a1], keep[b.a2], order=b.order,

@@ -148,7 +148,12 @@ def _parse(smiles: str) -> Molecule:
     pending_bond: Optional[float] = None
     pending_aromatic_bond = False
     pending_dir = ''
-    ring_bonds = {}    # ring-closure number -> (atom_idx, order|None, dir)
+    # SMILES-order neighbor lists (for tetrahedral chirality): per atom,
+    # neighbors in written order; ring-closure digits hold a mutable
+    # placeholder filled at closure time; 'H' marks the bracket H slot
+    nbr_order: dict = {}
+    ring_bonds = {}    # ring-closure number -> (atom_idx, order|None, dir,
+    #                    placeholder)
     i = 0
     n = len(smiles)
     while i < n:
@@ -188,7 +193,7 @@ def _parse(smiles: str) -> Molecule:
             if cur is None:
                 raise SmilesParseError('ring closure with no atom')
             if num in ring_bonds:
-                other, order0, dir0 = ring_bonds.pop(num)
+                other, order0, dir0, placeholder = ring_bonds.pop(num)
                 order = pending_bond if pending_bond is not None else order0
                 arom = pending_aromatic_bond
                 if order is None:
@@ -202,8 +207,13 @@ def _parse(smiles: str) -> Molecule:
                     arom = True
                 mol.add_bond(other, cur, order=order, is_aromatic=arom,
                              stereo_dir=pending_dir or dir0)
+                placeholder[0] = cur            # fill opener's slot
+                nbr_order.setdefault(cur, []).append([other])
             else:
-                ring_bonds[num] = (cur, pending_bond, pending_dir)
+                placeholder = [None]
+                ring_bonds[num] = (cur, pending_bond, pending_dir,
+                                   placeholder)
+                nbr_order.setdefault(cur, []).append(placeholder)
             pending_bond = None
             pending_aromatic_bond = False
             pending_dir = ''
@@ -227,7 +237,14 @@ def _parse(smiles: str) -> Molecule:
         else:
             raise SmilesParseError(f'unexpected char {c!r} at {i}')
         idx = mol.add_atom(atom)
+        # chirality slots: preceding atom first, then the bracket H
+        slots = nbr_order.setdefault(idx, [])
         cur = prev_atom[-1]
+        if cur is not None:
+            slots.append([cur])
+            nbr_order.setdefault(cur, []).append([idx])
+        if atom.chirality and atom.explicit_hs and atom.explicit_hs > 0:
+            slots.append(['H'])
         if cur is not None:
             order = pending_bond
             arom = pending_aromatic_bond
@@ -250,4 +267,9 @@ def _parse(smiles: str) -> Molecule:
         raise SmilesParseError('unbalanced parens at end')
     if ring_bonds:
         raise SmilesParseError(f'unclosed ring bonds: {sorted(ring_bonds)}')
+    # persist resolved SMILES-order neighbor lists on chiral atoms; the
+    # canonical writer needs them to re-derive @/@@ in its own order
+    for idx, slots in nbr_order.items():
+        if mol.atoms[idx].chirality:
+            mol.atoms[idx].chiral_order = [s[0] for s in slots]
     return mol.finalize()

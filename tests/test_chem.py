@@ -191,3 +191,30 @@ def test_native_tanimoto_matrix():
     union = fa.sum(1)[:, None] + fb.sum(1)[None, :] - inter
     ref = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
     assert np.allclose(out, ref)
+
+
+def test_canonical_smiles_preserves_tetrahedral_stereo():
+    """Equivalent stereo writings (Daylight parity rule: even neighbor
+    permutation keeps the tag, odd flips it) must canonicalize to ONE
+    string; enantiomers must stay distinct."""
+    from deepchem_tpu.chem import mol_from_smiles, mol_to_smiles
+
+    def canon(s):
+        return mol_to_smiles(mol_from_smiles(s))
+
+    same = [
+        ['C[C@H](N)O', 'C[C@@H](O)N', '[C@@H](C)(N)O', 'O[C@H](C)N',
+         'N[C@@H](C)O'],
+        ['C[C@@H](C(=O)O)N', 'N[C@H](C(=O)O)C', '[C@H](C)(C(=O)O)N'],
+        ['[C@H]1(O)CCC1', 'O[C@H]1CCC1'],
+    ]
+    for group in same:
+        outs = {canon(s) for s in group}
+        assert len(outs) == 1, (group, outs)
+        assert '@' in next(iter(outs))
+    # enantiomers differ
+    assert canon('C[C@H](N)O') != canon('C[C@@H](N)O')
+    # round-trip stability
+    for s in ['C[C@H](N)O', 'CC(C)(C)OC(=O)N1CCC[C@H]1C(=O)O']:
+        c1 = canon(s)
+        assert canon(c1) == c1 and '@' in c1
