@@ -6,6 +6,13 @@ which is all the framework needs for scaffold grouping and dataset dedup
 (reference uses RDKit ``MolToSmiles`` for the same purpose, e.g. in
 ``deepchem/splits/splitters.py:1276`` scaffold generation).  It is not
 guaranteed to match RDKit's canonical output byte-for-byte.
+
+Tetrahedral stereo (@/@@) is preserved: the parser records the SMILES
+neighbor order per chiral atom and the writer re-derives the tag for its
+own traversal order via permutation parity, so equivalent stereo writings
+canonicalize to one string and enantiomers stay distinct.  Double-bond
+(E/Z) direction marks are parsed and stored on bonds but not yet written
+back.
 """
 
 from __future__ import annotations
