@@ -175,9 +175,87 @@ def mol_to_smiles(mol: Molecule, canonical: bool = True) -> str:
                 stack.pop()
         back_edges = comp_bonds - tree_bonds
 
-        def bond_sym(b) -> str:
+        # --- E/Z: solve '/'-'\\' marks for stereo double bonds ---------
+        # marks[bond] = (ref_atom, char): written ref->other displays char
+        flip = {'/': '\\', '\\': '/'}
+        marks: Dict[int, tuple] = {}
+
+        def _mark_as(bidx: int, u: int, char_u_to_v: str):
+            marks[bidx] = (u, char_u_to_v)
+
+        def _mark_char(bidx: int, u: int) -> str:
+            ref, ch = marks[bidx]
+            return ch if ref == u else flip[ch]
+
+        def _flank(end: int, other_end: int, prefer: int):
+            """Pick a markable single tree bond at ``end``; returns
+            (bond, neighbor, same_side) or None."""
+            best = None
+            for b in mol.atom_bonds(end):
+                nb = b.other(end)
+                if nb == other_end or b.order != BOND_SINGLE \
+                        or b.is_aromatic or b.index not in tree_bonds:
+                    continue
+                cand = (b, nb, nb == prefer)
+                if nb == prefer:
+                    return cand
+                best = best or cand
+            return best
+
+        # canonical processing order + canonical seeding so every parse
+        # of the same configuration emits identical marks
+        stereo_dbs = sorted(
+            (db for db in mol.bonds
+             if db.index in comp_bonds and db.stereo
+             and db.stereo_atoms is not None),
+            key=lambda db: sorted((rank[db.a1], rank[db.a2])))
+        for db in stereo_dbs:
+            x0, y0 = db.stereo_atoms
+            e1, e2 = db.a1, db.a2
+            # canonical end order (parse orientation must not matter)
+            if rank[e1] > rank[e2]:
+                e1, e2 = e2, e1
+                x0, y0 = y0, x0
+            f1 = _flank(e1, e2, x0)
+            f2 = _flank(e2, e1, y0)
+            if f1 is None or f2 is None:
+                continue
+            b1, x, same1 = f1
+            b2, y, same2 = f2
+            want_trans = (db.stereo == 'trans') ^ (not same1) ^ (not same2)
+            # constraint: char(x->e1) == char(e2->y) iff trans.  Anchor on
+            # whichever flank is already marked (shared flanks in
+            # conjugated systems); seed canonically only when both fresh.
+            has1 = b1.index in marks
+            has2 = b2.index in marks
+            if has1 and has2:
+                d1 = _mark_char(b1.index, x)
+                want = d1 if want_trans else flip[d1]
+                if _mark_char(b2.index, e2) != want:
+                    # conflicting constraint (rare odd cycle): this bond's
+                    # stereo is dropped from the output
+                    continue
+            elif has1:
+                d1 = _mark_char(b1.index, x)
+                _mark_as(b2.index, e2,
+                         d1 if want_trans else flip[d1])
+            elif has2:
+                d2 = _mark_char(b2.index, e2)
+                _mark_as(b1.index, x,
+                         d2 if want_trans else flip[d2])
+            else:
+                # seed: '/' as seen from b1's lower-RANK endpoint
+                lo = b1.a1 if rank[b1.a1] < rank[b1.a2] else b1.a2
+                _mark_as(b1.index, lo, '/')
+                d1 = _mark_char(b1.index, x)
+                _mark_as(b2.index, e2,
+                         d1 if want_trans else flip[d1])
+
+        def bond_sym(b, u: int = -1) -> str:
             if b.is_aromatic:
                 return ''
+            if b.index in marks and u >= 0:
+                return _mark_char(b.index, u)
             s = _BOND_SYM.get(b.order, '')
             # explicit single bond between two aromatic atoms (biphenyl)
             if (s == '' and mol.atoms[b.a1].is_aromatic and
@@ -200,7 +278,7 @@ def mol_to_smiles(mol: Molecule, canonical: bool = True) -> str:
                         next_ring[0] += 1
                     num = ring_num_of_bond[b.index]
                     ring_tokens.append(
-                        bond_sym(b) +
+                        bond_sym(b, u) +
                         (str(num) if num < 10 else f'%{num:02d}'))
                     ring_partners.append(b.other(u))
             children = []
@@ -234,7 +312,7 @@ def mol_to_smiles(mol: Molecule, canonical: bool = True) -> str:
                 last = ci == len(children) - 1
                 if not last:
                     tokens.append('(')
-                tokens.append(bond_sym(b))
+                tokens.append(bond_sym(b, u))
                 dfs(v, b.index)
                 if not last:
                     tokens.append(')')

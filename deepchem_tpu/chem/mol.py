@@ -138,6 +138,11 @@ class Bond:
     stereo_dir: str = ''           # '/' or '\\' from SMILES, else ''
     in_ring: bool = False
     index: int = -1
+    #: double-bond stereo perceived from SMILES direction marks:
+    #: '' | 'cis' | 'trans', relative to ``stereo_atoms`` = (x, y) with
+    #: x bonded to a1 and y bonded to a2
+    stereo: str = ''
+    stereo_atoms: Optional[Tuple[int, int]] = None
 
     @property
     def is_conjugated(self) -> bool:

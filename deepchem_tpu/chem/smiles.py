@@ -205,8 +205,16 @@ def _parse(smiles: str) -> Molecule:
                         order = BOND_SINGLE
                 elif order == BOND_AROMATIC:
                     arom = True
+                # stereo mark orientation: dir0 was written other->cur
+                # (at the opening digit), pending_dir cur->other (at the
+                # closure) — the bond is stored (other, cur), so a
+                # closure-time mark must be flipped
+                if pending_dir:
+                    sdir = {'/': '\\', '\\': '/'}[pending_dir]
+                else:
+                    sdir = dir0
                 mol.add_bond(other, cur, order=order, is_aromatic=arom,
-                             stereo_dir=pending_dir or dir0)
+                             stereo_dir=sdir)
                 placeholder[0] = cur            # fill opener's slot
                 nbr_order.setdefault(cur, []).append([other])
             else:
@@ -272,4 +280,35 @@ def _parse(smiles: str) -> Molecule:
     for idx, slots in nbr_order.items():
         if mol.atoms[idx].chirality:
             mol.atoms[idx].chiral_order = [s[0] for s in slots]
-    return mol.finalize()
+    out = mol.finalize()
+    _perceive_double_bond_stereo(out)
+    return out
+
+
+def _perceive_double_bond_stereo(mol: Molecule) -> None:
+    """Convert '/'-'\\\\' direction marks into per-double-bond cis/trans
+    configuration (bond.stereo + bond.stereo_atoms)."""
+    flip = {'/': '\\', '\\': '/'}
+
+    def marked_neighbor(end: int, exclude: int):
+        """(x, direction seen x->end) for a marked single bond at end."""
+        for b in mol.atom_bonds(end):
+            x = b.other(end)
+            if x == exclude or b.order != BOND_SINGLE or not b.stereo_dir:
+                continue
+            d = b.stereo_dir if (b.a1 == x) else flip[b.stereo_dir]
+            return x, d
+        return None
+
+    for db in mol.bonds:
+        if db.order != BOND_DOUBLE or db.is_aromatic:
+            continue
+        m1 = marked_neighbor(db.a1, db.a2)
+        m2 = marked_neighbor(db.a2, db.a1)
+        if m1 is None or m2 is None:
+            continue
+        x, d_x_to_a1 = m1
+        y, d_y_to_a2 = m2
+        d_a2_to_y = flip[d_y_to_a2]
+        db.stereo = 'trans' if d_x_to_a1 == d_a2_to_y else 'cis'
+        db.stereo_atoms = (x, y)

@@ -268,15 +268,24 @@ class Metric:
             yt = y_true[:, t]
             yp = y_pred[:, t]
             wt = w[:, t]
-            task_val = self.compute_singletask_metric(
-                yt, yp, wt, n_samples=n_samples,
-                use_sample_weights=use_sample_weights, **kwargs)
+            try:
+                task_val = self.compute_singletask_metric(
+                    yt, yp, wt, n_samples=n_samples,
+                    use_sample_weights=use_sample_weights, **kwargs)
+            except Exception as e:
+                # e.g. a fold where a sparse task has only one class
+                # (MUV); skip the task like the reference's evaluator
+                logger.warning('error computing %s for task %d: %s',
+                               self.name, t, e)
+                task_val = np.nan
             computed_metrics.append(task_val)
         logger.debug('computed_metrics: %s', computed_metrics)
         if n_tasks == 1:
             overall = computed_metrics[0]
         else:
-            overall = self.task_averager(computed_metrics)
+            valid = [v for v in computed_metrics if not np.isnan(v)]
+            overall = (self.task_averager(valid) if valid
+                       else float('nan'))
         if per_task_metrics:
             return overall, computed_metrics
         return overall

@@ -218,3 +218,29 @@ def test_canonical_smiles_preserves_tetrahedral_stereo():
     for s in ['C[C@H](N)O', 'CC(C)(C)OC(=O)N1CCC[C@H]1C(=O)O']:
         c1 = canon(s)
         assert canon(c1) == c1 and '@' in c1
+
+
+def test_canonical_smiles_preserves_ez_stereo():
+    from deepchem_tpu.chem import mol_from_smiles, mol_to_smiles
+
+    def canon(s):
+        return mol_to_smiles(mol_from_smiles(s))
+
+    def stereo_of(s):
+        m = mol_from_smiles(s)
+        return sorted(b.stereo for b in m.bonds
+                      if b.order == 2.0 and b.stereo)
+
+    groups = [
+        (['F/C=C/F', 'F\\C=C\\F', 'C(/F)=C\\F'], ['trans']),
+        (['F/C=C\\F', 'F\\C=C/F', 'C(/F)=C/F'], ['cis']),
+        (['C/C=C\\C(=O)O', 'OC(=O)/C=C\\C'], ['cis']),
+        (['C/C=C/C=C\\C', 'C\\C=C\\C=C/C'], ['cis', 'trans']),
+    ]
+    for group, cfg in groups:
+        outs = {canon(s) for s in group}
+        assert len(outs) == 1, (group, outs)
+        out = next(iter(outs))
+        assert stereo_of(out) == sorted(cfg)     # round-trips config
+        assert canon(out) == out                 # idempotent
+    assert canon('F/C=C/F') != canon('F/C=C\\F')

@@ -249,3 +249,16 @@ def test_misc_scores():
     assert concordance_index(np.arange(8), np.arange(8)) == 1.0
     assert rms_score(y, y) == 0.0
     assert to_one_hot(np.array([0, 1, 1]), 2).shape == (3, 2)
+
+
+def test_metric_skips_single_class_tasks():
+    """Sparse multitask data (MUV) can leave a split with one-class
+    tasks; the mean must skip them instead of going nan."""
+    rng = np.random.RandomState(0)
+    y = np.stack([rng.randint(0, 2, 50), np.zeros(50, int),
+                  rng.randint(0, 2, 50)], axis=1)
+    p = rng.rand(50, 3)
+    m = Metric(roc_auc_score, np.mean, mode='classification')
+    overall, per = m.compute_metric(y, p, per_task_metrics=True)
+    assert not np.isnan(overall)
+    assert np.isnan(per[1]) and not np.isnan(per[0])
