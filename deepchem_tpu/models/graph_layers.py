@@ -332,3 +332,43 @@ class DTNNStep(nn.Module):
         msg = msg * atom_mask[:, None, :, None]
         out = atom_emb + W_cf(jnp.sum(msg, axis=2))
         return out
+
+
+class EGNNLayer(nn.Module):
+    """E(n)-equivariant graph layer (Satorras et al. 2021 "E(n)
+    Equivariant Graph Neural Networks"; the reference's SE(3) blocks live
+    in torch_models/layers.py:6482-6690).
+
+    Updates invariant node features h AND equivariant coordinates x:
+        m_ij  = phi_e(h_i, h_j, ||x_i - x_j||^2, e_ij)
+        x_i' += C * sum_j (x_i - x_j) phi_x(m_ij)
+        h_i'  = phi_h(h_i, sum_j m_ij)
+    All segment ops are masked COO — static shapes, TPU-friendly.
+    """
+    hidden_dim: int
+    update_coords: bool = True
+
+    @nn.compact
+    def __call__(self, h, x, esrc, edst, emask, ef=None):
+        from deepchem_tpu.ops import segment_sum
+        diff = jnp.take(x, edst, axis=0) - jnp.take(x, esrc, axis=0)
+        d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)
+        z = [jnp.take(h, edst, axis=0), jnp.take(h, esrc, axis=0), d2]
+        if ef is not None:
+            z.append(ef)
+        m = nn.silu(nn.Dense(self.hidden_dim)(nn.silu(
+            nn.Dense(self.hidden_dim)(jnp.concatenate(z, axis=-1)))))
+        m = m * emask[:, None]
+        agg = segment_sum(m, edst, h.shape[0])
+        h_new = h + nn.Dense(h.shape[-1])(nn.silu(nn.Dense(
+            self.hidden_dim)(jnp.concatenate([h, agg], axis=-1))))
+        if not self.update_coords:
+            return h_new, x
+        w = nn.Dense(1, use_bias=False,
+                     kernel_init=nn.initializers.variance_scaling(
+                         1e-3, 'fan_in', 'truncated_normal'))(m)
+        # mean-normalize by (masked) degree so scale is size-invariant
+        deg = segment_sum(emask, edst, h.shape[0])
+        dx = segment_sum(-diff * w, edst, h.shape[0]) \
+            / jnp.maximum(deg, 1.0)[:, None]
+        return h_new, x + dx

@@ -233,3 +233,26 @@ def test_compute_saliency_matches_finite_differences():
         xp[k] += eps
         fd = (m.predict_on_batch(xp[None])[0] - f0) / eps
         assert np.allclose(s[:, k], fd, atol=1e-2)
+
+
+def test_differentiation_utils():
+    import jax
+    import jax.numpy as jnp
+    from deepchem_tpu.utils.differentiation_utils import (
+        LinearOperator, solve, symeig, minimize, rootfinder)
+    rng = np.random.RandomState(0)
+    M = rng.randn(6, 6)
+    A_mat = M @ M.T + 6 * np.eye(6)
+    A = LinearOperator.from_matrix(jnp.asarray(A_mat))
+    b = jnp.asarray(rng.randn(6))
+    x = solve(A, b)
+    assert float(jnp.linalg.norm(A @ x - b)) < 1e-4
+    g = jax.grad(lambda bb: solve(A, bb).sum())(b)   # implicit diff
+    assert bool(jnp.all(jnp.isfinite(g)))
+    ev, _ = symeig(A, neig=2)
+    assert np.allclose(np.asarray(ev), np.linalg.eigvalsh(A_mat)[:2],
+                       atol=1e-4)
+    xm = minimize(lambda x: ((x - 3.0) ** 2).sum(), jnp.zeros(3))
+    assert np.allclose(np.asarray(xm), 3.0, atol=1e-3)
+    assert abs(float(rootfinder(lambda x: x ** 3 - 8.0,
+                                jnp.array(3.0))) - 2.0) < 1e-5

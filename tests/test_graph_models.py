@@ -114,3 +114,27 @@ def test_pagtn_model_overfit():
     model.fit(ds, nb_epoch=60, checkpoint_interval=0)
     scores = model.evaluate(ds, [Metric(pearson_r2_score, np.mean)])
     assert scores['pearson_r2_score'] > 0.8
+
+
+def test_egnn_layer_equivariance():
+    import jax
+    import jax.numpy as jnp
+    from deepchem_tpu.models.graph_layers import EGNNLayer
+    rng = np.random.RandomState(0)
+    N, E, F = 5, 8, 16
+    h = jnp.asarray(rng.randn(N, F).astype(np.float32))
+    x = jnp.asarray(rng.randn(N, 3).astype(np.float32))
+    esrc = jnp.asarray(rng.randint(0, N, E))
+    edst = jnp.asarray(rng.randint(0, N, E))
+    emask = jnp.ones(E)
+    layer = EGNNLayer(hidden_dim=32)
+    params = layer.init(jax.random.PRNGKey(0), h, x, esrc, edst, emask)
+    h1, x1 = layer.apply(params, h, x, esrc, edst, emask)
+    th = 0.9
+    R = jnp.asarray(np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0],
+         [0, 0, 1]], np.float32))
+    t = jnp.asarray(np.array([1., 2., 3.], np.float32))
+    h2, x2 = layer.apply(params, h, x @ R.T + t, esrc, edst, emask)
+    assert jnp.allclose(h1, h2, atol=1e-4)          # invariant features
+    assert jnp.allclose(x1 @ R.T + t, x2, atol=1e-4)  # equivariant coords
