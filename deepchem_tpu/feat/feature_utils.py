@@ -175,9 +175,15 @@ def get_bond_is_conjugated_one_hot(bond: Bond) -> List[float]:
 
 
 def get_bond_stereo_one_hot(bond: Bond) -> List[float]:
-    """[NONE, ANY, Z, E, CIS, TRANS] approximated from SMILES slashes."""
+    """[NONE, ANY, Z, E, CIS, TRANS] from the perceived double-bond
+    configuration (bond.stereo; chem/smiles.py perceives it from the
+    direction marks)."""
     vec = [0.0] * 6
-    if bond.stereo_dir:
+    if bond.stereo == 'cis':
+        vec[4] = 1.0
+    elif bond.stereo == 'trans':
+        vec[5] = 1.0
+    elif bond.stereo_dir:
         vec[1] = 1.0
     else:
         vec[0] = 1.0
