@@ -205,3 +205,21 @@ def test_dynamic_csv_molnet_loader(tmp_path):
     assert tasks == ['assay_a', 'assay_b']
     assert len(train) + len(valid) + len(test) == 6
     assert train.y.shape[1] == 2
+
+
+def test_poly_wd_graph_utils():
+    from deepchem_tpu.utils.poly_wd_graph_utils import (
+        PolyWDGStringValidator, parse_polymer_rules, make_polymer_mol,
+        tag_atoms_in_repeating_unit, remove_wildcard_atoms)
+    v = PolyWDGStringValidator()
+    assert v.validate('[1*]C.C[2*]|0.5|0.5|<1-2:0.5:0.5')
+    info, dop = parse_polymer_rules(['1-2:0.3:0.7~100'])
+    assert info == [('1', '2', 0.3, 0.7)] and abs(dop - 3.0) < 1e-9
+    poly = make_polymer_mol('[1*]CC.CO[2*]', [0.5, 0.5], True, False)
+    tagged, rmap = tag_atoms_in_repeating_unit(poly)
+    assert set(rmap) == {'1', '2'}
+    clean = remove_wildcard_atoms(tagged)
+    assert clean.num_atoms == 4
+    assert all(getattr(a, 'w_frag', None) == 0.5 for a in clean.atoms)
+    with pytest.raises(ValueError):
+        v.validate('C.C|0.5|<1-2:0.5:0.5')
