@@ -251,9 +251,9 @@ class RdkitGridFeaturizer(ComplexFeaturizer):
     centered on the ligand centroid.
 
     feature_types: subset of ['ecfp', 'splif', 'charge', 'hbond',
-    'salt_bridge'] or 'voxel_combined' (all of them, alphabetical).  The
-    reference's 'sybyl'/'pi_stack'/'cation_pi' channels need RDKit's
-    sybyl typing/ring perception on proteins and are not included.
+    'salt_bridge', 'sybyl'] or 'voxel_combined' (all of them,
+    alphabetical).  The reference's 'pi_stack'/'cation_pi' channels need
+    ring perception on bond-less protein fragments and are not included.
     """
 
     def __init__(self, nb_rotations: int = 0, feature_types=None,
@@ -267,7 +267,7 @@ class RdkitGridFeaturizer(ComplexFeaturizer):
         if feature_types == 'voxel_combined' or \
                 'voxel_combined' in feature_types:
             feature_types = ['charge', 'ecfp', 'hbond', 'salt_bridge',
-                             'splif']
+                             'splif', 'sybyl']
         self.feature_types = list(feature_types)
         self.ecfp_degree = ecfp_degree
         self.ecfp_power = ecfp_power
@@ -326,7 +326,109 @@ class RdkitGridFeaturizer(ComplexFeaturizer):
                 pairs = compute_salt_bridges(c1, _charges(m1), c2,
                                              _charges(m2))
                 tensors.append(self._pair_voxels(pairs, c1, c2, centroid))
+            elif ft == 'sybyl':
+                edge = int(self.box_width / self.voxel_width)
+                nc = len(SYBYL_TYPES)
+                t_syb = np.zeros((edge, edge, edge, nc), dtype=np.float32)
+                for coords, mol in ((c1, m1), (c2, m2)):
+                    types = compute_all_sybyl(mol)
+                    rel = coords - centroid
+                    idx = np.floor((rel + self.box_width / 2.0)
+                                   / self.voxel_width).astype(int)
+                    ok = np.all((idx >= 0) & (idx < edge), axis=1)
+                    for k in np.nonzero(ok)[0]:
+                        ch = SYBYL_TYPES.index(types.get(int(k), 'Du'))
+                        t_syb[idx[k, 0], idx[k, 1], idx[k, 2], ch] += 1
+                tensors.append(t_syb)
             else:
                 raise ValueError(f'unknown feature type {ft!r}')
         out = np.concatenate(tensors, axis=-1)
         return out.flatten() if self.flatten else out
+
+
+#: Tripos Sybyl atom types emitted by :func:`sybyl_atom_type`
+SYBYL_TYPES = ['C.3', 'C.2', 'C.1', 'C.ar', 'C.cat', 'N.3', 'N.2',
+               'N.1', 'N.ar', 'N.am', 'N.pl3', 'N.4', 'O.3', 'O.2',
+               'O.co2', 'S.3', 'S.2', 'S.O', 'S.O2', 'P.3', 'F', 'Cl',
+               'Br', 'I', 'H', 'Du']
+
+
+def sybyl_atom_type(mol, idx: int) -> str:
+    """Tripos Sybyl type from the in-repo perception (the reference's
+    compute_all_sybyl delegates to RDKit-based typing,
+    contact_fingerprints.py:241)."""
+    if not isinstance(mol, Molecule):
+        atoms = mol.GetAtoms() if hasattr(mol, 'GetAtoms') else mol.atoms
+        a = atoms[idx]
+        z = a.GetAtomicNum() if hasattr(a, 'GetAtomicNum') \
+            else a.atomic_num
+        return {6: 'C.3', 7: 'N.3', 8: 'O.3', 16: 'S.3', 15: 'P.3',
+                9: 'F', 17: 'Cl', 35: 'Br', 53: 'I',
+                1: 'H'}.get(z, 'Du')
+    a = mol.atoms[idx]
+    z = a.atomic_num
+    hyb = a.hybridization
+    bonds = mol.atom_bonds(idx)
+    if z == 6:
+        if a.is_aromatic:
+            return 'C.ar'
+        # guanidinium carbon
+        n_nbrs = [mol.atoms[b.other(idx)] for b in bonds]
+        if (len(n_nbrs) == 3
+                and all(x.atomic_num == 7 for x in n_nbrs)
+                and any(x.formal_charge > 0 for x in n_nbrs)):
+            return 'C.cat'
+        return {'SP3': 'C.3', 'SP2': 'C.2', 'SP': 'C.1'}.get(hyb, 'C.3')
+    if z == 7:
+        if a.is_aromatic:
+            return 'N.ar'
+        # amide nitrogen: single-bonded to a carbonyl carbon
+        for b in bonds:
+            nb = b.other(idx)
+            if mol.atoms[nb].atomic_num == 6 and b.order == 1.0:
+                if any(bb.order == 2.0
+                       and mol.atoms[bb.other(nb)].atomic_num in (8, 16)
+                       for bb in mol.atom_bonds(nb)):
+                    return 'N.am'
+        if a.formal_charge > 0 and a.degree + a.total_hs == 4:
+            return 'N.4'
+        if hyb == 'SP2':
+            return 'N.pl3' if all(b.order == 1.0 for b in bonds) \
+                else 'N.2'
+        return {'SP3': 'N.3', 'SP': 'N.1'}.get(hyb, 'N.3')
+    if z == 8:
+        # carboxylate oxygen
+        for b in bonds:
+            nb = b.other(idx)
+            if mol.atoms[nb].atomic_num == 6:
+                os = [bb for bb in mol.atom_bonds(nb)
+                      if mol.atoms[bb.other(nb)].atomic_num == 8]
+                if len(os) >= 2 and any(
+                        mol.atoms[bb.other(nb)].formal_charge < 0
+                        or bb.order == 2.0 for bb in os) \
+                        and (a.formal_charge < 0
+                             or any(bb.order == 2.0 for bb in os)):
+                    if a.formal_charge < 0 or \
+                            any(b2.order == 2.0 for b2 in bonds):
+                        return 'O.co2'
+        return 'O.2' if any(b.order == 2.0 for b in bonds) else 'O.3'
+    if z == 16:
+        n_o = sum(1 for b in bonds
+                  if mol.atoms[b.other(idx)].atomic_num == 8
+                  and b.order == 2.0)
+        if n_o >= 2:
+            return 'S.O2'
+        if n_o == 1:
+            return 'S.O'
+        return 'S.2' if any(b.order == 2.0 for b in bonds) else 'S.3'
+    return {15: 'P.3', 9: 'F', 17: 'Cl', 35: 'Br', 53: 'I',
+            1: 'H'}.get(z, 'Du')
+
+
+def compute_all_sybyl(mol, indices=None) -> dict:
+    """{atom index: sybyl type} (reference contact_fingerprints.py:241)."""
+    n = mol.num_atoms if isinstance(mol, Molecule) else (
+        mol.GetNumAtoms() if hasattr(mol, 'GetNumAtoms')
+        else len(mol.atoms))
+    idxs = range(n) if indices is None else indices
+    return {int(i): sybyl_atom_type(mol, int(i)) for i in idxs}

@@ -172,5 +172,19 @@ def test_rdkit_grid_featurizer():
                       + np.array([2.0, 0, 0])]
     g = RdkitGridFeaturizer(feature_types='voxel_combined', ecfp_power=3,
                             splif_power=3)._featurize((lig, prot))
-    assert g.shape == (16, 16, 16, 43)
+    assert g.shape == (16, 16, 16, 69)   # + 26 sybyl channels
     assert g.sum() != 0
+
+
+def test_sybyl_atom_typing():
+    from deepchem_tpu.feat.complex_featurizers import compute_all_sybyl
+    cases = [('CC(=O)[O-]', {1: 'C.2', 2: 'O.co2', 3: 'O.co2'}),
+             ('c1ccccc1', {0: 'C.ar'}),
+             ('CC(=O)NC', {3: 'N.am'}),
+             ('CS(=O)(=O)C', {1: 'S.O2'}),
+             ('C#N', {0: 'C.1', 1: 'N.1'}),
+             ('C[NH3+]', {1: 'N.4'})]
+    for smi, want in cases:
+        got = compute_all_sybyl(mol_from_smiles(smi))
+        for k, v in want.items():
+            assert got[k] == v, (smi, k, got[k], v)
