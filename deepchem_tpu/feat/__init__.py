@@ -38,6 +38,10 @@ from deepchem_tpu.feat.complex_featurizers import (
     SplifFingerprint, SplifVoxelizer, RdkitGridFeaturizer)
 from deepchem_tpu.feat.conformer_featurizers import (
     RDKitConformerFeaturizer, EquivariantGraphFeaturizer)
+from deepchem_tpu.feat.polymer_featurizers import PolyWDGFeaturizer
+from deepchem_tpu.feat.base import (MaterialCompositionFeaturizer,
+                                    MaterialStructureFeaturizer,
+                                    PolymerFeaturizer)
 from deepchem_tpu.feat import feature_utils
 
 __all__ = [
@@ -63,4 +67,6 @@ __all__ = [
     'ContactCircularFingerprint', 'ContactCircularVoxelizer',
     'SplifFingerprint', 'SplifVoxelizer', 'RdkitGridFeaturizer',
     'RDKitConformerFeaturizer', 'EquivariantGraphFeaturizer',
+    'PolyWDGFeaturizer', 'PolymerFeaturizer',
+    'MaterialCompositionFeaturizer', 'MaterialStructureFeaturizer',
 ]

@@ -184,3 +184,37 @@ class RawFeaturizer(MolecularFeaturizer):
             from deepchem_tpu.chem import mol_to_smiles
             return mol_to_smiles(mol)
         return mol
+
+
+class MaterialCompositionFeaturizer(Featurizer):
+    """Base for featurizers over composition strings like 'Fe2O3'
+    (reference feat/base_classes.py:407)."""
+
+
+class MaterialStructureFeaturizer(Featurizer):
+    """Base for featurizers over crystal-structure dicts/objects
+    (reference feat/base_classes.py:328)."""
+
+
+class PolymerFeaturizer(Featurizer):
+    """Base for polymer featurizers (reference feat/base_classes.py:480):
+    validates string datapoints before dispatching to ``_featurize``."""
+
+    def featurize(self, datapoints, log_every_n: int = 1000,
+                  **kwargs) -> np.ndarray:
+        if isinstance(datapoints, str):
+            datapoints = [datapoints]
+        features = []
+        for i, point in enumerate(datapoints):
+            if i % log_every_n == 0:
+                logger.info('Featurizing polymer %i', i)
+            try:
+                if not isinstance(point, str):
+                    raise ValueError(
+                        f'polymer datapoints must be strings, got '
+                        f'{type(point)}')
+                features.append(self._featurize(point, **kwargs))
+            except Exception as e:
+                logger.warning('Failed to featurize polymer %d: %s', i, e)
+                features.append(np.array([]))
+        return _stack_or_object(features)

@@ -223,3 +223,18 @@ def test_poly_wd_graph_utils():
     assert all(getattr(a, 'w_frag', None) == 0.5 for a in clean.atoms)
     with pytest.raises(ValueError):
         v.validate('C.C|0.5|<1-2:0.5:0.5')
+
+
+def test_poly_wdg_featurizer():
+    from deepchem_tpu.feat import PolyWDGFeaturizer
+    g = PolyWDGFeaturizer().featurize(
+        ['[1*]CC.CO[2*]|0.5|0.5|<1-2:0.3:0.7~50'])[0]
+    assert g.node_features.shape == (4, 75)
+    assert g.edge_index.shape == (2, 6)
+    assert list(g.edge_weights) == [1.0, 1.0, 1.0, 1.0,
+                                    pytest.approx(0.3),
+                                    pytest.approx(0.7)]
+    assert all(w == 0.5 for w in g.node_weights)
+    # invalid strings come back as empty arrays (log-and-drop contract)
+    out = PolyWDGFeaturizer().featurize(['not|a|polymer'])
+    assert out[0].size == 0
