@@ -138,9 +138,12 @@ def test_a2c_learns_bandit():
         def create_model(self, **kwargs):
             return _Net()
 
+    # rollout sampling uses the global numpy RNG; pin it so the test is
+    # independent of suite ordering
+    np.random.seed(7)
     env = _BanditEnv()
     a2c = A2C(env, BanditPolicy(), max_rollout_length=5)
-    a2c.fit(400, checkpoint_interval=0)
+    a2c.fit(600, checkpoint_interval=0)
     # the policy should prefer the rewarded arm
     probs = a2c.predict(np.ones((1, 2), dtype=np.float32))[0][0]
     assert probs[1] > 0.6
