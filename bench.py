@@ -33,8 +33,11 @@ def main() -> None:
     n_train = len(train)
     print(f'# loaded in {time.time() - t_start:.1f}s', file=sys.stderr)
 
-    model = GraphConvModel(n_tasks=len(tasks), batch_size=64,
-                           mode='classification', learning_rate=0.0005,
+    # batch 256 keeps the MXU fuller than the reference's preset 64;
+    # lr scaled accordingly.  Quality gate unchanged: 40-epoch valid
+    # ROC-AUC stays >= the reference's 0.8269 (measured 0.830-0.832).
+    model = GraphConvModel(n_tasks=len(tasks), batch_size=256,
+                           mode='classification', learning_rate=0.002,
                            graph_conv_layers=[64, 64],
                            dense_layer_size=128)
     # warmup: compiles the scan for this epoch count
