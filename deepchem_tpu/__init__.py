@@ -29,5 +29,6 @@ try:
     from deepchem_tpu import parallel
     from deepchem_tpu import ops
     from deepchem_tpu import dft
+    from deepchem_tpu import serving
 except ImportError:   # partial builds during bootstrap
     pass

@@ -256,3 +256,25 @@ def test_differentiation_utils():
     assert np.allclose(np.asarray(xm), 3.0, atol=1e-3)
     assert abs(float(rootfinder(lambda x: x ** 3 - 8.0,
                                 jnp.array(3.0))) - 2.0) < 1e-5
+
+
+def test_export_and_serve(tmp_path):
+    """StableHLO export + padded-batch serving (deepchem_tpu.serving):
+    the exported program must reproduce the python model exactly."""
+    from deepchem_tpu.serving import (export_model, load_exported,
+                                      InferenceServer)
+    rng = np.random.RandomState(0)
+    X = rng.randn(40, 8).astype(np.float32)
+    y = X[:, :1] * 2.0
+    m = MultitaskRegressor(n_tasks=1, n_features=8, layer_sizes=[16],
+                           batch_size=10)
+    m.fit(NumpyDataset(X, y), nb_epoch=10, checkpoint_interval=0)
+    path = str(tmp_path / 'model.dcx')
+    export_model(m, [X[:10]], path)
+    exp = load_exported(path)
+    assert np.allclose(exp(X[:10])[0], m.predict_on_batch(X[:10]),
+                       atol=1e-5)
+    srv = InferenceServer(exp)
+    out = srv.predict(X[:37])          # exercises the padding path
+    assert out.shape == (37, 1)
+    assert np.allclose(out, m.predict_on_batch(X[:37]), atol=1e-5)
