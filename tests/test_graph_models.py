@@ -138,3 +138,19 @@ def test_egnn_layer_equivariance():
     h2, x2 = layer.apply(params, h, x @ R.T + t, esrc, edst, emask)
     assert jnp.allclose(h1, h2, atol=1e-4)          # invariant features
     assert jnp.allclose(x1 @ R.T + t, x2, atol=1e-4)  # equivariant coords
+
+
+def test_graph_model_export(tmp_path, conv_ds):
+    """The flagship graph model exports to StableHLO and reproduces
+    predict() (deepchem_tpu.serving)."""
+    from deepchem_tpu.serving import export_model, load_exported
+    model = GraphConvModel(n_tasks=1, batch_size=10,
+                           mode='classification', data_parallel=False)
+    model.fit(conv_ds, nb_epoch=3, checkpoint_interval=0)
+    inputs = model._graph_inputs(np.asarray(conv_ds.X, dtype=object))
+    path = str(tmp_path / 'gc.dcx')
+    export_model(model, inputs, path)
+    exp = load_exported(path)
+    out = exp(*inputs)
+    ref = model.predict(conv_ds)
+    assert np.allclose(out[0][:10], ref, atol=1e-4)
