@@ -138,8 +138,35 @@ def _atom_token(mol: Molecule, idx: int,
 
 
 def mol_to_smiles(mol: Molecule, canonical: bool = True) -> str:
-    """Write SMILES.  With ``canonical=True`` atoms are visited in canonical
-    rank order so the output is unique per molecule graph."""
+    """Write SMILES.  With ``canonical=True`` atoms are visited in
+    canonical rank order so the output is unique per molecule graph.
+
+    For stereo molecules the string is additionally driven to a
+    reparse-stable fixed point: rank ties between automorphic chiral
+    centers are broken by input index, so a single write can depend on
+    the input atom order; re-canonicalizing until stable (taking the
+    lexicographic minimum on a 2-cycle) removes that dependence.
+    """
+    out = _mol_to_smiles_once(mol, canonical)
+    if not canonical or '@' not in out:
+        return out
+    from .smiles import mol_from_smiles
+    seen = [out]
+    for _ in range(3):
+        m2 = mol_from_smiles(seen[-1])
+        if m2 is None:
+            return seen[-1]
+        nxt = _mol_to_smiles_once(m2, True)
+        if nxt == seen[-1]:
+            return nxt
+        if nxt in seen:                      # cycle: pick deterministically
+            return min(seen[seen.index(nxt):] + [nxt])
+        seen.append(nxt)
+    return min(seen)
+
+
+def _mol_to_smiles_once(mol: Molecule, canonical: bool = True) -> str:
+    """Single-pass SMILES writer (see mol_to_smiles)."""
     n = mol.num_atoms
     if n == 0:
         return ''

@@ -244,3 +244,14 @@ def test_canonical_smiles_preserves_ez_stereo():
         assert stereo_of(out) == sorted(cfg)     # round-trips config
         assert canon(out) == out                 # idempotent
     assert canon('F/C=C/F') != canon('F/C=C\\F')
+
+
+def test_canonical_smiles_fixed_point_on_fused_stereocenters():
+    """Symmetric ring fusions with chirality used to oscillate between
+    two canonical forms; the writer now iterates to a reparse-stable
+    fixed point."""
+    from deepchem_tpu.chem import mol_from_smiles, mol_to_smiles
+    s = 'C1CCN2C[C@@H]3C[C@@H](CN4CCCC[C@H]34)[C@@H]2C1'
+    c1 = mol_to_smiles(mol_from_smiles(s))
+    c2 = mol_to_smiles(mol_from_smiles(c1))
+    assert c1 == c2 and '@' in c1
