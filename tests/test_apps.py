@@ -217,3 +217,30 @@ def test_run_benchmark_smoke(tmp_path, monkeypatch):
                                                  'learning_rate': 1e-3})
     assert len(results) == 1
     assert (tmp_path / 'results.csv').exists()
+
+
+def test_gaussian_process_hyperparam_search():
+    from deepchem_tpu.hyper import GaussianProcessHyperparamOpt
+    from deepchem_tpu.models import MultitaskRegressor
+    from deepchem_tpu.metrics import Metric, pearson_r2_score
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(40, 8).astype(np.float32)
+    y = X[:, :1] * 2.0
+    train = NumpyDataset(X[:30], y[:30])
+    valid = NumpyDataset(X[30:], y[30:])
+
+    def builder(learning_rate=0.001, layer_size=16, **kwargs):
+        return MultitaskRegressor(n_tasks=1, n_features=8,
+                                  layer_sizes=[int(layer_size)],
+                                  learning_rate=learning_rate,
+                                  batch_size=10, **kwargs)
+
+    opt = GaussianProcessHyperparamOpt(builder, max_iter=3)
+    best_model, best_params, results = opt.hyperparam_search(
+        {'learning_rate': (1e-4, 1e-2), 'layer_size': (8, 32, 'int')},
+        train, valid, Metric(pearson_r2_score, np.mean), nb_epoch=10,
+        seed=0)
+    assert best_model is not None
+    assert 8 <= best_params['layer_size'] <= 32
+    assert len(results) == 3
