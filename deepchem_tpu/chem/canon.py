@@ -148,7 +148,7 @@ def mol_to_smiles(mol: Molecule, canonical: bool = True) -> str:
     lexicographic minimum on a 2-cycle) removes that dependence.
     """
     out = _mol_to_smiles_once(mol, canonical)
-    if not canonical or '@' not in out:
+    if not canonical or not any(ch in out for ch in '@/\\'):
         return out
     from .smiles import mol_from_smiles
     seen = [out]
@@ -215,19 +215,21 @@ def _mol_to_smiles_once(mol: Molecule, canonical: bool = True) -> str:
             return ch if ref == u else flip[ch]
 
         def _flank(end: int, other_end: int, prefer: int):
-            """Pick a markable single tree bond at ``end``; returns
-            (bond, neighbor, same_side) or None."""
-            best = None
+            """Pick a markable single tree bond at ``end`` — by CANONICAL
+            rank, never by which neighbor the input happened to mark, so
+            every writing of one geometry anchors identically.  Returns
+            (bond, neighbor, same_side_as_prefer) or None."""
+            cands = []
             for b in mol.atom_bonds(end):
                 nb = b.other(end)
                 if nb == other_end or b.order != BOND_SINGLE \
                         or b.is_aromatic or b.index not in tree_bonds:
                     continue
-                cand = (b, nb, nb == prefer)
-                if nb == prefer:
-                    return cand
-                best = best or cand
-            return best
+                cands.append((rank[nb], b, nb))
+            if not cands:
+                return None
+            _, b, nb = min(cands, key=lambda c: c[0])
+            return b, nb, nb == prefer
 
         # canonical processing order + canonical seeding so every parse
         # of the same configuration emits identical marks

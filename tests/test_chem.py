@@ -255,3 +255,18 @@ def test_canonical_smiles_fixed_point_on_fused_stereocenters():
     c1 = mol_to_smiles(mol_from_smiles(s))
     c2 = mol_to_smiles(mol_from_smiles(c1))
     assert c1 == c2 and '@' in c1
+
+
+def test_ez_canonical_independent_of_marked_flank():
+    """One geometry written by marking EITHER substituent must give the
+    same canonical string (the solver anchors flanks by canonical rank,
+    not by which neighbor the input marked)."""
+    from deepchem_tpu.chem import mol_from_smiles, mol_to_smiles
+
+    def canon(s):
+        return mol_to_smiles(mol_from_smiles(s))
+
+    assert canon('C/C=C(/Br)Cl') == canon('C/C=C(\\Cl)Br')
+    assert canon('C/C=C(\\Br)Cl') == canon('C/C=C(/Cl)Br')
+    assert canon('C/C=C(/Br)Cl') != canon('C/C=C(\\Br)Cl')
+    assert canon('Cl/C(C)=C(/Br)F') == canon('Cl/C(C)=C(\\F)Br')
