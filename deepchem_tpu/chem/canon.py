@@ -223,12 +223,15 @@ def _mol_to_smiles_once(mol: Molecule, canonical: bool = True) -> str:
             for b in mol.atom_bonds(end):
                 nb = b.other(end)
                 if nb == other_end or b.order != BOND_SINGLE \
-                        or b.is_aromatic or b.index not in tree_bonds:
+                        or b.is_aromatic or b.index not in comp_bonds:
                     continue
-                cands.append((rank[nb], b, nb))
+                # tree bonds preferred, but ring-closure (back-edge)
+                # singles are markable too — their digit tokens carry
+                # the direction char
+                cands.append((b.index not in tree_bonds, rank[nb], b, nb))
             if not cands:
                 return None
-            _, b, nb = min(cands, key=lambda c: c[0])
+            _, _, b, nb = min(cands, key=lambda c: (c[0], c[1]))
             return b, nb, nb == prefer
 
         # canonical processing order + canonical seeding so every parse

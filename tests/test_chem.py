@@ -270,3 +270,19 @@ def test_ez_canonical_independent_of_marked_flank():
     assert canon('C/C=C(\\Br)Cl') == canon('C/C=C(/Cl)Br')
     assert canon('C/C=C(/Br)Cl') != canon('C/C=C(\\Br)Cl')
     assert canon('Cl/C(C)=C(/Br)F') == canon('Cl/C(C)=C(\\F)Br')
+
+
+def test_ez_preserved_through_ring_closure_flanks():
+    """Exocyclic stereo double bonds whose only markable flank is a
+    ring-closure bond keep their configuration (direction chars ride on
+    the ring-closure digits)."""
+    from deepchem_tpu.chem import mol_from_smiles, mol_to_smiles
+
+    def n_ez(s):
+        return sum(1 for b in mol_from_smiles(s).bonds if b.stereo)
+
+    for s in ['O/N=C1C(=C\\c2ccccc2)/N2CCC/1CC2',
+              'COc1ccccc1/C=C1C(=N/O)/C2CCN/1CC2']:
+        c1 = mol_to_smiles(mol_from_smiles(s))
+        assert mol_to_smiles(mol_from_smiles(c1)) == c1
+        assert n_ez(c1) == n_ez(s)
