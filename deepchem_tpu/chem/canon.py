@@ -11,8 +11,10 @@ Tetrahedral stereo (@/@@) is preserved: the parser records the SMILES
 neighbor order per chiral atom and the writer re-derives the tag for its
 own traversal order via permutation parity, so equivalent stereo writings
 canonicalize to one string and enantiomers stay distinct.  Double-bond
-(E/Z) direction marks are parsed and stored on bonds but not yet written
-back.
+(E/Z) configuration is perceived at parse time (chem/smiles.py) and
+written back by solving '/'-'\\' marks over the output spanning tree
+(rank-anchored flanks; ring-closure digits carry marks when a stereo
+bond's only markable flank is a ring bond).
 """
 
 from __future__ import annotations
