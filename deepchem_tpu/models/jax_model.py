@@ -725,6 +725,55 @@ class JaxModel(Model):
         with open(paths[0], 'wb') as f:
             pickle.dump(self._state_dict(), f)
 
+    def save_orbax_checkpoint(self, model_dir: Optional[str] = None,
+                              step: Optional[int] = None) -> str:
+        """Save params + opt_state + step with orbax (tensor-native,
+        async-capable, sharding-aware — the production alternative to the
+        reference-style pickle rotation; SURVEY.md section 5 names this
+        as the JaxModel checkpointing fill)."""
+        import orbax.checkpoint as ocp
+        if not self._built:
+            raise ValueError('build/fit the model before checkpointing')
+        model_dir = os.path.abspath(model_dir or self.model_dir)
+        step = int(step if step is not None else self._global_step)
+        path = os.path.join(model_dir, f'orbax-{step}')
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, {
+                'params': jax.tree.map(np.asarray, self.params),
+                'opt_state': jax.tree.map(np.asarray, self.opt_state),
+                'global_step': np.asarray(step),
+            }, force=True)
+        return path
+
+    def restore_orbax_checkpoint(self, path: Optional[str] = None,
+                                 model_dir: Optional[str] = None) -> None:
+        """Restore from :meth:`save_orbax_checkpoint` output (latest in
+        model_dir when ``path`` is omitted).  The model must be built
+        (fit at least one batch) so pytree templates exist."""
+        import orbax.checkpoint as ocp
+        if path is None:
+            model_dir = os.path.abspath(model_dir or self.model_dir)
+            cands = sorted(
+                (f for f in os.listdir(model_dir)
+                 if f.startswith('orbax-')),
+                key=lambda f: int(f.split('-')[1]))
+            if not cands:
+                raise ValueError(f'no orbax checkpoints in {model_dir}')
+            path = os.path.join(model_dir, cands[-1])
+        if not self._built:
+            raise ValueError('build the model (e.g. fit one batch) '
+                             'before restoring')
+        template = {
+            'params': jax.tree.map(np.asarray, self.params),
+            'opt_state': jax.tree.map(np.asarray, self.opt_state),
+            'global_step': np.asarray(0),
+        }
+        with ocp.StandardCheckpointer() as ckptr:
+            state = ckptr.restore(os.path.abspath(path), template)
+        self.params = jax.tree.map(jnp.asarray, state['params'])
+        self.opt_state = jax.tree.map(jnp.asarray, state['opt_state'])
+        self._global_step = int(state['global_step'])
+
     def get_checkpoints(self, model_dir: Optional[str] = None) -> List[str]:
         """(reference torch_model.py:1049)"""
         if model_dir is None:

@@ -278,3 +278,24 @@ def test_export_and_serve(tmp_path):
     out = srv.predict(X[:37])          # exercises the padding path
     assert out.shape == (37, 1)
     assert np.allclose(out, m.predict_on_batch(X[:37]), atol=1e-5)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax tensor-native checkpoints (SURVEY section 5's named fill for
+    JaxModel checkpointing) restore params, opt_state, and step."""
+    rng = np.random.RandomState(0)
+    X = rng.randn(30, 8).astype(np.float32)
+    y = X[:, :1] * 2.0
+    ds = NumpyDataset(X, y)
+    m = MultitaskRegressor(n_tasks=1, n_features=8, layer_sizes=[16],
+                           batch_size=10, model_dir=str(tmp_path))
+    m.fit(ds, nb_epoch=10, checkpoint_interval=0)
+    p1 = m.predict_on_batch(X)
+    m.save_orbax_checkpoint()
+    m2 = MultitaskRegressor(n_tasks=1, n_features=8, layer_sizes=[16],
+                            batch_size=10, model_dir=str(tmp_path))
+    m2.fit(ds, nb_epoch=1, checkpoint_interval=0)
+    m2.restore_orbax_checkpoint()
+    assert np.allclose(p1, m2.predict_on_batch(X), atol=1e-6)
+    assert m2._global_step == 30
+    m2.fit(ds, nb_epoch=2, checkpoint_interval=0)  # optimizer resumes
