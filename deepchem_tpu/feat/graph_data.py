@@ -89,6 +89,61 @@ class GraphData:
               if self.edge_features is not None else None)
         return GraphData(self.node_features[nodes], ei, ef), mapping
 
+    def to_networkx(self):
+        """NetworkX DiGraph with node/edge feature attributes (analog of
+        the reference's to_dgl_graph/to_pyg_graph interop,
+        graph_data.py:132,166; dgl/pyg are not in this environment)."""
+        import networkx as nx
+        g = nx.DiGraph()
+        for i in range(self.num_nodes):
+            g.add_node(i, x=self.node_features[i])
+        for e in range(self.num_edges):
+            attrs = {}
+            if self.edge_features is not None:
+                attrs['edge_attr'] = self.edge_features[e]
+            g.add_edge(int(self.edge_index[0, e]),
+                       int(self.edge_index[1, e]), **attrs)
+        return g
+
+    def to_dgl_graph(self, self_loop: bool = False):
+        """DGL interop (reference graph_data.py:166); requires dgl."""
+        try:
+            import dgl
+            import torch
+        except ImportError as e:
+            raise ImportError(
+                'to_dgl_graph requires dgl, which is not available in '
+                'this environment; use to_networkx() or the COO arrays '
+                'directly') from e
+        src, dst = self.edge_index
+        g = dgl.graph((torch.as_tensor(src), torch.as_tensor(dst)),
+                      num_nodes=self.num_nodes)
+        g.ndata['x'] = torch.as_tensor(self.node_features)
+        if self.edge_features is not None:
+            g.edata['edge_attr'] = torch.as_tensor(self.edge_features)
+        if self_loop:
+            g = dgl.add_self_loop(g)
+        return g
+
+    def to_pyg_graph(self):
+        """PyTorch-Geometric interop (reference graph_data.py:132);
+        requires torch_geometric."""
+        try:
+            import torch
+            from torch_geometric.data import Data
+        except ImportError as e:
+            raise ImportError(
+                'to_pyg_graph requires torch_geometric, which is not '
+                'available in this environment; use to_networkx() or the '
+                'COO arrays directly') from e
+        return Data(
+            x=torch.as_tensor(self.node_features),
+            edge_index=torch.as_tensor(self.edge_index),
+            edge_attr=(torch.as_tensor(self.edge_features)
+                       if self.edge_features is not None else None),
+            pos=(torch.as_tensor(self.node_pos_features)
+                 if self.node_pos_features is not None else None))
+
 
 class BatchGraphData(GraphData):
     """Disjoint-union batch of graphs (reference graph_data.py:318).

@@ -238,3 +238,16 @@ def test_poly_wdg_featurizer():
     # invalid strings come back as empty arrays (log-and-drop contract)
     out = PolyWDGFeaturizer().featurize(['not|a|polymer'])
     assert out[0].size == 0
+
+
+def test_graphdata_interop():
+    from deepchem_tpu.feat import MolGraphConvFeaturizer
+    g = MolGraphConvFeaturizer(use_edges=True).featurize(['CCO'])[0]
+    nx_g = g.to_networkx()
+    assert nx_g.number_of_nodes() == 3 and nx_g.number_of_edges() == 4
+    assert nx_g.nodes[0]['x'].shape == (30,)
+    # dgl/pyg absent here: must raise informative ImportError
+    with pytest.raises(ImportError):
+        g.to_dgl_graph()
+    with pytest.raises(ImportError):
+        g.to_pyg_graph()
