@@ -150,3 +150,120 @@ def pad_array(x: np.ndarray, shape, fill: float = 0.0) -> np.ndarray:
     sl = tuple(slice(0, min(a, b)) for a, b in zip(x.shape, shape))
     out[sl] = x[sl]
     return out
+
+
+def load_csv_files(filenames: List[str], shard_size: Optional[int] = None):
+    """Yield pandas DataFrame shards from CSV files (reference
+    data_utils.load_csv_files)."""
+    import pandas as pd
+    for fname in filenames:
+        if shard_size is None:
+            yield pd.read_csv(fname)
+        else:
+            for df in pd.read_csv(fname, chunksize=shard_size):
+                yield df.reset_index(drop=True)
+
+
+def load_json_files(filenames: List[str], shard_size: Optional[int] = None):
+    """Yield DataFrame shards from line-delimited JSON (reference
+    data_utils.load_json_files)."""
+    import pandas as pd
+    for fname in filenames:
+        if shard_size is None:
+            yield pd.read_json(fname, orient='records', lines=True)
+        else:
+            for df in pd.read_json(fname, orient='records', lines=True,
+                                   chunksize=shard_size):
+                yield df.reset_index(drop=True)
+
+
+def load_sdf_files(filenames: List[str], clean_mols: bool = True,
+                   tasks: Optional[List[str]] = None,
+                   shard_size: Optional[int] = None):
+    """Yield DataFrame shards from SDF files with mol objects + properties
+    (reference data_utils.load_sdf_files; uses the in-repo SDF reader)."""
+    import pandas as pd
+    from deepchem_tpu.chem import parse_sdf, mol_to_smiles
+    tasks = tasks or []
+    rows: List[dict] = []
+    for fname in filenames:
+        opener = gzip.open if fname.endswith('.gz') else open
+        with opener(fname, 'rt') as f:
+            text = f.read()
+        for mol, props in parse_sdf(text):
+            if mol is None and clean_mols:
+                continue
+            row = {'mol': mol,
+                   'smiles': mol_to_smiles(mol) if mol is not None else ''}
+            for t in tasks:
+                row[t] = props.get(t)
+            rows.append(row)
+            if shard_size and len(rows) >= shard_size:
+                yield pd.DataFrame(rows)
+                rows = []
+    if rows:
+        yield pd.DataFrame(rows)
+
+
+def load_image_files(filenames: List[str]) -> np.ndarray:
+    """Stack image files into one array (reference
+    data_utils.load_image_files; requires PIL)."""
+    from PIL import Image
+    return np.stack([np.array(Image.open(f)) for f in filenames])
+
+
+def load_pickle_file(filename: str):
+    """(reference data_utils.load_pickle_file; handles .gz)"""
+    import pickle
+    opener = gzip.open if filename.endswith('.gz') else open
+    with opener(filename, 'rb') as f:
+        return pickle.load(f)
+
+
+def load_pickle_files(filenames: List[str]):
+    for f in filenames:
+        yield load_pickle_file(f)
+
+
+def load_data(filenames: List[str], shard_size: Optional[int] = None):
+    """Dispatch on extension (reference data_utils.load_data)."""
+    if not filenames:
+        return
+    name = filenames[0]
+    base = name[:-3] if name.endswith('.gz') else name
+    ext = os.path.splitext(base)[1].lower()
+    if ext == '.csv':
+        yield from load_csv_files(filenames, shard_size)
+    elif ext == '.json':
+        yield from load_json_files(filenames, shard_size)
+    elif ext == '.sdf':
+        yield from load_sdf_files(filenames, shard_size=shard_size)
+    elif ext in ('.pkl', '.pickle'):
+        yield from load_pickle_files(filenames)
+    else:
+        raise ValueError(f'unsupported file type {ext!r}')
+
+
+def remove_missing_entries(dataset) -> None:
+    """Drop rows whose X/y/w contain missing values, shard-wise, in place
+    (reference data_utils.remove_missing_entries)."""
+    for i, (X, y, w, ids) in enumerate(dataset.itershards()):
+        available_rows = np.ones(len(X), dtype=bool)
+        for arr in (X, y, w):
+            if arr is None:
+                continue
+            flat = np.asarray(
+                [np.any(pd_isnull(row)) for row in arr])
+            available_rows &= ~flat
+        dataset.set_shard(i, X[available_rows],
+                          None if y is None else y[available_rows],
+                          None if w is None else w[available_rows],
+                          ids[available_rows])
+
+
+def pd_isnull(x) -> np.ndarray:
+    import pandas as pd
+    try:
+        return np.asarray(pd.isnull(x))
+    except Exception:
+        return np.zeros(np.shape(x), dtype=bool)

@@ -251,3 +251,19 @@ def test_graphdata_interop():
         g.to_dgl_graph()
     with pytest.raises(ImportError):
         g.to_pyg_graph()
+
+
+def test_data_utils_loaders(tmp_path):
+    import pandas as pd
+    from deepchem_tpu.utils.data_utils import (load_csv_files,
+                                               load_sdf_files, load_data)
+    csv = tmp_path / 'x.csv'
+    pd.DataFrame({'a': range(10), 'b': range(10)}).to_csv(csv, index=False)
+    shards = list(load_csv_files([str(csv)], shard_size=4))
+    assert [len(s) for s in shards] == [4, 4, 2]
+    sdf = list(load_sdf_files(
+        ['/root/reference/datasets/membrane_permeability.sdf'],
+        tasks=['LogP(RRCK)']))
+    assert sum(len(s) for s in sdf) == 201
+    assert 'smiles' in sdf[0].columns
+    assert len(next(load_data([str(csv)]))) == 10
