@@ -169,9 +169,13 @@ class GroverFeaturizer(MolecularFeaturizer):
             kwargs2['bond_vocab_label'] = np.array(bl, dtype=np.int32)
         kwargs2['fg_label'] = np.array(
             [float(chk(mol)) for _, chk in _FG_CHECKS], dtype=np.float32)
-        return GraphData(feats, ei,
-                         np.asarray(ef, dtype=np.float32).reshape(
-                             ei.shape[1], -1), **kwargs2)
+        # single-atom molecules (e.g. methane) have no bonds; keep the
+        # edge-feature width stable so batching still concatenates
+        n_bond_feats = 6
+        ef_arr = (np.asarray(ef, dtype=np.float32)
+                  if ef else np.zeros((0, n_bond_feats), dtype=np.float32))
+        return GraphData(feats, ei, ef_arr.reshape(ei.shape[1], -1)
+                         if ef else ef_arr, **kwargs2)
 
 
 class _GroverEncoder(nn.Module):

@@ -220,3 +220,25 @@ def test_infomax3d_pretrain_and_finetune():
     l0 = m2.fit(ds, nb_epoch=1, checkpoint_interval=0)
     l1 = m2.fit(ds, nb_epoch=30, checkpoint_interval=0)
     assert l1 < l0
+
+
+def test_grover_featurizer_handles_single_atom_molecules():
+    """Methane-like molecules (no bonds) must featurize with a stable
+    edge-feature width so batches still concatenate."""
+    import numpy as np
+    from deepchem_tpu.chem import mol_from_smiles
+    from deepchem_tpu.feat.graph_data import BatchGraphData
+    from deepchem_tpu.models import (GroverFeaturizer,
+                                     GroverAtomVocabularyBuilder,
+                                     GroverBondVocabularyBuilder)
+    mols = [mol_from_smiles(s) for s in ['C', 'CCO']]
+    av = GroverAtomVocabularyBuilder()
+    av.build(mols)
+    bv = GroverBondVocabularyBuilder()
+    bv.build(mols)
+    X = GroverFeaturizer(atom_vocab=av, bond_vocab=bv).featurize(
+        ['C', 'CCO'])
+    assert X[0].num_nodes == 1 and X[0].num_edges == 0
+    assert X[0].edge_features.shape == (0, 6)
+    batch = BatchGraphData(list(X))
+    assert batch.edge_features.shape[1] == 6
