@@ -279,8 +279,14 @@ class MolGraphConvFeaturizer(MolecularFeaturizer):
                       + fu.get_bond_stereo_one_hot(b)[:5])
                 bond_feats += [bf, bf]
         ei = np.array([src, dst], dtype=np.int64).reshape(2, -1)
-        ef = (np.asarray(bond_feats, dtype=np.float32).reshape(
-            ei.shape[1], -1) if self.use_edges else None)
+        if self.use_edges:
+            # single-atom molecules have no bonds; keep the 11-dim edge
+            # width stable so batches still concatenate
+            ef = (np.asarray(bond_feats, dtype=np.float32).reshape(
+                ei.shape[1], -1) if bond_feats
+                else np.zeros((0, 11), dtype=np.float32))
+        else:
+            ef = None
         return GraphData(atom_feats, ei, ef)
 
 

@@ -267,3 +267,24 @@ def test_data_utils_loaders(tmp_path):
     assert sum(len(s) for s in sdf) == 201
     assert 'smiles' in sdf[0].columns
     assert len(next(load_data([str(csv)]))) == 10
+
+
+def test_graph_featurizers_handle_single_atom_molecules():
+    """No graph featurizer may fail on bond-less molecules (methane,
+    ammonium) — empty edge features must keep a stable width."""
+    import logging
+    logging.disable(logging.WARNING)
+    from deepchem_tpu.feat import (ConvMolFeaturizer,
+                                   MolGraphConvFeaturizer,
+                                   PagtnMolGraphFeaturizer,
+                                   RDKitConformerFeaturizer)
+    try:
+        for f in [ConvMolFeaturizer(), MolGraphConvFeaturizer(),
+                  MolGraphConvFeaturizer(use_edges=True),
+                  PagtnMolGraphFeaturizer(), RDKitConformerFeaturizer()]:
+            out = f.featurize(['C', '[NH4+]', 'CCO'])
+            fails = [i for i, x in enumerate(out)
+                     if isinstance(x, np.ndarray) and x.size == 0]
+            assert not fails, (type(f).__name__, fails)
+    finally:
+        logging.disable(logging.NOTSET)
