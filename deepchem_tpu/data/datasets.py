@@ -120,6 +120,10 @@ class Dataset:
     Reference contract: deepchem/data/datasets.py:221-579.
     """
 
+    #: bumped by in-place mutations (DiskDataset.set_shard/reshard) so the
+    #: engine's device-resident data caches can detect staleness
+    _version: int = 0
+
     def __len__(self) -> int:
         raise NotImplementedError
 
@@ -536,6 +540,7 @@ class DiskDataset(Dataset):
         return d['X'], d['y'], d['w'], d['ids']
 
     def set_shard(self, i: int, X, y, w, ids) -> None:
+        self._version += 1   # invalidates device-resident data caches
         DiskDataset.write_shard(self.data_dir, i, X, y, w, ids)
         with self._lock:
             self._cache.pop(i, None)
@@ -602,53 +607,73 @@ class DiskDataset(Dataset):
             if not deterministic:
                 random.shuffle(shard_order)
             q: queue_mod.Queue = queue_mod.Queue(maxsize=2)
+            stop = threading.Event()
+
+            def _put(item) -> bool:
+                """Bounded put that gives up when the consumer abandoned
+                iteration (break/partial epoch) — otherwise the producer
+                would block forever pinning loaded shards (ADVICE.md r1)."""
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        return True
+                    except queue_mod.Full:
+                        continue
+                return False
 
             def producer(order=tuple(shard_order)):
                 for si in order:
-                    q.put(self.get_shard(si))
-                q.put(None)
+                    if stop.is_set() or not _put(self.get_shard(si)):
+                        return
+                _put(None)
 
             t = threading.Thread(target=producer, daemon=True)
             t.start()
-            carry = None   # leftover rows carried across shards
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                X, y, w, ids = item
-                X = np.asarray(X) if not isinstance(X, np.ndarray) else X
-                m = len(X)
-                perm = np.arange(m) if deterministic \
-                    else np.random.permutation(m)
-                X, ids = X[perm], ids[perm]
-                y = y[perm] if y is not None else None
-                w = w[perm] if w is not None else None
+            try:
+                carry = None   # leftover rows carried across shards
+                while True:
+                    item = q.get()
+                    if item is None:
+                        break
+                    X, y, w, ids = item
+                    X = np.asarray(X) if not isinstance(X, np.ndarray) else X
+                    m = len(X)
+                    perm = np.arange(m) if deterministic \
+                        else np.random.permutation(m)
+                    X, ids = X[perm], ids[perm]
+                    y = y[perm] if y is not None else None
+                    w = w[perm] if w is not None else None
+                    if carry is not None:
+                        X = np.concatenate([carry[0], X])
+                        y = (np.concatenate([carry[1], y])
+                             if y is not None else None)
+                        w = (np.concatenate([carry[2], w])
+                             if w is not None else None)
+                        ids = np.concatenate([carry[3], ids])
+                        carry = None
+                    bs = batch_size if batch_size is not None else len(X)
+                    pos = 0
+                    while len(X) - pos >= bs:
+                        yield (X[pos:pos + bs],
+                               y[pos:pos + bs] if y is not None else None,
+                               w[pos:pos + bs] if w is not None else None,
+                               ids[pos:pos + bs])
+                        pos += bs
+                    if pos < len(X):
+                        carry = (X[pos:],
+                                 y[pos:] if y is not None else None,
+                                 w[pos:] if w is not None else None,
+                                 ids[pos:])
                 if carry is not None:
-                    X = np.concatenate([carry[0], X])
-                    y = (np.concatenate([carry[1], y])
-                         if y is not None else None)
-                    w = (np.concatenate([carry[2], w])
-                         if w is not None else None)
-                    ids = np.concatenate([carry[3], ids])
-                    carry = None
-                bs = batch_size if batch_size is not None else len(X)
-                pos = 0
-                while len(X) - pos >= bs:
-                    yield (X[pos:pos + bs],
-                           y[pos:pos + bs] if y is not None else None,
-                           w[pos:pos + bs] if w is not None else None,
-                           ids[pos:pos + bs])
-                    pos += bs
-                if pos < len(X):
-                    carry = (X[pos:], y[pos:] if y is not None else None,
-                             w[pos:] if w is not None else None, ids[pos:])
-            if carry is not None:
-                X_b, y_b, w_b, ids_b = carry
-                if pad_batches and batch_size is not None \
-                        and len(X_b) < batch_size:
-                    X_b, y_b, w_b, ids_b = pad_batch(
-                        batch_size, X_b, y_b, w_b, ids_b)
-                yield X_b, y_b, w_b, ids_b
+                    X_b, y_b, w_b, ids_b = carry
+                    if pad_batches and batch_size is not None \
+                            and len(X_b) < batch_size:
+                        X_b, y_b, w_b, ids_b = pad_batch(
+                            batch_size, X_b, y_b, w_b, ids_b)
+                    yield X_b, y_b, w_b, ids_b
+            finally:
+                # releases an abandoned producer (GeneratorExit lands here)
+                stop.set()
 
     def itersamples(self):
         for X, y, w, ids in self.itershards():
@@ -765,6 +790,7 @@ class DiskDataset(Dataset):
                         os.path.join(self.data_dir, f))
         shutil.rmtree(tmp, ignore_errors=True)
         self._manifest = new._manifest
+        self._version += 1
         with self._lock:
             self._cache.clear()
             self._cache_order.clear()

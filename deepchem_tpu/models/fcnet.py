@@ -111,8 +111,10 @@ class MultitaskClassifier(JaxModel):
             bias_init_consts=tuple(_per_layer(bias_init_consts, n)))
         loss: Loss = SoftmaxCrossEntropy()
         if weight_decay_penalty != 0.0:
-            loss = _WeightDecayLoss(loss, weight_decay_penalty,
-                                    weight_decay_penalty_type)
+            kwargs.setdefault('regularization_loss',
+                              _weight_decay_regularizer(
+                                  weight_decay_penalty,
+                                  weight_decay_penalty_type))
         super().__init__(module, loss,
                          output_types=['prediction', 'loss'], **kwargs)
 
@@ -203,6 +205,11 @@ class MultitaskRegressor(JaxModel):
         else:
             loss = L2Loss()
             output_types = ['prediction']
+        if weight_decay_penalty != 0.0:
+            kwargs.setdefault('regularization_loss',
+                              _weight_decay_regularizer(
+                                  weight_decay_penalty,
+                                  weight_decay_penalty_type))
         super().__init__(module, loss, output_types=output_types, **kwargs)
 
     def get_num_tasks(self) -> int:
@@ -244,18 +251,27 @@ class MultitaskFitTransformRegressor(MultitaskRegressor):
                 yield ([X_t], [y_b], [w_b])
 
 
-class _WeightDecayLoss(Loss):
-    """Wrap a Loss; the harness adds the penalty via optax instead, so this
-    simply forwards — kept for signature parity.  Weight decay itself is
-    applied through AdamW when weight_decay_penalty is set."""
+def _weight_decay_regularizer(penalty: float, penalty_type: str):
+    """L1/L2 parameter penalty over the MLP-trunk Dense kernels, matching
+    the reference's ``regularization_loss`` closure (reference fcnet.py:153:
+    ``penalty * sum(|w|)`` or ``penalty * sum(w**2)`` over hidden-layer
+    weights, biases and output layer excluded)."""
+    if penalty_type not in ('l1', 'l2'):
+        raise ValueError(
+            f'unsupported weight_decay_penalty_type {penalty_type!r}; '
+            "expected 'l1' or 'l2'")
 
-    def __init__(self, base: Loss, penalty: float, penalty_type: str):
-        self.base = base
-        self.penalty = penalty
-        self.penalty_type = penalty_type
-
-    def _compute(self, output, labels):
-        return self.base._compute(output, labels)
+    def reg(params):
+        total = jnp.zeros(())
+        for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+            keys = [getattr(p, 'key', None) for p in path]
+            if keys and keys[-1] == 'kernel' \
+                    and any(isinstance(k, str) and k.startswith('_MLPTrunk')
+                            for k in keys):
+                total = total + (jnp.abs(leaf).sum() if penalty_type == 'l1'
+                                 else jnp.square(leaf).sum())
+        return penalty * total
+    return reg
 
 
 class _RobustMultitaskModule(nn.Module):

@@ -95,6 +95,10 @@ class JaxModel(Model):
         self._rng = jax.random.PRNGKey(seed)
         self._rng_collections = tuple(rng_collections)
         self._loss = loss
+        # optional parameter penalty added to the jitted loss (reference
+        # torch_model.py regularization_loss contract): f(params) -> scalar
+        self.regularization_loss: Optional[Callable] = kwargs.get(
+            'regularization_loss')
         self.output_types = list(output_types) if output_types else None
         if self.output_types:
             self._prediction_outputs = [
@@ -217,7 +221,10 @@ class JaxModel(Model):
         def step(params, opt_state, rng, inputs, labels, weights):
             def loss_fn(p):
                 outputs = self._forward(p, inputs, training=True, rng=rng)
-                return self._compute_loss(outputs, labels, weights)
+                loss = self._compute_loss(outputs, labels, weights)
+                if self.regularization_loss is not None:
+                    loss = loss + self.regularization_loss(p)
+                return loss
             loss, grads = jax.value_and_grad(loss_fn)(params)
             grads = self._transform_gradients(grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -349,10 +356,14 @@ class JaxModel(Model):
         loop — the TPU-native replacement for the reference's per-batch
         Python fit loop (torch_model.py:423-496).
         """
-        data_key = ('fit_on_device_data', id(dataset))
-        cached = self._predict_fn_cache.get(data_key)
-        if cached is not None:
-            S, stacked_inputs, stacked_labels, stacked_weights = cached
+        # single-entry data cache keyed on dataset IDENTITY (strong ref, so
+        # CPython cannot reuse the id) + mutation version (DiskDataset bumps
+        # _version on set_shard/reshard/shuffle) — see ADVICE.md r1
+        version = getattr(dataset, '_version', 0)
+        cached = getattr(self, '_fit_data_cache', None)
+        if cached is not None and cached[0] is dataset \
+                and cached[1] == version:
+            _, _, S, stacked_inputs, stacked_labels, stacked_weights = cached
         else:
             batches = self._collect_uniform_batches(dataset)
             S = len(batches)
@@ -373,8 +384,9 @@ class JaxModel(Model):
             stacked_weights = [
                 jnp.asarray(np.stack([b[2][i] for b in batches]))
                 for i in range(len(weights0))]
-            self._predict_fn_cache[data_key] = (
-                S, stacked_inputs, stacked_labels, stacked_weights)
+            self._fit_data_cache = (
+                dataset, version, S, stacked_inputs, stacked_labels,
+                stacked_weights)
         # per-epoch batch order (host-side RNG, tiny upload)
         rng_np = np.random.RandomState(seed)
         perms = np.stack([rng_np.permutation(S)
@@ -397,7 +409,10 @@ class JaxModel(Model):
                 def loss_fn(p):
                     outputs = model._forward(p, inputs, training=True,
                                              rng=step_rng)
-                    return model._compute_loss(outputs, labels, weights)
+                    loss = model._compute_loss(outputs, labels, weights)
+                    if model.regularization_loss is not None:
+                        loss = loss + model.regularization_loss(p)
+                    return loss
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state = optimizer.update(grads, opt_state,
                                                       params)
@@ -469,6 +484,10 @@ class JaxModel(Model):
                 idx = self._prediction_outputs
             outs = [outs[i] for i in idx]
         if transformers:
+            if len(outs) > 1:
+                # same guard as _predict (reference keras_model.py:582)
+                raise ValueError(
+                    'cannot apply transformers with multiple predictions')
             outs = [undo_transforms(o, transformers) for o in outs]
         outs = [_trim_to(o, len(dataset)) for o in outs]
         return outs[0] if len(outs) == 1 else outs
@@ -646,8 +665,19 @@ class JaxModel(Model):
             try:
                 return self.predict_on_device(dataset, transformers,
                                               output_types)
-            except Exception as e:     # fall back to the host loop
-                logger.debug('predict_on_device fell back: %s', e)
+            except (ValueError, TypeError) as e:
+                # only expected shape/stacking mismatches fall back (ragged
+                # batch layouts the scan path cannot stack); anything else
+                # (miscompiles, OOM, bugs) propagates.  Warn once so a
+                # silent 100x slowdown is visible.
+                if not getattr(self, '_predict_fallback_warned', False):
+                    logger.warning(
+                        'predict_on_device fell back to the host loop '
+                        '(%s: %s); further falls logged at DEBUG',
+                        type(e).__name__, e)
+                    self._predict_fallback_warned = True
+                else:
+                    logger.debug('predict_on_device fell back: %s', e)
         generator = self.default_generator(dataset, mode='predict',
                                            deterministic=True,
                                            pad_batches=False)

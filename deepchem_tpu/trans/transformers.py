@@ -300,12 +300,17 @@ class CDFTransformer(Transformer):
         self.bins = bins
         if transform_y:
             self.y = dataset.y
+            # fixed TRAINING-distribution quantile table for untransform
+            # (the reference stores self.y at construction,
+            # transformers.py:1118); per-call capture would leak the last
+            # transformed split's quantiles into untransform (ADVICE.md r1)
+            self._y_orig_sorted = np.sort(
+                np.asarray(dataset.y, dtype=float), axis=0)
 
     def transform_array(self, X, y, w, ids):
         if self.transform_X:
             X = _cdf_values(np.asarray(X, dtype=float), self.bins)
         if self.transform_y:
-            self._y_orig_sorted = np.sort(np.asarray(y, dtype=float), axis=0)
             y = _cdf_values(np.asarray(y, dtype=float), self.bins)
         return X, y, w, ids
 

@@ -1,0 +1,112 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md)."""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from deepchem_tpu.data import NumpyDataset, DiskDataset
+from deepchem_tpu.models import MultitaskClassifier, MultitaskRegressor
+from deepchem_tpu.trans import CDFTransformer
+
+
+def _toy(n=32, f=8, tasks=2, seed=0):
+    rng = np.random.RandomState(seed)
+    X = rng.rand(n, f).astype(np.float32)
+    y = rng.randint(0, 2, (n, tasks)).astype(float)
+    return NumpyDataset(X, y)
+
+
+def test_weight_decay_penalty_changes_loss():
+    ds = _toy()
+    kw = dict(n_tasks=2, n_features=8, layer_sizes=[16], dropouts=0.0,
+              batch_size=16, seed=7)
+    plain = MultitaskClassifier(**kw)
+    decayed = MultitaskClassifier(weight_decay_penalty=10.0,
+                                  weight_decay_penalty_type='l2', **kw)
+    assert decayed.regularization_loss is not None
+    l0 = plain.fit(ds, nb_epoch=1, checkpoint_interval=0, deterministic=True)
+    l1 = decayed.fit(ds, nb_epoch=1, checkpoint_interval=0,
+                     deterministic=True)
+    # penalty over trunk kernels is strictly positive
+    assert l1 > l0 + 0.01
+    # and the reported penalty matches a direct computation
+    import jax
+    import jax.numpy as jnp
+    reg = decayed.regularization_loss(decayed.params)
+    manual = 0.0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(decayed.params):
+        keys = [getattr(p, 'key', None) for p in path]
+        if keys[-1] == 'kernel' and any(
+                isinstance(k, str) and k.startswith('_MLPTrunk')
+                for k in keys):
+            manual += float(jnp.square(leaf).sum())
+    assert np.isclose(float(reg), 10.0 * manual, rtol=1e-5)
+
+
+def test_weight_decay_l1_and_bad_type():
+    m = MultitaskRegressor(n_tasks=1, n_features=4, layer_sizes=[8],
+                           dropouts=0.0, weight_decay_penalty=0.1,
+                           weight_decay_penalty_type='l1')
+    assert m.regularization_loss is not None
+    with pytest.raises(ValueError):
+        MultitaskClassifier(n_tasks=1, n_features=4, layer_sizes=[8],
+                            weight_decay_penalty=0.1,
+                            weight_decay_penalty_type='linf')
+
+
+def test_fit_on_device_cache_invalidation(tmp_path):
+    rng = np.random.RandomState(0)
+    X = rng.rand(16, 4).astype(np.float32)
+    y = np.zeros((16, 1))
+    ds = DiskDataset.from_numpy(X, y, data_dir=str(tmp_path / 'd'))
+    m = MultitaskClassifier(n_tasks=1, n_features=4, layer_sizes=[8],
+                            dropouts=0.0, batch_size=8)
+    m.fit_on_device(ds, nb_epoch=1)
+    first_cache = m._fit_data_cache
+    assert first_cache[0] is ds
+    # unchanged dataset -> cache reused
+    m.fit_on_device(ds, nb_epoch=1)
+    assert m._fit_data_cache is first_cache
+    # in-place mutation bumps _version -> cache rebuilt
+    X2, y2, w2, ids2 = ds.get_shard(0)
+    ds.set_shard(0, X2, np.ones_like(y2), w2, ids2)
+    assert ds._version > first_cache[1]
+    m.fit_on_device(ds, nb_epoch=1)
+    assert m._fit_data_cache is not first_cache
+    # the rebuilt cache holds the mutated labels
+    assert float(np.max(np.asarray(m._fit_data_cache[4][0]))) == 1.0
+
+
+def test_cdf_untransform_uses_training_quantiles():
+    rng = np.random.RandomState(0)
+    y_train = rng.normal(0.0, 1.0, (50, 1))
+    y_test = rng.normal(100.0, 1.0, (20, 1))   # wildly different scale
+    train = NumpyDataset(np.zeros((50, 2)), y_train)
+    t = CDFTransformer(transform_y=True, dataset=train)
+    # untransform works even before any transform_array call
+    z = np.array([[0.0], [0.5], [0.999]])
+    vals = t.untransform(z)
+    assert vals[0, 0] == np.min(y_train)
+    # transforming a different split must NOT change the quantile table
+    t.transform_array(np.zeros((20, 2)), y_test, np.ones((20, 1)),
+                      np.arange(20))
+    vals2 = t.untransform(z)
+    np.testing.assert_allclose(vals, vals2)
+    assert vals2[2, 0] < 50.0   # not the test split's ~100 scale
+
+
+def test_iterbatches_abandoned_releases_producer(tmp_path):
+    X = np.arange(400, dtype=np.float32).reshape(100, 4)
+    y = np.zeros((100, 1))
+    ds = DiskDataset.from_numpy(X, y, data_dir=str(tmp_path / 'd'))
+    ds.reshard(10)   # 10 shards so the producer outlives a 1-batch consume
+    before = threading.active_count()
+    for _ in range(5):
+        it = ds.iterbatches(batch_size=5)
+        next(it)
+        it.close()   # abandon mid-epoch (same as break in a for loop)
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
