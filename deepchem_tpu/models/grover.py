@@ -1,13 +1,32 @@
 """GROVER: graph representation transformer with self-supervised
-pretraining (reference deepchem/models/torch_models/grover.py:885 +
-grover_layers.py:940; featurizer feat/molecule_featurizers/
+pretraining (reference deepchem/models/torch_models/grover.py:261 +
+grover_layers.py:16-940; featurizer feat/molecule_featurizers/
 grover_featurizer.py; vocab builders feat/vocabulary_builders/
 grover_vocab.py).
 
-Compact TPU redesign: a message-passing transformer (GNN attention over the
-COO layout) with the reference's three pretraining signals — atom-context
-vocabulary, bond-context vocabulary, functional-group multilabels — and a
-supervised fine-tune mode.
+TPU-native implementation of the published GROVER architecture
+(Rong et al., NeurIPS 2020): the dual node/edge GTransEncoder whose
+attention heads are directed message-passing networks
+(reference grover_layers.py GroverMPNEncoder:348, GroverAttentionHead:484,
+GroverMTBlock:585, GroverTransEncoder:692), four cross-aggregated output
+embeddings (atom_from_atom / atom_from_bond / bond_from_atom /
+bond_from_bond), the atom/bond-context vocabulary + functional-group
+pretraining heads (GroverAtomVocabPredictor:148, GroverBondVocabPredictor:89,
+GroverFunctionalGroupPredictor:202, losses.py GroverPretrainLoss:765), and
+the dual-branch finetune head (grover.py GroverFinetune:126).
+
+TPU design notes:
+- The reference's padded neighbor-list aggregation (a2b/a2a with a ghost
+  slot 0) is kept — it is already the TPU-friendly layout: static-shape
+  dense gathers + sums on the MXU-adjacent VPU, no scatters.
+- Ghost/padding rows are explicitly re-masked after every affine transform
+  so bias terms cannot leak into neighbor sums (the reference relies on
+  bias=False to keep the ghost row zero).
+- The reference's dynamic message-passing depth (dyMPN: depth resampled
+  per forward pass, grover_layers.py:438-450) would force an XLA retrace
+  per step; we instead resample the depth per EPOCH from the same
+  truncated-normal when ``dynamic_depth='truncnorm'`` — one recompile per
+  distinct depth (cached), same regularization intent.
 """
 
 from __future__ import annotations
@@ -22,14 +41,12 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from deepchem_tpu.chem import Molecule
-from deepchem_tpu.data import Dataset, pad_batch
+from deepchem_tpu.data import Dataset
 from deepchem_tpu.feat.base import MolecularFeaturizer
-from deepchem_tpu.feat.graph_data import GraphData
+from deepchem_tpu.feat.graph_data import GraphData, bucket_caps
 from deepchem_tpu.feat import feature_utils as fu
-from deepchem_tpu.models.graph_models import GraphModel, _heads, \
-    _gnn_loss_outputs
-from deepchem_tpu.models.graph_layers import GATLayer
-from deepchem_tpu.ops import graph_pool, node_degrees, segment_sum
+from deepchem_tpu.models.graph_models import GraphModel, _gnn_loss_outputs
+from deepchem_tpu.ops import graph_pool
 
 # a compact functional-group SMARTS-free detector set (predicate based)
 _FG_CHECKS = [
@@ -136,12 +153,14 @@ class GroverBondVocabularyBuilder(GroverAtomVocabularyBuilder):
 
 class GroverFeaturizer(MolecularFeaturizer):
     """(reference grover_featurizer.py): GraphData with atom/bond vocab
-    labels and functional-group fingerprint attached."""
+    labels, functional-group fingerprint, and optional additional
+    molecule-level features from ``features_generator`` attached."""
 
     def __init__(self, features_generator=None,
                  atom_vocab: Optional[GroverAtomVocabularyBuilder] = None,
                  bond_vocab: Optional[GroverBondVocabularyBuilder] = None):
         super().__init__()
+        self.features_generator = features_generator
         self.atom_vocab = atom_vocab
         self.bond_vocab = bond_vocab
 
@@ -169,6 +188,10 @@ class GroverFeaturizer(MolecularFeaturizer):
             kwargs2['bond_vocab_label'] = np.array(bl, dtype=np.int32)
         kwargs2['fg_label'] = np.array(
             [float(chk(mol)) for _, chk in _FG_CHECKS], dtype=np.float32)
+        if self.features_generator is not None:
+            kwargs2['additional_features'] = np.asarray(
+                self.features_generator._featurize(mol),
+                dtype=np.float32).reshape(-1)
         # single-atom molecules (e.g. methane) have no bonds; keep the
         # edge-feature width stable so batching still concatenates
         n_bond_feats = 6
@@ -178,119 +201,428 @@ class GroverFeaturizer(MolecularFeaturizer):
                          if ef else ef_arr, **kwargs2)
 
 
-class _GroverEncoder(nn.Module):
+# ---------------------------------------------------------------------------
+# GTransEncoder (reference grover_layers.py, rebuilt on padded neighbor
+# lists with explicit ghost-row masking)
+# ---------------------------------------------------------------------------
+
+def _nei_sum(messages: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
+    """sum_j messages[index[i, j]] — the reference's
+    _select_neighbor_and_aggregate (grover_layers.py:320) as a static-shape
+    gather + reduce (TPU-friendly: no scatter)."""
+    return jnp.take(messages, index, axis=0).sum(axis=1)
+
+
+class _GroverMPN(nn.Module):
+    """Directed message-passing encoder (reference GroverMPNEncoder:348).
+
+    atom_messages=True: messages live on atoms, neighbors via a2a.
+    atom_messages=False: messages live on directed bonds, neighbors via
+    a2b; the DMPNN-style update subtracts the reverse-bond message.
+    """
     hidden: int
-    n_layers: int
-    n_heads: int
+    depth: int
+    atom_messages: bool
+    input_layer: str = 'none'      # 'fc' | 'none'
+    dropout: float = 0.0
+    bias: bool = False
 
     @nn.compact
-    def __call__(self, nf, esrc, edst, emask, deg):
-        h = nn.Dense(self.hidden)(nf)
-        for i in range(self.n_layers):
-            a = GATLayer(self.hidden // self.n_heads,
-                         n_heads=self.n_heads,
-                         name=f'encoder_att{i}')(h, esrc, edst, emask,
-                                                 deg)
-            h = nn.LayerNorm()(h + a)
-            f = nn.Dense(self.hidden, name=f'encoder_ff{i}b')(
-                nn.gelu(nn.Dense(self.hidden * 2,
-                                 name=f'encoder_ff{i}a')(h)))
-            h = nn.LayerNorm()(h + f)
-        return h
+    def __call__(self, messages, a2nei, b2a, b2revb, mask,
+                 training: bool = False):
+        if self.input_layer == 'fc':
+            messages = nn.relu(
+                nn.Dense(self.hidden, use_bias=self.bias,
+                         name='W_i')(messages))
+        messages = messages * mask[:, None]
+        W_h = nn.Dense(self.hidden, use_bias=self.bias, name='W_h')
+        for _ in range(self.depth - 1):
+            nei_message = _nei_sum(messages, a2nei)
+            if self.atom_messages:
+                messages = nei_message
+            else:
+                # directed update: sum over incoming bonds of the source
+                # atom, minus the reverse bond's own message
+                # (grover_layers.py:463-470)
+                rev = jnp.take(messages, b2revb, axis=0)
+                messages = jnp.take(nei_message, b2a, axis=0) - rev
+            messages = nn.relu(W_h(messages))
+            messages = nn.Dropout(self.dropout,
+                                  deterministic=not training)(messages)
+            messages = messages * mask[:, None]
+        return messages
 
 
-class _GroverModule(nn.Module):
+class _GroverMTBlock(nn.Module):
+    """Message-passing multi-head transformer block (reference
+    GroverMTBlock:585): each attention head derives q/k/v from three
+    independent MPN encoders (GroverAttentionHead:484); attention runs over
+    the length-num_heads head axis per node/bond."""
     hidden: int
-    n_layers: int
-    n_heads: int
-    task: str          # 'pretrain' | 'classification' | 'regression'
-    n_tasks: int
-    n_classes: int
+    num_heads: int
+    depth: int
+    atom_messages: bool
+    dropout: float = 0.0
+    bias: bool = False
+    res_connection: bool = True
+    transform_input: bool = False   # static: first block projects features
+
+    @nn.compact
+    def __call__(self, f, a2nei, b2a, b2revb, mask, training: bool = False):
+        if self.transform_input:
+            f = nn.Dense(self.hidden, use_bias=self.bias, name='W_i')(f)
+            f = nn.LayerNorm(name='input_norm')(nn.relu(f))
+            f = nn.Dropout(self.dropout, deterministic=not training)(f)
+            f = f * mask[:, None]
+        qs, ks, vs = [], [], []
+        for h in range(self.num_heads):
+            q = _GroverMPN(self.hidden, self.depth, self.atom_messages,
+                           'none', self.dropout, self.bias,
+                           name=f'head{h}_q')(f, a2nei, b2a, b2revb, mask,
+                                              training)
+            k = _GroverMPN(self.hidden, self.depth, self.atom_messages,
+                           'none', self.dropout, self.bias,
+                           name=f'head{h}_k')(f, a2nei, b2a, b2revb, mask,
+                                              training)
+            v = _GroverMPN(self.hidden, self.depth, self.atom_messages,
+                           'none', self.dropout, self.bias,
+                           name=f'head{h}_v')(f, a2nei, b2a, b2revb, mask,
+                                              training)
+            qs.append(q)
+            ks.append(k)
+            vs.append(v)
+        q = jnp.stack(qs, axis=1)   # (N, num_heads, hidden)
+        k = jnp.stack(ks, axis=1)
+        v = jnp.stack(vs, axis=1)
+        x = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.hidden,
+            out_features=self.hidden, dropout_rate=self.dropout,
+            name='attn')(q, k, v, deterministic=not training)
+        x = x.reshape(x.shape[0], -1)                     # (N, heads*H)
+        x = nn.Dense(self.hidden, use_bias=self.bias, name='W_o')(x)
+        if self.res_connection:
+            # SublayerConnection: x_in + dropout(norm(out))
+            # (reference torch layers.py:777-793)
+            x = f + nn.Dropout(self.dropout, deterministic=not training)(
+                nn.LayerNorm(name='res_norm')(x))
+        return x * mask[:, None]
+
+
+class _PositionwiseFFN(nn.Module):
+    """(reference torch layers.py PositionwiseFeedForward, n_layers=2)."""
+    d_hidden: int
+    d_output: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = nn.Dense(self.d_hidden, name='ff1')(x)
+        x = nn.Dropout(self.dropout, deterministic=not training)(
+            nn.relu(x))
+        return nn.Dense(self.d_output, name='ff2')(x)
+
+
+class GroverTransEncoder(nn.Module):
+    """The dual node/edge GROVER encoder (reference GroverTransEncoder:692).
+
+    Returns the four embeddings (atom_from_atom, atom_from_bond,
+    bond_from_atom, bond_from_bond)."""
+    hidden: int
+    node_fdim: int
+    edge_fdim: int
+    depth: int = 3
+    num_mt_block: int = 2
+    num_heads: int = 4
+    dropout: float = 0.0
+    bias: bool = False
+    res_connection: bool = True
+
+    @nn.compact
+    def __call__(self, f_atoms, f_bonds, a2b, b2a, b2revb, a2a,
+                 nmask, emask, training: bool = False):
+        node_h, edge_h = f_atoms, f_bonds
+        for i in range(self.num_mt_block):
+            node_h = _GroverMTBlock(
+                self.hidden, self.num_heads, self.depth,
+                atom_messages=True, dropout=self.dropout, bias=self.bias,
+                res_connection=self.res_connection,
+                transform_input=(i == 0),
+                name=f'node_block{i}')(node_h, a2a, b2a, b2revb, nmask,
+                                       training)
+            edge_h = _GroverMTBlock(
+                self.hidden, self.num_heads, self.depth,
+                atom_messages=False, dropout=self.dropout, bias=self.bias,
+                res_connection=self.res_connection,
+                transform_input=(i == 0),
+                name=f'edge_block{i}')(edge_h, a2b, b2a, b2revb, emask,
+                                       training)
+
+        def sublayer(x, name):
+            # SublayerConnection(None, x): dropout(norm(x))
+            return nn.Dropout(self.dropout, deterministic=not training)(
+                nn.LayerNorm(name=f'{name}_norm')(x))
+
+        # --- to-atom outputs (grover_layers.py:858-869)
+        aa = jnp.concatenate([f_atoms, _nei_sum(node_h, a2a)], axis=1)
+        atom_from_atom = sublayer(
+            _PositionwiseFFN(self.hidden * 4, self.hidden, self.dropout,
+                             name='ffn_atom_from_atom')(aa, training),
+            'atom_from_atom') * nmask[:, None]
+        ab = jnp.concatenate([f_atoms, _nei_sum(edge_h, a2b)], axis=1)
+        atom_from_bond = sublayer(
+            _PositionwiseFFN(self.hidden * 4, self.hidden, self.dropout,
+                             name='ffn_atom_from_bond')(ab, training),
+            'atom_from_bond') * nmask[:, None]
+
+        # --- to-bond outputs (grover_layers.py:870-886)
+        # atom -> bond: neighbors are the bond's source atom plus that
+        # atom's neighbors, minus the atom at the reverse end
+        atom_list_for_bond = jnp.concatenate(
+            [b2a[:, None], jnp.take(a2a, b2a, axis=0)], axis=1)
+        agg = _nei_sum(node_h, atom_list_for_bond) \
+            - jnp.take(node_h, jnp.take(b2a, b2revb), axis=0)
+        ba = jnp.concatenate([f_bonds, agg], axis=1)
+        bond_from_atom = sublayer(
+            _PositionwiseFFN(self.hidden * 4, self.hidden, self.dropout,
+                             name='ffn_bond_from_atom')(ba, training),
+            'bond_from_atom') * emask[:, None]
+        # bond -> bond: incoming bonds of the source atom minus reverse
+        bond_list_for_bond = jnp.take(a2b, b2a, axis=0)
+        agg2 = _nei_sum(edge_h, bond_list_for_bond) \
+            - jnp.take(edge_h, b2revb, axis=0)
+        bb = jnp.concatenate([f_bonds, agg2], axis=1)
+        bond_from_bond = sublayer(
+            _PositionwiseFFN(self.hidden * 4, self.hidden, self.dropout,
+                             name='ffn_bond_from_bond')(bb, training),
+            'bond_from_bond') * emask[:, None]
+        return atom_from_atom, atom_from_bond, bond_from_atom, bond_from_bond
+
+
+class _GroverPretrainModule(nn.Module):
+    """Pretrain heads over the four encoder embeddings (reference
+    GroverPretrain grover.py:20 + predictors grover_layers.py:89-289)."""
+    hidden: int
+    node_fdim: int
+    edge_fdim: int
+    depth: int
+    num_mt_block: int
+    num_heads: int
+    dropout: float
     atom_vocab_size: int
     bond_vocab_size: int
     n_fg: int
     num_graphs: int
 
     @nn.compact
-    def __call__(self, nf, esrc, edst, gidx, nmask, emask, ef,
-                 training: bool = False):
-        esrc = esrc.astype(jnp.int32)
-        edst = edst.astype(jnp.int32)
-        deg = node_degrees(edst, nf.shape[0], emask)
-        h = _GroverEncoder(self.hidden, self.n_layers, self.n_heads)(
-            nf, esrc, edst, emask, deg)
-        if self.task == 'pretrain':
-            atom_logits = nn.Dense(self.atom_vocab_size,
-                                   name='atom_vocab_head')(h)
-            edge_h = jnp.take(h, esrc, axis=0) + jnp.take(h, edst, axis=0)
-            bond_logits = nn.Dense(self.bond_vocab_size,
-                                   name='bond_vocab_head')(edge_h)
-            g = graph_pool(h, gidx, self.num_graphs, nmask, 'mean')
-            fg_logits = nn.Dense(self.n_fg, name='fg_head')(g)
-            return atom_logits, bond_logits, fg_logits
-        g = graph_pool(h, gidx, self.num_graphs, nmask, 'mean')
-        g = nn.gelu(nn.Dense(self.hidden, name='head_dense')(g))
-        return _heads(g, self.n_tasks, self.n_classes,
-                      'classification' if self.task == 'classification'
-                      else 'regression', False, training)
+    def __call__(self, f_atoms, f_bonds, a2b, b2a, b2revb, a2a, gidx,
+                 nmask, emask, addf, training: bool = False):
+        emb = GroverTransEncoder(
+            self.hidden, self.node_fdim, self.edge_fdim, self.depth,
+            self.num_mt_block, self.num_heads, self.dropout,
+            name='encoder')(f_atoms, f_bonds, a2b, b2a, b2revb, a2a,
+                            nmask, emask, training)
+        atom_from_atom, atom_from_bond, bond_from_atom, bond_from_bond = emb
+        # atom-vocab predictors (one per source branch)
+        av_atom = jax.nn.log_softmax(
+            nn.Dense(self.atom_vocab_size,
+                     name='av_head_atom')(atom_from_atom), axis=-1)
+        av_bond = jax.nn.log_softmax(
+            nn.Dense(self.atom_vocab_size,
+                     name='av_head_bond')(atom_from_bond), axis=-1)
+
+        # bond-vocab predictors: forward + reverse directed-bond linear
+        # (reference GroverBondVocabPredictor:127 pairs even/odd ids; here
+        # every directed bond pairs with its b2revb partner)
+        def bond_vocab(emb_b, name):
+            fwd = nn.Dense(self.bond_vocab_size, name=f'{name}_fwd')(emb_b)
+            rev = nn.Dense(self.bond_vocab_size, name=f'{name}_rev')(
+                jnp.take(emb_b, b2revb, axis=0))
+            return jax.nn.log_softmax(fwd + rev, axis=-1)
+        bv_atom = bond_vocab(bond_from_atom, 'bv_head_atom')
+        bv_bond = bond_vocab(bond_from_bond, 'bv_head_bond')
+
+        # functional-group predictors over mean readouts of all four
+        def fg(emb_x, idx, mask, name):
+            g = graph_pool(emb_x, idx, self.num_graphs, mask, 'mean')
+            return nn.Dense(self.n_fg, name=name)(g)
+        egidx = jnp.take(gidx, b2a)   # graph id of each directed bond
+        fg_aa = fg(atom_from_atom, gidx, nmask, 'fg_head_atom_from_atom')
+        fg_ab = fg(atom_from_bond, gidx, nmask, 'fg_head_atom_from_bond')
+        fg_ba = fg(bond_from_atom, egidx, emask, 'fg_head_bond_from_atom')
+        fg_bb = fg(bond_from_bond, egidx, emask, 'fg_head_bond_from_bond')
+        return av_atom, av_bond, bv_atom, bv_bond, fg_aa, fg_ab, fg_ba, fg_bb
+
+
+class _GroverFinetuneModule(nn.Module):
+    """Dual-branch finetune head (reference GroverFinetune grover.py:126):
+    mean readouts of atom_from_atom / atom_from_bond, optional additional
+    molecule features, per-branch FFN, shared linear output head."""
+    hidden: int
+    node_fdim: int
+    edge_fdim: int
+    depth: int
+    num_mt_block: int
+    num_heads: int
+    dropout: float
+    mode: str                      # 'classification' | 'regression'
+    n_tasks: int
+    n_classes: int
+    num_graphs: int
+    ffn_hidden: int = 128
+
+    @nn.compact
+    def __call__(self, f_atoms, f_bonds, a2b, b2a, b2revb, a2a, gidx,
+                 nmask, emask, addf, training: bool = False):
+        emb = GroverTransEncoder(
+            self.hidden, self.node_fdim, self.edge_fdim, self.depth,
+            self.num_mt_block, self.num_heads, self.dropout,
+            name='encoder')(f_atoms, f_bonds, a2b, b2a, b2revb, a2a,
+                            nmask, emask, training)
+        atom_from_atom, atom_from_bond = emb[0], emb[1]
+        g_atom = graph_pool(atom_from_atom, gidx, self.num_graphs, nmask,
+                            'mean')
+        g_bond = graph_pool(atom_from_bond, gidx, self.num_graphs, nmask,
+                            'mean')
+        g_atom = jnp.concatenate([g_atom, addf], axis=1)
+        g_bond = jnp.concatenate([g_bond, addf], axis=1)
+        drop = nn.Dropout(self.dropout, deterministic=not training)
+        h_atom = nn.Dense(self.ffn_hidden,
+                          name='mol_atom_from_atom_ffn')(drop(g_atom))
+        h_bond = nn.Dense(self.ffn_hidden,
+                          name='mol_atom_from_bond_ffn')(drop(g_bond))
+        out_dim = (self.n_tasks * self.n_classes
+                   if self.mode == 'classification' else self.n_tasks)
+        head = nn.Dense(out_dim, name='output_head')
+        # per-branch predictions (supervised during training; the combined
+        # prediction averages the branch activations as the reference does)
+        la = head(h_atom)
+        lb = head(h_bond)
+        if self.mode == 'classification':
+            combined = head((jax.nn.sigmoid(h_atom)
+                             + jax.nn.sigmoid(h_bond)) / 2)
+            logits = combined.reshape(-1, self.n_tasks, self.n_classes)
+            probs = jax.nn.softmax(logits, axis=-1)
+            la = la.reshape(-1, self.n_tasks, self.n_classes)
+            lb = lb.reshape(-1, self.n_tasks, self.n_classes)
+            return probs, logits, la, lb
+        combined = head((h_atom + h_bond) / 2)
+        return combined, la, lb
 
 
 class GroverModel(GraphModel):
-    """(reference torch_models/grover.py GroverModel contract: task
-    'pretraining'/'finetuning', atom/bond vocabs, fine-tune after
-    load_components)."""
+    """(reference torch_models/grover.py:261 GroverModel contract: task
+    'pretraining'/'finetuning', atom/bond vocabs, component-wise transfer
+    via save_components/load_components)."""
 
     uses_edge_features = True
-    component_scopes = {'encoder': ['encoder_'],
-                        'heads': ['atom_vocab_head', 'bond_vocab_head',
-                                  'fg_head', 'head']}
+    component_scopes = {'encoder': ['encoder'],
+                        'heads': ['head', 'ffn_out', 'mol_atom_from']}
+    #: static width of the padded incoming-neighbor lists (molecular
+    #: graphs have max degree ~6; one static width avoids recompiles)
+    max_neighbors = 8
 
     def __init__(self, node_fdim: int = 75, edge_fdim: int = 6,
-                 hidden_size: int = 64, num_layers: int = 2,
-                 num_heads: int = 4, task: str = 'finetuning',
+                 hidden_size: int = 64, depth: int = 2,
+                 num_mt_block: int = 1, num_heads: int = 4,
+                 dropout: float = 0.0, ffn_hidden_size: int = 128,
+                 task: str = 'finetuning',
                  mode: str = 'regression', n_tasks: int = 1,
-                 n_classes: int = 2,
+                 n_classes: int = 2, features_dim: int = 0,
                  atom_vocab: Optional[GroverAtomVocabularyBuilder] = None,
                  bond_vocab: Optional[GroverBondVocabularyBuilder] = None,
-                 batch_size: int = 32, **kwargs):
+                 batch_size: int = 32, dist_coff: float = 0.1,
+                 num_layers: Optional[int] = None, **kwargs):
         self.n_tasks = n_tasks
         self.n_classes = n_classes
         self.task = task
         self.mode = mode
         self.atom_vocab = atom_vocab
         self.bond_vocab = bond_vocab
+        self.node_fdim = node_fdim
+        self.edge_fdim = edge_fdim
+        self.features_dim = features_dim
+        self.dist_coff = dist_coff
+        if num_layers is not None:      # back-compat alias
+            num_mt_block = num_layers
         av = atom_vocab.size if atom_vocab is not None else 1
         bv = bond_vocab.size if bond_vocab is not None else 1
-        internal_task = 'pretrain' if task in ('pretraining',
-                                               'pretrain') else mode
-        module = _GroverModule(
-            hidden=hidden_size, n_layers=num_layers, n_heads=num_heads,
-            task=internal_task, n_tasks=n_tasks, n_classes=n_classes,
-            atom_vocab_size=av, bond_vocab_size=bv,
-            n_fg=len(_FG_CHECKS), num_graphs=batch_size)
-        if internal_task == 'pretrain':
+        pretrain = task in ('pretraining', 'pretrain')
+        common = dict(hidden=hidden_size, node_fdim=node_fdim,
+                      edge_fdim=edge_fdim, depth=depth,
+                      num_mt_block=num_mt_block, num_heads=num_heads,
+                      dropout=dropout, num_graphs=batch_size)
+        if pretrain:
+            module = _GroverPretrainModule(
+                atom_vocab_size=av, bond_vocab_size=bv,
+                n_fg=len(_FG_CHECKS), **common)
+            dist = dist_coff
+
             def loss_fn(outputs, labels, weights):
-                atom_logits, bond_logits, fg_logits = outputs
+                (av_a, av_b, bv_a, bv_b,
+                 fg_aa, fg_ab, fg_ba, fg_bb) = outputs
                 av_lab, bv_lab, fg_lab, nmask2, emask2 = labels
-                logp = jax.nn.log_softmax(atom_logits, -1)
-                nll_a = -jnp.take_along_axis(
-                    logp, av_lab.astype(jnp.int32)[:, None],
-                    axis=-1)[:, 0]
-                la = jnp.sum(nll_a * nmask2) / jnp.maximum(
-                    nmask2.sum(), 1.0)
-                logp_b = jax.nn.log_softmax(bond_logits, -1)
-                nll_b = -jnp.take_along_axis(
-                    logp_b, bv_lab.astype(jnp.int32)[:, None],
-                    axis=-1)[:, 0]
-                lb = jnp.sum(nll_b * emask2) / jnp.maximum(
-                    emask2.sum(), 1.0)
-                from deepchem_tpu.models.losses import \
-                    SigmoidCrossEntropy
-                lf = jnp.mean(SigmoidCrossEntropy()(fg_logits, fg_lab))
-                return la + lb + lf
-            output_types = ['embedding', 'embedding', 'embedding']
+
+                def masked_nll(logp, lab, mask):
+                    nll = -jnp.take_along_axis(
+                        logp, lab.astype(jnp.int32)[:, None], axis=-1)[:, 0]
+                    return jnp.sum(nll * mask) / jnp.maximum(mask.sum(),
+                                                             1.0)
+                la = masked_nll(av_a, av_lab, nmask2) \
+                    + masked_nll(av_b, av_lab, nmask2)
+                lb = masked_nll(bv_a, bv_lab, emask2) \
+                    + masked_nll(bv_b, bv_lab, emask2)
+
+                def bce(logits, lab):
+                    return jnp.mean(
+                        jnp.maximum(logits, 0) - logits * lab
+                        + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+                lf = bce(fg_aa, fg_lab) + bce(fg_ab, fg_lab) \
+                    + bce(fg_ba, fg_lab) + bce(fg_bb, fg_lab)
+
+                def mmse(a, b, mask):
+                    d = jnp.mean((a - b) ** 2, axis=-1)
+                    return jnp.sum(d * mask) / jnp.maximum(mask.sum(), 1.0)
+                ld = mmse(av_a, av_b, nmask2) + mmse(bv_a, bv_b, emask2) \
+                    + jnp.mean((jax.nn.sigmoid(fg_aa)
+                                - jax.nn.sigmoid(fg_ab)) ** 2) \
+                    + jnp.mean((jax.nn.sigmoid(fg_ba)
+                                - jax.nn.sigmoid(fg_bb)) ** 2)
+                return la + lb + lf + dist * ld
+            output_types = ['embedding'] * 8
         else:
-            loss_fn, output_types = _gnn_loss_outputs(mode)
+            module = _GroverFinetuneModule(
+                mode=mode, n_tasks=n_tasks, n_classes=n_classes,
+                ffn_hidden=ffn_hidden_size, **common)
+            base_loss, _ = _gnn_loss_outputs(mode)
+            dist = dist_coff
+
+            def _weighted(losses, weights):
+                w = weights[0] if weights else jnp.ones(())
+                if w.ndim < losses.ndim:
+                    w = jnp.reshape(w, w.shape
+                                    + (1,) * (losses.ndim - w.ndim))
+                elif w.ndim > losses.ndim:
+                    w = jnp.mean(w, axis=tuple(range(losses.ndim, w.ndim)))
+                return jnp.sum(losses * w) / jnp.maximum(
+                    jnp.sum(jnp.broadcast_to(w, losses.shape)), 1e-8)
+
+            # dual-branch supervision + branch-consistency distance
+            # (reference grover.py _finetuning_loss:681)
+            if mode == 'classification':
+                def loss_fn(outputs, labels, weights):
+                    probs, logits, la, lb = outputs
+                    l1 = _weighted(base_loss(la, labels[0]), weights)
+                    l2 = _weighted(base_loss(lb, labels[0]), weights)
+                    return l1 + l2 + dist * jnp.mean((la - lb) ** 2)
+                output_types = ['prediction', 'loss', 'embedding',
+                                'embedding']
+            else:
+                def loss_fn(outputs, labels, weights):
+                    y, ya, yb = outputs
+                    l1 = _weighted(base_loss(ya, labels[0]), weights)
+                    l2 = _weighted(base_loss(yb, labels[0]), weights)
+                    return l1 + l2 + dist * jnp.mean((ya - yb) ** 2)
+                output_types = ['prediction', 'embedding', 'embedding']
         kwargs.setdefault('data_parallel', False)
         super().__init__(module, loss_fn, output_types=output_types,
                          batch_size=batch_size, **kwargs)
@@ -305,25 +637,123 @@ class GroverModel(GraphModel):
     save_components = _MM.save_components
     load_components = _MM.load_components
 
+    # -- grover batch assembly (reference utils/grover.py BatchGroverGraph,
+    # rebuilt with a ghost slot 0 and static neighbor-list width) ---------
+    def _graph_inputs(self, X_b) -> List[np.ndarray]:
+        graphs = list(X_b)
+        n_nodes = sum(g.num_nodes for g in graphs) + 1
+        n_edges = sum(g.num_edges for g in graphs) + 1
+        if self._fixed_caps is not None:
+            node_cap, edge_cap = self._fixed_caps
+        else:
+            node_cap, edge_cap = bucket_caps(
+                n_nodes, n_edges, self.node_quantum, self.edge_quantum)
+        MAX_NB = self.max_neighbors
+        nf = self.node_fdim
+        ef = self.edge_fdim
+        f_atoms = np.zeros((node_cap, nf), np.float32)
+        f_bonds = np.zeros((edge_cap, nf + ef), np.float32)
+        a2b = np.zeros((node_cap, MAX_NB), np.int32)
+        b2a = np.zeros(edge_cap, np.int32)
+        b2revb = np.zeros(edge_cap, np.int32)
+        gidx = np.zeros(node_cap, np.int32)
+        nmask = np.zeros(node_cap, np.float32)
+        emask = np.zeros(edge_cap, np.float32)
+        addf = np.zeros((self.batch_size, max(self.features_dim, 1)),
+                        np.float32)
+        na, ne = 1, 1     # slot 0 = ghost
+        for i, g in enumerate(graphs):
+            n, e = g.num_nodes, g.num_edges
+            f_atoms[na:na + n] = g.node_features[:, :nf]
+            gidx[na:na + n] = i
+            nmask[na:na + n] = 1.0
+            if e:
+                src = g.edge_index[0] + na
+                dst = g.edge_index[1] + na
+                efeat = (g.edge_features[:, :ef]
+                         if g.edge_features is not None
+                         else np.zeros((e, ef), np.float32))
+                f_bonds[ne:ne + e, :nf] = f_atoms[src]
+                f_bonds[ne:ne + e, nf:] = efeat
+                b2a[ne:ne + e] = src
+                # featurizer emits directed bonds in (fwd, rev) pairs
+                pair = np.arange(e)
+                b2revb[ne:ne + e] = (pair ^ 1) + ne
+                emask[ne:ne + e] = 1.0
+                counts = np.zeros(node_cap, np.int32)
+                for j in range(e):
+                    a = dst[j]
+                    c = counts[a]
+                    if c < MAX_NB:
+                        a2b[a, c] = ne + j
+                        counts[a] += 1
+            af = getattr(g, 'additional_features', None)
+            if af is not None and self.features_dim:
+                addf[i, :len(af)] = af[:self.features_dim]
+            na += n
+            ne += e
+        a2a = b2a[a2b]    # source atoms of incoming bonds
+        return [f_atoms, f_bonds, a2b, b2a, b2revb, a2a.astype(np.int32),
+                gidx, nmask, emask, addf]
+
+    def _collect_uniform_batches(self, dataset: Dataset,
+                                 deterministic: bool = True):
+        max_nodes = max_edges = 1
+        for (X_b, _, _, _) in dataset.iterbatches(
+                batch_size=self.batch_size, deterministic=True,
+                pad_batches=False):
+            max_nodes = max(max_nodes,
+                            sum(g.num_nodes for g in X_b) + 1)
+            max_edges = max(max_edges,
+                            sum(g.num_edges for g in X_b) + 1)
+        self._fixed_caps = bucket_caps(max_nodes, max_edges,
+                                       self.node_quantum,
+                                       self.edge_quantum)
+        try:
+            out = []
+            for batch in self.default_generator(
+                    dataset, epochs=1, deterministic=deterministic,
+                    pad_batches=True):
+                out.append(self._prepare_batch(batch))
+            return out
+        finally:
+            self._fixed_caps = None
+
     def default_generator(self, dataset: Dataset, epochs: int = 1,
                           mode: str = 'fit', deterministic: bool = True,
                           pad_batches: bool = True):
-        if self.task not in ('pretraining', 'pretrain'):
-            yield from super().default_generator(
-                dataset, epochs, mode, deterministic, pad_batches)
-            return
+        pretrain = self.task in ('pretraining', 'pretrain')
         for epoch in range(epochs):
             for (X_b, y_b, w_b, ids_b) in dataset.iterbatches(
                     batch_size=self.batch_size,
                     deterministic=deterministic, pad_batches=False):
                 inputs = self._graph_inputs(X_b)
+                if not pretrain:
+                    n = len(X_b)
+                    if y_b is not None and self.mode == 'classification' \
+                            and mode == 'fit':
+                        from deepchem_tpu.metrics import to_one_hot
+                        y_b = np.stack([
+                            to_one_hot(y_b[:, t], self.n_classes)
+                            for t in range(self.n_tasks)], axis=1)
+                    if y_b is not None and n < self.batch_size:
+                        pad_y = np.zeros(
+                            (self.batch_size - n,) + y_b.shape[1:],
+                            y_b.dtype)
+                        y_b = np.concatenate([y_b, pad_y])
+                        w_b = np.concatenate([
+                            w_b, np.zeros((self.batch_size - n,)
+                                          + w_b.shape[1:], w_b.dtype)]) \
+                            if w_b is not None else None
+                    yield (inputs, [y_b], [w_b])
+                    continue
                 node_cap = inputs[0].shape[0]
                 edge_cap = inputs[1].shape[0]
                 av = np.zeros(node_cap, dtype=np.int32)
                 bv = np.zeros(edge_cap, dtype=np.int32)
                 fg = np.zeros((self.batch_size, len(_FG_CHECKS)),
                               dtype=np.float32)
-                pos_n = pos_e = 0
+                pos_n, pos_e = 1, 1
                 for i, g in enumerate(X_b):
                     n, e = g.num_nodes, g.num_edges
                     if getattr(g, 'atom_vocab_label', None) is not None:
@@ -334,7 +764,7 @@ class GroverModel(GraphModel):
                         fg[i] = g.fg_label
                     pos_n += n
                     pos_e += e
-                yield (inputs, [av, bv, fg, inputs[4], inputs[5]],
+                yield (inputs, [av, bv, fg, inputs[7], inputs[8]],
                        [np.ones(1, np.float32)])
 
     def get_num_tasks(self):
