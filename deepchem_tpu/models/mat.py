@@ -37,8 +37,9 @@ class MATEncoding:
 
 
 class MATFeaturizer(MolecularFeaturizer):
-    """(reference mat_featurizer.py): 36-dim atoms, adjacency, graph
-    distances (3D distances when a conformer exists)."""
+    """(reference mat_featurizer.py): atoms one-hot + a prepended dummy
+    node with its own feature column (reference _add_dummy_node:133),
+    adjacency, graph distances (3D distances when a conformer exists)."""
 
     def _featurize(self, mol: Molecule, **kwargs) -> MATEncoding:
         n = mol.num_atoms
@@ -73,7 +74,32 @@ class MATFeaturizer(MolecularFeaturizer):
                         if dist[i, v] > dist[i, u] + 1:
                             dist[i, v] = dist[i, u] + 1
                             dq.append(v)
-        return MATEncoding(node, adj, dist.astype(np.float32))
+        # dummy node: dedicated first feature column, unconnected, far away
+        nd = np.zeros((n + 1, node.shape[1] + 1), dtype=np.float32)
+        nd[1:, 1:] = node
+        nd[0, 0] = 1.0
+        adj2 = np.zeros((n + 1, n + 1), dtype=np.float32)
+        adj2[1:, 1:] = adj
+        dist2 = np.full((n + 1, n + 1), 1e6, dtype=np.float32)
+        dist2[1:, 1:] = dist
+        return MATEncoding(nd, adj2, dist2.astype(np.float32))
+
+
+class ScaleNorm(nn.Module):
+    """Learnable-scale L2 normalization (reference torch layers.py
+    ScaleNorm:391): ``x * sqrt(scale) / ||x||``."""
+    scale: float = 1.0
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.param('scale_param', lambda k: jnp.asarray(
+            np.sqrt(self.scale), jnp.float32))
+        # smooth norm: exact-zero rows (padding) would give NaN gradients
+        # through jnp.linalg.norm
+        norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True)
+                        + self.eps ** 2)
+        return x * (s / norm)
 
 
 class _MATAttention(nn.Module):
@@ -81,6 +107,7 @@ class _MATAttention(nn.Module):
     n_heads: int
     lambda_attention: float
     lambda_distance: float
+    dist_kernel: str = 'softmax'   # 'softmax' | 'exp' (reference :469)
 
     @nn.compact
     def __call__(self, x, adj, dist, mask):
@@ -98,9 +125,12 @@ class _MATAttention(nn.Module):
         # molecule-aware mixing (reference MAT attention)
         adj_n = adj / jnp.maximum(
             adj.sum(axis=-1, keepdims=True), 1.0)
-        dist_k = jax.nn.softmax(
-            jnp.where(m2[:, 0], -dist[:, None, :, :].squeeze(1), neg),
-            axis=-1)
+        if self.dist_kernel == 'exp':
+            dist_k = jnp.where(m2[:, 0], jnp.exp(-dist), 0.0)
+        else:
+            dist_k = jax.nn.softmax(
+                jnp.where(m2[:, 0], -dist[:, None, :, :].squeeze(1), neg),
+                axis=-1)
         lam_a = self.lambda_attention
         lam_d = self.lambda_distance
         lam_adj = 1.0 - lam_a - lam_d
@@ -121,29 +151,47 @@ class _MATModule(nn.Module):
     lambda_distance: float
     dropout: float
     mode: str
+    dist_kernel: str = 'softmax'
+    norm: str = 'layer'            # 'layer' | 'scale' (ScaleNorm)
+    aggregation: str = 'mean'      # 'mean' | 'sum' | 'grover' (:959)
 
     @nn.compact
     def __call__(self, x, adj, dist, mask, training: bool = False):
-        h = nn.Dense(self.dim)(x)
+        def make_norm():
+            return (ScaleNorm(self.dim) if self.norm == 'scale'
+                    else nn.LayerNorm())
+        h = nn.Dense(self.dim)(x)   # MATEmbedding (reference :911)
         for _ in range(self.n_layers):
             a = _MATAttention(self.dim, self.n_heads,
                               self.lambda_attention,
-                              self.lambda_distance)(
-                nn.LayerNorm()(h), adj, dist, mask)
+                              self.lambda_distance,
+                              self.dist_kernel)(
+                make_norm()(h), adj, dist, mask)
             if self.dropout > 0:
                 a = nn.Dropout(self.dropout,
                                deterministic=not training)(a)
             h = h + a
             f = nn.Dense(self.dim)(nn.gelu(nn.Dense(self.dim * 2)(
-                nn.LayerNorm()(h))))
+                make_norm()(h))))
             if self.dropout > 0:
                 f = nn.Dropout(self.dropout,
                                deterministic=not training)(f)
             h = h + f
-        h = nn.LayerNorm()(h)
-        # masked mean readout
-        g = jnp.sum(h * mask[..., None], axis=1) / jnp.maximum(
-            mask.sum(axis=1, keepdims=True), 1.0)
+        h = make_norm()(h)
+        # readout (reference MATGenerator:959 aggregation types)
+        if self.aggregation == 'sum':
+            g = jnp.sum(h * mask[..., None], axis=1)
+        elif self.aggregation == 'grover':
+            att = nn.Dense(4, use_bias=False, name='gen_att2')(
+                jnp.tanh(nn.Dense(128, use_bias=False,
+                                  name='gen_att1')(h)))   # (B, A, 4)
+            att = jax.nn.softmax(
+                jnp.where(mask[..., None] > 0, att, -1e9), axis=1)
+            g = jnp.einsum('bak,bad->bkd', att, h).reshape(
+                h.shape[0], -1)
+        else:
+            g = jnp.sum(h * mask[..., None], axis=1) / jnp.maximum(
+                mask.sum(axis=1, keepdims=True), 1.0)
         if self.mode == 'classification':
             logits = nn.Dense(self.n_tasks * self.n_classes)(g)
             logits = logits.reshape(-1, self.n_tasks, self.n_classes)
@@ -162,6 +210,8 @@ class MATModel(JaxModel):
                  lambda_attention: float = 0.33,
                  lambda_distance: float = 0.33, dropout_p: float = 0.0,
                  mode: str = 'regression', n_classes: int = 2,
+                 dist_kernel: str = 'softmax', norm: str = 'layer',
+                 aggregation_type: str = 'mean',
                  batch_size: int = 32, **kwargs):
         self.n_tasks = n_tasks
         self.mode = mode
@@ -171,7 +221,8 @@ class MATModel(JaxModel):
             n_layers=n_layers, n_heads=n_heads,
             lambda_attention=lambda_attention,
             lambda_distance=lambda_distance, dropout=dropout_p,
-            mode=mode)
+            mode=mode, dist_kernel=dist_kernel, norm=norm,
+            aggregation=aggregation_type)
         if mode == 'classification':
             loss, output_types = SoftmaxCrossEntropy(), \
                 ['prediction', 'loss']

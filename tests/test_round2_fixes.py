@@ -110,3 +110,26 @@ def test_iterbatches_abandoned_releases_producer(tmp_path):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before
+
+
+def test_mat_variants_overfit():
+    """MAT with the reference's dummy node, exp distance kernel, ScaleNorm
+    and grover-style attention readout (reference torch layers.py:391-1062)
+    trains to separation."""
+    from deepchem_tpu.models import MATModel, MATFeaturizer
+    from deepchem_tpu.metrics import Metric, roc_auc_score
+    SM = ['CCO', 'c1ccccc1', 'CC(=O)O', 'CCN', 'CCCC', 'c1ccncc1',
+          'CCOC', 'CC(N)=O', 'CCS', 'C1CCCCC1']
+    X = MATFeaturizer().featurize(SM)
+    # dummy node: dedicated first feature column, unconnected
+    assert X[0].node_features[0, 0] == 1.0
+    assert X[0].adjacency_matrix[0].sum() == 0
+    Y = np.array([[1], [0], [1], [0], [1], [0], [1], [0], [1], [0]],
+                 dtype=float)
+    m = MATModel(n_tasks=1, batch_size=10, mode='classification',
+                 learning_rate=0.003, aggregation_type='grover',
+                 dist_kernel='exp', norm='scale')
+    ds = NumpyDataset(np.asarray(list(X), dtype=object), Y)
+    m.fit(ds, nb_epoch=40, checkpoint_interval=0)
+    s = m.evaluate(ds, [Metric(roc_auc_score, np.mean)])
+    assert s['roc_auc_score'] > 0.9
