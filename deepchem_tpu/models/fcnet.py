@@ -39,11 +39,13 @@ class _MLPTrunk(nn.Module):
     activation_fns: Sequence[Callable]
     weight_init_stddevs: Sequence[float]
     bias_init_consts: Sequence[float]
+    use_kfac: bool = False    # KFACDense curvature probes (models/kfac.py)
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         for i, size in enumerate(self.layer_sizes):
-            x = nn.Dense(
+            dense_cls = _kfac_dense() if self.use_kfac else nn.Dense
+            x = dense_cls(
                 size,
                 kernel_init=nn.initializers.truncated_normal(
                     self.weight_init_stddevs[i]),
@@ -54,6 +56,11 @@ class _MLPTrunk(nn.Module):
                 x = nn.Dropout(self.dropouts[i],
                                deterministic=not training)(x)
         return x
+
+
+def _kfac_dense():
+    from deepchem_tpu.models.kfac import KFACDense
+    return KFACDense
 
 
 def _per_layer(value, n: int) -> List:
@@ -71,13 +78,14 @@ class _MultitaskClassifierModule(nn.Module):
     activation_fns: Sequence[Callable]
     weight_init_stddevs: Sequence[float]
     bias_init_consts: Sequence[float]
+    use_kfac: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         x = jnp.asarray(x, jnp.float32)
         x = _MLPTrunk(self.layer_sizes, self.dropouts, self.activation_fns,
-                      self.weight_init_stddevs, self.bias_init_consts)(
-            x, training)
+                      self.weight_init_stddevs, self.bias_init_consts,
+                      self.use_kfac)(x, training)
         logits = nn.Dense(self.n_tasks * self.n_classes)(x)
         logits = logits.reshape(-1, self.n_tasks, self.n_classes)
         probs = jax.nn.softmax(logits, axis=-1)
@@ -95,7 +103,7 @@ class MultitaskClassifier(JaxModel):
                  weight_decay_penalty_type: str = 'l2',
                  dropouts: Union[float, Sequence[float]] = 0.5,
                  activation_fns: Union[Any, Sequence] = 'relu',
-                 n_classes: int = 2,
+                 n_classes: int = 2, use_kfac: bool = False,
                  residual: bool = False, **kwargs):
         self.n_tasks = n_tasks
         self.n_features = n_features
@@ -108,7 +116,8 @@ class MultitaskClassifier(JaxModel):
             activation_fns=tuple(_activation(a)
                                  for a in _per_layer(activation_fns, n)),
             weight_init_stddevs=tuple(_per_layer(weight_init_stddevs, n)),
-            bias_init_consts=tuple(_per_layer(bias_init_consts, n)))
+            bias_init_consts=tuple(_per_layer(bias_init_consts, n)),
+            use_kfac=use_kfac)
         loss: Loss = SoftmaxCrossEntropy()
         if weight_decay_penalty != 0.0:
             kwargs.setdefault('regularization_loss',
@@ -146,13 +155,14 @@ class _MultitaskRegressorModule(nn.Module):
     weight_init_stddevs: Sequence[float]
     bias_init_consts: Sequence[float]
     uncertainty: bool = False
+    use_kfac: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         x = jnp.asarray(x, jnp.float32)
         x = _MLPTrunk(self.layer_sizes, self.dropouts, self.activation_fns,
-                      self.weight_init_stddevs, self.bias_init_consts)(
-            x, training)
+                      self.weight_init_stddevs, self.bias_init_consts,
+                      self.use_kfac)(x, training)
         y = nn.Dense(self.n_tasks)(x)
         if self.uncertainty:
             log_var = nn.Dense(self.n_tasks)(x)
@@ -173,7 +183,7 @@ class MultitaskRegressor(JaxModel):
                  weight_decay_penalty_type: str = 'l2',
                  dropouts: Union[float, Sequence[float]] = 0.5,
                  activation_fns: Union[Any, Sequence] = 'relu',
-                 uncertainty: bool = False,
+                 uncertainty: bool = False, use_kfac: bool = False,
                  residual: bool = False, **kwargs):
         self.n_tasks = n_tasks
         self.n_features = n_features
@@ -190,7 +200,7 @@ class MultitaskRegressor(JaxModel):
                                  for a in _per_layer(activation_fns, n)),
             weight_init_stddevs=tuple(_per_layer(weight_init_stddevs, n)),
             bias_init_consts=tuple(_per_layer(bias_init_consts, n)),
-            uncertainty=uncertainty)
+            uncertainty=uncertainty, use_kfac=use_kfac)
         if uncertainty:
             def loss(outputs, labels, weights):
                 y, var, _, log_var = outputs

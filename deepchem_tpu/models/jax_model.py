@@ -162,9 +162,16 @@ class JaxModel(Model):
         # execution pays a per-op XLA compile which is very slow on some
         # platforms
         def init(r):
-            params = self.module.init(r, *inputs, training=False)
-            return params, self._optax.init(params)
-        self.params, self.opt_state = jax.jit(init)(rngs)
+            variables = self.module.init(r, *inputs, training=False)
+            variables = dict(variables)
+            # curvature-probe collections (K-FAC) are optimizer state, not
+            # trainable parameters — see deepchem_tpu/models/kfac.py
+            pert = variables.pop('perturbations', None)
+            variables.pop('kfac', None)
+            return variables, self._optax.init(variables), pert
+        self.params, self.opt_state, self._kfac_pert = jax.jit(init)(rngs)
+        self.opt_state = self.optimizer._wrap_opt_state(
+            self.opt_state, self.params, self._kfac_pert)
         if self.mesh is not None:
             rep = NamedSharding(self.mesh, P())
             self.params = jax.device_put(self.params, rep)
@@ -216,6 +223,10 @@ class JaxModel(Model):
 
     # -- train step --------------------------------------------------------
     def _make_train_step(self):
+        from deepchem_tpu.models.kfac import KFAC, make_kfac_step
+        if isinstance(self.optimizer, KFAC) \
+                and getattr(self, '_kfac_pert', None) is not None:
+            return make_kfac_step(self)
         optimizer = self._optax
 
         def step(params, opt_state, rng, inputs, labels, weights):
@@ -279,8 +290,6 @@ class JaxModel(Model):
             callbacks = [callbacks]
         if restore:
             self.restore()
-        if self._train_step_fn is None:
-            self._train_step_fn = self._make_train_step()
         last_avg_loss = 0.0
         pending_losses: List = []    # device scalars; synced only at log time
         time1 = time.time()
@@ -288,6 +297,10 @@ class JaxModel(Model):
             inputs, labels, weights = self._prepare_batch(batch)
             if not self._built:
                 self.build(inputs)
+            if self._train_step_fn is None:
+                # after build: step construction may depend on build
+                # artifacts (K-FAC curvature probes)
+                self._train_step_fn = self._make_train_step()
             inputs = self._shard_batch(inputs)
             rng = self._next_rng()
             self.params, self.opt_state, loss_val = self._train_step_fn(

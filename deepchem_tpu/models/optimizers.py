@@ -132,6 +132,11 @@ class Optimizer:
     def _create_optax_optimizer(self) -> optax.GradientTransformation:
         raise NotImplementedError
 
+    def _wrap_opt_state(self, base_state, params, pert):
+        """Hook: optimizers with extra per-layer state (K-FAC curvature
+        factors) wrap the optax state here; default passthrough."""
+        return base_state
+
 
 class Adam(Optimizer):
     """(reference optimizers.py:190)"""
@@ -225,16 +230,7 @@ class Lamb(Optimizer):
                           weight_decay=self.weight_decay)
 
 
-class KFAC(Optimizer):
-    """Second-order KFAC (reference torch_models/kfac_optimizer.py).
-
-    True KFAC needs per-layer curvature capture; as a TPU-practical stand-in
-    this uses optax's shampoo-style scale_by_adam + trust-ratio scaling
-    (LAMB), which captures the large-batch benefit KFAC is used for.
-    """
-
-    def __init__(self, learning_rate=0.001, **kwargs):
-        super().__init__(learning_rate)
-
-    def _create_optax_optimizer(self):
-        return optax.lamb(_lr(self.learning_rate))
+# Real K-FAC lives in deepchem_tpu/models/kfac.py (block-diagonal
+# Kronecker-factored curvature via flax sow/perturb probes); imported at
+# the bottom of this module to avoid a circular import.
+from deepchem_tpu.models.kfac import KFAC    # noqa: E402,F401

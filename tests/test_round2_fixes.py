@@ -133,3 +133,31 @@ def test_mat_variants_overfit():
     m.fit(ds, nb_epoch=40, checkpoint_interval=0)
     s = m.evaluate(ds, [Metric(roc_auc_score, np.mean)])
     assert s['roc_auc_score'] > 0.9
+
+
+def test_kfac_optimizes_faster_than_adam():
+    """Real K-FAC (models/kfac.py, reference kfac_optimizer.py:1-490)
+    preconditions Dense-layer gradients with Kronecker-factored curvature
+    and beats Adam per-step on a small MLP problem."""
+    from deepchem_tpu.models.optimizers import KFAC, Adam
+    rng = np.random.RandomState(0)
+    n, f, t = 256, 64, 4
+    X = rng.rand(n, f).astype(np.float32)
+    Wt = rng.randn(f, t)
+    y = (X @ Wt + 0.1 * rng.randn(n, t)
+         > np.median(X @ Wt, axis=0)).astype(float)
+    ds = NumpyDataset(X, y)
+    finals = {}
+    for name, opt, kfac in [('adam', Adam(learning_rate=0.001), False),
+                            ('kfac', KFAC(learning_rate=0.02,
+                                          damping=0.01), True)]:
+        m = MultitaskClassifier(n_tasks=t, n_features=f,
+                                layer_sizes=[64, 64], dropouts=0.0,
+                                batch_size=64, seed=0, optimizer=opt,
+                                use_kfac=kfac)
+        losses: list = []
+        m.log_frequency = 4
+        m.fit(ds, nb_epoch=10, checkpoint_interval=0, deterministic=True,
+              all_losses=losses)
+        finals[name] = losses[-1]
+    assert finals['kfac'] < finals['adam'] - 0.2, finals
