@@ -363,18 +363,42 @@ class ImageLoader(DataLoader):
             files = [files]
         image_files = []
         for f in files:
-            if os.path.isdir(f):
-                names = os.listdir(f)
-                if self.sorting:
-                    names = sorted(names)
-                image_files += [os.path.join(f, n) for n in names]
-            else:
-                image_files.append(f)
+            image_files += self._expand(f)
         if self.sorting and not isinstance(inputs, tuple):
             image_files = sorted(image_files)
+        if isinstance(labels, str):
+            # labels given as a zip/dir of mask images (segmentation
+            # datasets, reference data_loader.py ImageLoader zip handling)
+            from PIL import Image
+            mask_files = self._expand(labels)
+            if self.sorting:
+                mask_files = sorted(mask_files)
+            labels = np.stack([np.asarray(Image.open(m))
+                               for m in mask_files])
         return ImageDataset(np.asarray(image_files, dtype=object),
                             labels, weights,
                             ids=np.asarray(image_files, dtype=object))
+
+    def _expand(self, f: str):
+        """dir -> contained files; zip -> extracted image files; file ->
+        itself (reference data_loader.py:1303 accepts zips)."""
+        import tempfile
+        import zipfile
+        if os.path.isdir(f):
+            names = os.listdir(f)
+            if self.sorting:
+                names = sorted(names)
+            return [os.path.join(f, n) for n in names]
+        if zipfile.is_zipfile(f):
+            with zipfile.ZipFile(f) as z:
+                names = [n for n in z.namelist() if n.lower().endswith(
+                    ('.png', '.jpg', '.jpeg', '.tif', '.tiff'))]
+                if self.sorting:
+                    names = sorted(names)
+                tmp = tempfile.mkdtemp(prefix='dctpu-img-')
+                z.extractall(tmp, members=names)
+            return [os.path.join(tmp, n) for n in names]
+        return [f]
 
 
 class InMemoryLoader(DataLoader):

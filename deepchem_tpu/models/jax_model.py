@@ -24,7 +24,9 @@ from __future__ import annotations
 
 import logging
 import os
+import queue as queue_mod
 import re
+import threading
 import time
 from collections.abc import Sequence as SequenceCollection
 from typing import (Any, Callable, Dict, Iterable, List, Optional, Sequence,
@@ -134,8 +136,17 @@ class JaxModel(Model):
         # checkpoint config
         self.max_checkpoints_to_keep = kwargs.get(
             'max_checkpoints_to_keep', 5)
-        # loss-sync cadence in steps (see fit_generator); 0 disables
-        self.sync_interval = kwargs.get('sync_interval', 1)
+        # loss-sync cadence in steps (see fit_generator); 0 disables.
+        # The tunneled 'axon' dev backend serializes deeply-queued
+        # executions, so it uses a SHALLOW window (measured: interval 3 is
+        # 2.5x faster than 1, interval 10 regresses); real backends
+        # default to a 20-step window so the dispatch queue stays full
+        # (VERDICT r1 item 3).
+        default_sync = 3 if jax.default_backend() == 'axon' else 20
+        self.sync_interval = kwargs.get('sync_interval', default_sync)
+        #: host-side batch-preparation lookahead depth in fit_generator
+        #: (0 disables the prefetch thread)
+        self.prefetch_depth = kwargs.get('prefetch_depth', 2)
         # training telemetry (reference torch_model.py:329 all_losses)
         self._losses_history: List[float] = []
         # observability hooks (reference torch_model.py:1140 tensorboard,
@@ -293,8 +304,8 @@ class JaxModel(Model):
         last_avg_loss = 0.0
         pending_losses: List = []    # device scalars; synced only at log time
         time1 = time.time()
-        for batch in generator:
-            inputs, labels, weights = self._prepare_batch(batch)
+        for prepared in self._prefetch_prepared(generator):
+            inputs, labels, weights = prepared
             if not self._built:
                 self.build(inputs)
             if self._train_step_fn is None:
@@ -345,6 +356,50 @@ class JaxModel(Model):
         logger.info('TIMING: model fitting took %0.3f s', time2 - time1)
         return last_avg_loss
 
+    def _prefetch_prepared(self, generator):
+        """Run host-side batch preparation in a lookahead thread so graph
+        packing / one-hot work overlaps device execution (the streaming
+        answer to reference shard prefetch, datasets.py:1670-1693)."""
+        depth = self.prefetch_depth
+        if not depth:
+            for batch in generator:
+                yield self._prepare_batch(batch, to_device=False)
+            return
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
+
+        def producer():
+            try:
+                for batch in generator:
+                    if stop.is_set() or not _put(
+                            self._prepare_batch(batch, to_device=False)):
+                        return
+                _put(None)
+            except BaseException as e:   # surface errors in the consumer
+                _put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
     # -- device-resident training (TPU fast path) --------------------------
     def _collect_uniform_batches(self, dataset: Dataset,
                                  deterministic: bool = True):
@@ -358,66 +413,23 @@ class JaxModel(Model):
             out.append(self._prepare_batch(batch, to_device=False))
         return out
 
-    def fit_on_device(self, dataset: Dataset, nb_epoch: int = 10,
-                      seed: int = 0,
-                      all_losses: Optional[List[float]] = None) -> float:
-        """Run the entire multi-epoch training loop in ONE jit call.
+    #: HBM budget for resident training data; epochs larger than this
+    #: stream through the device in chunks (fit_on_device)
+    device_data_budget: int = 2 << 30
 
-        The epoch's batches are uploaded once as stacked arrays; a
-        ``lax.scan`` iterates steps on device with per-epoch shuffled batch
-        order.  Eliminates all host<->device round trips from the training
-        loop — the TPU-native replacement for the reference's per-batch
-        Python fit loop (torch_model.py:423-496).
-        """
-        # single-entry data cache keyed on dataset IDENTITY (strong ref, so
-        # CPython cannot reuse the id) + mutation version (DiskDataset bumps
-        # _version on set_shard/reshard/shuffle) — see ADVICE.md r1
-        version = getattr(dataset, '_version', 0)
-        cached = getattr(self, '_fit_data_cache', None)
-        if cached is not None and cached[0] is dataset \
-                and cached[1] == version:
-            _, _, S, stacked_inputs, stacked_labels, stacked_weights = cached
-        else:
-            batches = self._collect_uniform_batches(dataset)
-            S = len(batches)
-            if S == 0:
-                return 0.0
-            inputs0, labels0, weights0 = batches[0]
-            if not self._built:
-                self.build([jnp.asarray(a) for a in inputs0])
-            # stack host-side, then ONE upload per array: many small
-            # transfers interleaved with execution are pathological on
-            # tunneled backends
-            stacked_inputs = [
-                jnp.asarray(np.stack([b[0][i] for b in batches]))
-                for i in range(len(inputs0))]
-            stacked_labels = [
-                jnp.asarray(np.stack([b[1][i] for b in batches]))
-                for i in range(len(labels0))]
-            stacked_weights = [
-                jnp.asarray(np.stack([b[2][i] for b in batches]))
-                for i in range(len(weights0))]
-            self._fit_data_cache = (
-                dataset, version, S, stacked_inputs, stacked_labels,
-                stacked_weights)
-        # per-epoch batch order (host-side RNG, tiny upload)
-        rng_np = np.random.RandomState(seed)
-        perms = np.stack([rng_np.permutation(S)
-                          for _ in range(nb_epoch)]).astype(np.int32)
+    def _make_scan_run(self, n_steps: int):
+        """Jitted scan over ``n_steps`` pre-gathered batches (leading axis
+        = step)."""
         optimizer = self._optax
         model = self
 
-        # stacked data enters as jit ARGUMENTS (donated), never as closed-
-        # over constants — constants would be baked into the executable
-        def run(params, opt_state, rng, s_in, s_lab, s_w, perms_d):
+        def run(params, opt_state, rng, s_in, s_lab, s_w, step0):
             def body(carry, step):
-                params, opt_state, rng = carry
-                epoch = step // S
-                idx = perms_d[epoch, step % S]
-                inputs = [a[idx] for a in s_in]
-                labels = [a[idx] for a in s_lab]
-                weights = [a[idx] for a in s_w]
-                step_rng = jax.random.fold_in(rng, step)
+                params, opt_state = carry
+                inputs = [a[step] for a in s_in]
+                labels = [a[step] for a in s_lab]
+                weights = [a[step] for a in s_w]
+                step_rng = jax.random.fold_in(rng, step0 + step)
 
                 def loss_fn(p):
                     outputs = model._forward(p, inputs, training=True,
@@ -430,23 +442,155 @@ class JaxModel(Model):
                 updates, opt_state = optimizer.update(grads, opt_state,
                                                       params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state, rng), loss
-            (params, opt_state, _), losses = jax.lax.scan(
-                body, (params, opt_state, rng),
-                jnp.arange(S * nb_epoch))
+                return (params, opt_state), loss
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(n_steps))
             return params, opt_state, losses
+        return run
 
-        cache_key = ('fit_on_device', S, nb_epoch,
-                     tuple(a.shape for a in stacked_inputs))
-        run_jit = self._predict_fn_cache.get(cache_key)
-        if run_jit is None:
-            run_jit = jax.jit(run, donate_argnums=(0, 1))
-            self._predict_fn_cache[cache_key] = run_jit
-        rng = self._next_rng()
-        self.params, self.opt_state, losses = run_jit(
-            self.params, self.opt_state, rng, stacked_inputs,
-            stacked_labels, stacked_weights, jnp.asarray(perms))
-        losses = np.asarray(losses)
+    def fit_on_device(self, dataset: Dataset, nb_epoch: int = 10,
+                      seed: int = 0,
+                      all_losses: Optional[List[float]] = None) -> float:
+        """Device-resident training: batches are uploaded as stacked
+        arrays and a ``lax.scan`` iterates steps on device, eliminating
+        per-step host<->device round trips (the TPU-native replacement
+        for the reference's per-batch Python fit loop,
+        torch_model.py:423-496).
+
+        Epochs that fit in ``device_data_budget`` run as ONE jit call with
+        per-epoch shuffled batch order.  Larger datasets STREAM: the epoch
+        is split into device-sized chunks; while chunk j executes, chunk
+        j+1 is sliced and its upload enqueued (async dispatch double-
+        buffers host->HBM against compute), so HBM holds at most ~2 chunks
+        (VERDICT r1 item 3: pcba/zinc15-scale fast path).
+        """
+        from deepchem_tpu.models.kfac import KFAC as _KFAC
+        if isinstance(self.optimizer, _KFAC) \
+                and getattr(self, '_kfac_pert', None) is not None:
+            raise NotImplementedError(
+                'fit_on_device does not support K-FAC curvature capture; '
+                'use fit()')
+        # single-entry data cache keyed on dataset IDENTITY (strong ref, so
+        # CPython cannot reuse the id) + mutation version (DiskDataset bumps
+        # _version on set_shard/reshard/shuffle) — see ADVICE.md r1
+        version = getattr(dataset, '_version', 0)
+        cached = getattr(self, '_fit_data_cache', None)
+        if cached is not None and cached[0] is dataset \
+                and cached[1] == version:
+            _, _, S, host_in, host_lab, host_w, dev = cached
+        else:
+            batches = self._collect_uniform_batches(dataset)
+            S = len(batches)
+            if S == 0:
+                return 0.0
+            inputs0, labels0, weights0 = batches[0]
+            if not self._built:
+                self.build([jnp.asarray(a) for a in inputs0])
+            # stack host-side: one large contiguous array per input
+            host_in = [np.stack([b[0][i] for b in batches])
+                       for i in range(len(inputs0))]
+            host_lab = [np.stack([b[1][i] for b in batches])
+                        for i in range(len(labels0))]
+            host_w = [np.stack([b[2][i] for b in batches])
+                      for i in range(len(weights0))]
+            dev = None
+            self._fit_data_cache = (
+                dataset, version, S, host_in, host_lab, host_w, dev)
+        nbytes = sum(a.nbytes for a in host_in + host_lab + host_w)
+        rng_np = np.random.RandomState(seed)
+        self._train_step_fn = None
+
+        if nbytes <= self.device_data_budget:
+            # -- resident path: whole data on device, one jit call ------
+            if dev is None:
+                # ONE upload per array: many small transfers interleaved
+                # with execution are pathological on tunneled backends
+                dev = ([jnp.asarray(a) for a in host_in],
+                       [jnp.asarray(a) for a in host_lab],
+                       [jnp.asarray(a) for a in host_w])
+                self._fit_data_cache = (
+                    dataset, version, S, host_in, host_lab, host_w, dev)
+            d_in, d_lab, d_w = dev
+            perms = np.stack([rng_np.permutation(S)
+                              for _ in range(nb_epoch)]).astype(np.int32)
+            optimizer = self._optax
+            model = self
+
+            # stacked data enters as jit ARGUMENTS, never closed-over
+            # constants — constants would be baked into the executable
+            def run(params, opt_state, rng, s_in, s_lab, s_w, perms_d):
+                def body(carry, step):
+                    params, opt_state = carry
+                    epoch = step // S
+                    idx = perms_d[epoch, step % S]
+                    inputs = [a[idx] for a in s_in]
+                    labels = [a[idx] for a in s_lab]
+                    weights = [a[idx] for a in s_w]
+                    step_rng = jax.random.fold_in(rng, step)
+
+                    def loss_fn(p):
+                        outputs = model._forward(p, inputs, training=True,
+                                                 rng=step_rng)
+                        loss = model._compute_loss(outputs, labels,
+                                                   weights)
+                        if model.regularization_loss is not None:
+                            loss = loss + model.regularization_loss(p)
+                        return loss
+                    loss, grads = jax.value_and_grad(loss_fn)(params)
+                    updates, opt_state = optimizer.update(
+                        grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), loss
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), jnp.arange(S * nb_epoch))
+                return params, opt_state, losses
+
+            cache_key = ('fit_on_device', S, nb_epoch,
+                         tuple(a.shape for a in host_in))
+            run_jit = self._predict_fn_cache.get(cache_key)
+            if run_jit is None:
+                run_jit = jax.jit(run, donate_argnums=(0, 1))
+                self._predict_fn_cache[cache_key] = run_jit
+            rng = self._next_rng()
+            self.params, self.opt_state, losses = run_jit(
+                self.params, self.opt_state, rng, d_in, d_lab, d_w,
+                jnp.asarray(perms))
+            losses = np.asarray(losses)
+        else:
+            # -- streaming path: chunked scans, double-buffered uploads --
+            per_batch = max(1, nbytes // S)
+            C = int(max(1, min(S, (self.device_data_budget // 2)
+                               // per_batch)))
+            logger.info('fit_on_device streaming: %d batches in chunks '
+                        'of %d (%.1f MiB data, %.0f MiB budget)', S, C,
+                        nbytes / 2**20, self.device_data_budget / 2**20)
+            rng = self._next_rng()
+            loss_parts = []
+            step0 = 0
+            for epoch in range(nb_epoch):
+                perm = rng_np.permutation(S)
+                for lo in range(0, S, C):
+                    idx = perm[lo:lo + C]
+                    n = len(idx)
+                    key = ('fit_stream', n,
+                           tuple(a.shape[1:] for a in host_in))
+                    run_jit = self._predict_fn_cache.get(key)
+                    if run_jit is None:
+                        run_jit = jax.jit(self._make_scan_run(n),
+                                          donate_argnums=(0, 1))
+                        self._predict_fn_cache[key] = run_jit
+                    # numpy fancy-index slices; upload is enqueued while
+                    # the previous chunk still executes (async dispatch)
+                    c_in = [a[idx] for a in host_in]
+                    c_lab = [a[idx] for a in host_lab]
+                    c_w = [a[idx] for a in host_w]
+                    self.params, self.opt_state, losses_c = run_jit(
+                        self.params, self.opt_state, rng, c_in, c_lab,
+                        c_w, step0)
+                    loss_parts.append(losses_c)
+                    step0 += n
+            losses = np.concatenate([np.asarray(p) for p in loss_parts])
+
         self._global_step += S * nb_epoch
         # record per-epoch averages
         per_epoch = losses.reshape(nb_epoch, S).mean(axis=1)

@@ -16,7 +16,8 @@ from deepchem_tpu.molnet.load_function import (
     load_mp_metallicity, load_toxcast, load_pcba, load_nci, load_ppb,
     load_sweetlead, load_chembl25, load_hopv, load_kaggle, load_factors,
     load_kinase, load_uv, load_zinc15, load_uspto, load_pdbbind,
-    load_bbbc001, load_bbbc002, load_cell_counting)
+    load_bbbc001, load_bbbc002, load_bbbc003, load_bbbc004,
+    load_bbbc005, load_cell_counting, load_Platinum_Adsorption)
 
 __all__ = [
     '_MolnetLoader', 'TransformerGenerator', 'featurizers', 'splitters',
@@ -30,7 +31,8 @@ __all__ = [
     'load_toxcast', 'load_pcba', 'load_nci', 'load_ppb', 'load_sweetlead',
     'load_chembl25', 'load_hopv', 'load_kaggle', 'load_factors',
     'load_kinase', 'load_uv', 'load_zinc15', 'load_uspto', 'load_pdbbind',
-    'load_bbbc001', 'load_bbbc002', 'load_cell_counting',
+    'load_bbbc001', 'load_bbbc002', 'load_bbbc003', 'load_bbbc004',
+    'load_bbbc005', 'load_cell_counting', 'load_Platinum_Adsorption',
     'simulate_single_motif_detection', 'simulate_motif_counting',
     'simulate_motif_density_localization', 'simulate_multi_motif_embedding',
     'simulate_differential_accessibility', 'simulate_heterodimer_grammar',

@@ -486,3 +486,147 @@ load_bbbc001 = _image_dataset_stub('bbbc001', 'BBBC001_v1_images_tif.zip')
 load_bbbc002 = _image_dataset_stub('bbbc002', 'BBBC002_v1_images.zip')
 load_cell_counting = _image_dataset_stub('cell_counting',
                                          'cell_counting.zip')
+
+_BBBC_BASE = 'https://data.broadinstitute.org/bbbc/'
+
+
+def _bbbc_fetch(data_dir: str, filename: str, url: str) -> str:
+    path = os.path.join(data_dir, filename)
+    if not os.path.exists(path):
+        try:
+            download_url(url, data_dir, filename)
+        except Exception:
+            pass
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f'{filename} not available offline; place it in {data_dir}')
+    return path
+
+
+def _bbbc_split(name, ds, tasks, splitter, transformers_in):
+    from deepchem_tpu.molnet.loader import splitters as _spl
+    if splitter is None:
+        return tasks, (ds,), []
+    spl = _spl[splitter] if isinstance(splitter, str) else splitter
+    return tasks, spl.train_valid_test_split(ds), []
+
+
+def load_bbbc003(load_segmentation_mask: bool = False, splitter='index',
+                 transformers=(), reload: bool = True,
+                 data_dir: Optional[str] = None, save_dir=None, **kwargs):
+    """BBBC003: 15 DIC mouse-embryo images; labels = cell counts or
+    segmentation masks (reference bbbc_datasets.py:167-320)."""
+    from deepchem_tpu.data.loaders import ImageLoader
+    from deepchem_tpu.utils.data_utils import get_data_dir
+    data_dir = data_dir or get_data_dir()
+    images = _bbbc_fetch(data_dir, 'BBBC003_v1_images.zip',
+                         _BBBC_BASE + 'BBBC003/BBBC003_v1_images.zip')
+    loader = ImageLoader(sorting=True)
+    if load_segmentation_mask:
+        masks = _bbbc_fetch(
+            data_dir, 'BBBC003_v1_foreground.zip',
+            _BBBC_BASE + 'BBBC003/BBBC003_v1_foreground.zip')
+        ds = loader.create_dataset(inputs=(images, masks))
+    else:
+        import pandas as pd
+        counts = _bbbc_fetch(data_dir, 'BBBC003_v1_counts.txt',
+                             _BBBC_BASE + 'BBBC003/BBBC003_v1_counts.txt')
+        table = pd.read_csv(counts, delimiter='\t')
+        labels = table.sort_values('Image')['manual count #1'].values
+        ds = loader.create_dataset(inputs=(images, labels))
+    return _bbbc_split('bbbc003', ds, ['cell-count'], splitter,
+                       transformers)
+
+
+def load_bbbc004(overlap_probability: float = 0.0,
+                 load_segmentation_mask: bool = False, splitter='index',
+                 transformers=(), reload: bool = True,
+                 data_dir: Optional[str] = None, save_dir=None, **kwargs):
+    """BBBC004: 20 synthetic fluorescent cell images (300 cells each) at a
+    given overlap probability (reference bbbc_datasets.py:321-497)."""
+    from deepchem_tpu.data.loaders import ImageLoader
+    from deepchem_tpu.utils.data_utils import get_data_dir
+    overlap_dict = {0.0: '000', 0.15: '015', 0.3: '030', 0.45: '045',
+                    0.6: '060'}
+    if overlap_probability not in overlap_dict:
+        raise ValueError(
+            f'overlap_probability must be one of {list(overlap_dict)}, '
+            f'got {overlap_probability}')
+    op = overlap_dict[overlap_probability]
+    data_dir = data_dir or get_data_dir()
+    images = _bbbc_fetch(
+        data_dir, f'BBBC004_v1_{op}_images.zip',
+        _BBBC_BASE + f'BBBC004/BBBC004_v1_{op}_images.zip')
+    loader = ImageLoader(sorting=False)
+    if load_segmentation_mask:
+        masks = _bbbc_fetch(
+            data_dir, f'BBBC004_v1_{op}_foreground.zip',
+            _BBBC_BASE + f'BBBC004/BBBC004_v1_{op}_foreground.zip')
+        ds = loader.create_dataset(inputs=(images, masks))
+    else:
+        ds = loader.create_dataset(
+            inputs=(images, np.full(20, 300, dtype=int)))
+    return _bbbc_split('bbbc004', ds, ['cell-count'], splitter,
+                       transformers)
+
+
+def load_bbbc005(splitter='index', transformers=(), reload: bool = True,
+                 data_dir: Optional[str] = None, save_dir=None, **kwargs):
+    """BBBC005: 19,200 synthetic fluorescent images; cell counts parsed
+    from the C<count> filename field (reference
+    bbbc_datasets.py:499-560)."""
+    import zipfile
+    from deepchem_tpu.data.loaders import ImageLoader
+    from deepchem_tpu.utils.data_utils import get_data_dir
+    data_dir = data_dir or get_data_dir()
+    images = _bbbc_fetch(data_dir, 'BBBC005_v1_images.zip',
+                         _BBBC_BASE + 'BBBC005/BBBC005_v1_images.zip')
+    labels = []
+    with zipfile.ZipFile(images) as z:
+        for filename in z.namelist()[1:]:
+            base = filename.split('/')[-1]
+            if base.split('.')[-1] == 'TIF':
+                labels.append(int(base.split('_')[2][1:]))
+    ds = ImageLoader(sorting=False).create_dataset(
+        inputs=(images, np.array(labels, dtype=np.int32)))
+    return _bbbc_split('bbbc005', ds, ['cell-count'], splitter,
+                       transformers)
+
+
+def load_Platinum_Adsorption(featurizer=None, splitter='random',
+                             transformers=(), reload: bool = True,
+                             data_dir: Optional[str] = None, save_dir=None,
+                             **kwargs):
+    """Pt(111) N/NO adsorbate configurations with formation energies, 648
+    pymatgen-style structures (reference material_datasets/
+    load_Pt_NO_surface_adsorbate_energy.py:35)."""
+    import tarfile
+    from deepchem_tpu.data.loaders import JsonLoader
+    from deepchem_tpu.utils.data_utils import get_data_dir
+    import deepchem_tpu.feat as feat_mod
+    data_dir = data_dir or get_data_dir()
+    json_file = os.path.join(data_dir, 'Platinum_adsorption.json')
+    if not os.path.exists(json_file):
+        tgz = os.path.join(data_dir, 'Platinum_adsorption.tar.gz')
+        if not os.path.exists(tgz):
+            try:
+                download_url(DEEPCHEM_S3 + 'Platinum_adsorption.tar.gz',
+                             data_dir, 'Platinum_adsorption.tar.gz')
+            except Exception:
+                pass
+        if os.path.exists(tgz):
+            with tarfile.open(tgz) as t:
+                t.extractall(data_dir)
+    if not os.path.exists(json_file):
+        raise FileNotFoundError(
+            'Platinum_adsorption.json not available offline; place it in '
+            + data_dir)
+    if featurizer is None:
+        featurizer = feat_mod.SineCoulombMatrix()
+    loader = JsonLoader(tasks=['Formation Energy'],
+                        feature_field='Structures',
+                        label_field='Formation Energy',
+                        featurizer=featurizer)
+    ds = loader.create_dataset(json_file)
+    return _bbbc_split('Platinum_Adsorption', ds, ['Formation Energy'],
+                       splitter, transformers)
