@@ -41,6 +41,52 @@ STO3G = {
           ('SP', (4.4355983, 1.0613540, 0.3312531), _C_2S, _C_2P)],
 }
 
+#: 6-31G split-valence basis (Hehre, Ditchfield & Pople 1972; standard
+#: published exponents/coefficients, identical in every QC package).
+#: Elements with verified tables; others raise with a clear error.
+SIX31G = {
+    'H': [('S', (18.73113696, 2.825394365, 0.6401216923),
+           (0.03349460434, 0.2347269535, 0.8137573261)),
+          ('S', (0.1612777588,), (1.0,))],
+    'He': [('S', (38.42163400, 5.77803000, 1.24177400),
+            (0.02376600, 0.15467900, 0.46963000)),
+           ('S', (0.29796400,), (1.0,))],
+    'C': [('S', (3047.524880, 457.3695180, 103.9486850, 29.21015530,
+                 9.286662960, 3.163926960),
+           (0.001834737132, 0.01403732281, 0.06884262226, 0.2321844432,
+            0.4679413484, 0.3623119853)),
+          ('SP', (7.868272350, 1.881288540, 0.5442492580),
+           (-0.1193324198, -0.1608541517, 1.143456438),
+           (0.06899906659, 0.3164239610, 0.7443082909)),
+          ('SP', (0.1687144782,), (1.0,), (1.0,))],
+    'N': [('S', (4173.511460, 627.4579110, 142.9020930, 40.23432930,
+                 12.82021290, 4.390437010),
+           (0.001834772160, 0.01399462700, 0.06858655181, 0.2322408730,
+            0.4690699481, 0.3604551991)),
+          ('SP', (11.62636186, 2.716279807, 0.7722183966),
+           (-0.1149611817, -0.1691174786, 1.145851947),
+           (0.06757974388, 0.3239072959, 0.7408951398)),
+          ('SP', (0.2120314975,), (1.0,), (1.0,))],
+    'O': [('S', (5484.671660, 825.2349460, 188.0469580, 52.96450000,
+                 16.89757040, 5.799635340),
+           (0.001831074430, 0.01395017220, 0.06844507810, 0.2327143360,
+            0.4701928980, 0.3585208530)),
+          ('SP', (15.53961625, 3.599933586, 1.013761750),
+           (-0.1107775495, -0.1480262627, 1.130767015),
+           (0.07087426823, 0.3397528391, 0.7271585773)),
+          ('SP', (0.2700058226,), (1.0,), (1.0,))],
+    'F': [('S', (7001.713090, 1051.366090, 239.2856900, 67.39744530,
+                 21.51995730, 7.403101300),
+           (0.001819616901, 0.01391607961, 0.06840532453, 0.2331857601,
+            0.4712674392, 0.3566185462)),
+          ('SP', (20.84795280, 4.808308340, 1.344069860),
+           (-0.1085069751, -0.1464516581, 1.128688581),
+           (0.07162872424, 0.3459121027, 0.7224699570)),
+          ('SP', (0.3581513930,), (1.0,), (1.0,))],
+}
+
+BASIS_SETS = {'sto-3g': STO3G, '6-31g': SIX31G}
+
 ATOMIC_NUMBER = {'H': 1, 'He': 2, 'Li': 3, 'Be': 4, 'B': 5, 'C': 6,
                  'N': 7, 'O': 8, 'F': 9}
 
@@ -88,19 +134,25 @@ class BasisFunction:
         self.coefs = self.coefs / math.sqrt(s)
 
 
-def build_basis(symbols: Sequence[str],
-                coords: np.ndarray) -> List[BasisFunction]:
-    """Expand STO-3G shells into cartesian basis functions.
+def build_basis(symbols: Sequence[str], coords: np.ndarray,
+                basis: str = 'sto-3g') -> List[BasisFunction]:
+    """Expand basis-set shells into cartesian basis functions.
 
-    coords are in bohr, shape [n_atoms, 3].
+    coords are in bohr, shape [n_atoms, 3]; basis is 'sto-3g' or '6-31g'
+    (reference delegates to DQC loadbasis, utils/dft_utils/api/
+    loadbasis.py).
     """
+    table = BASIS_SETS.get(basis.lower())
+    if table is None:
+        raise ValueError(
+            f'unknown basis {basis!r} (available: {sorted(BASIS_SETS)})')
     coords = np.asarray(coords, dtype=np.float64)
-    basis: List[BasisFunction] = []
+    basis = []
     for ia, sym in enumerate(symbols):
-        if sym not in STO3G:
-            raise ValueError(f'no STO-3G data for element {sym!r} '
-                             f'(available: {sorted(STO3G)})')
-        for shell in STO3G[sym]:
+        if sym not in table:
+            raise ValueError(f'no {basis!r} data for element '
+                             f'{sym!r} (available: {sorted(table)})')
+        for shell in table[sym]:
             kind, exps = shell[0], np.asarray(shell[1])
             if kind == 'S':
                 cs = np.asarray(shell[2])

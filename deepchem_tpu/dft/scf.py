@@ -26,7 +26,9 @@ import jax.numpy as jnp
 from deepchem_tpu.dft.basis import (ATOMIC_NUMBER, build_basis,
                                     nuclear_repulsion)
 from deepchem_tpu.dft import integrals as ints
-from deepchem_tpu.dft.functionals import lda_xc, pbe_xc
+from deepchem_tpu.dft.functionals import (lda_xc, pbe_xc, b3lyp_xc,
+                                          pbe0_xc, lsda_xc, pbe_xc_spin,
+                                          b3lyp_xc_spin, pbe0_xc_spin)
 from deepchem_tpu.dft.grid import molecular_grid
 
 ANGSTROM_TO_BOHR = 1.0 / 0.52917721092
@@ -42,6 +44,23 @@ def _exc_energy(D, phi, dphi, weights, exc_fn, use_sigma):
         e = exc_fn(rho, sigma)
     else:
         e = exc_fn(rho)
+    return jnp.sum(weights * e)
+
+
+def _exc_energy_spin(Da, Db, phi, dphi, weights, exc_fn, use_sigma):
+    """Quadrature Exc for spin-resolved functionals
+    exc(rho_a, rho_b[, sigma_aa, sigma_ab, sigma_bb])."""
+    rho_a = jnp.maximum(jnp.einsum('ij,gi,gj->g', Da, phi, phi), 1e-12)
+    rho_b = jnp.maximum(jnp.einsum('ij,gi,gj->g', Db, phi, phi), 1e-12)
+    if use_sigma:
+        ga = 2.0 * jnp.einsum('ij,gai,gj->ga', Da, dphi, phi)
+        gb = 2.0 * jnp.einsum('ij,gai,gj->ga', Db, dphi, phi)
+        saa = jnp.einsum('ga,ga->g', ga, ga)
+        sab = jnp.einsum('ga,ga->g', ga, gb)
+        sbb = jnp.einsum('ga,ga->g', gb, gb)
+        e = exc_fn(rho_a, rho_b, saa, sab, sbb)
+    else:
+        e = exc_fn(rho_a, rho_b)
     return jnp.sum(weights * e)
 
 
@@ -105,7 +124,8 @@ class DFTSystem:
 
     def __init__(self, symbols: Sequence[str], coords,
                  charge: int = 0, units: str = 'angstrom',
-                 n_radial: int = 50, grid_level: int = 2):
+                 n_radial: int = 50, grid_level: int = 2,
+                 basis: str = 'sto-3g'):
         coords = np.asarray(coords, dtype=np.float64)
         if units == 'angstrom':
             coords = coords * ANGSTROM_TO_BOHR
@@ -113,9 +133,10 @@ class DFTSystem:
             raise ValueError(units)
         self.symbols = list(symbols)
         self.coords = coords
+        self.basis_name = basis
         self.charges = [ATOMIC_NUMBER[s] for s in self.symbols]
         self.n_elec = sum(self.charges) - charge
-        self.basis = build_basis(self.symbols, coords)
+        self.basis = build_basis(self.symbols, coords, basis=basis)
         self.S = ints.overlap_matrix(self.basis)
         self.T = ints.kinetic_matrix(self.basis)
         self.V = ints.nuclear_matrix(self.basis, self.charges, coords)
@@ -165,6 +186,7 @@ class KohnShamSCF:
         self.iterations = iterations
         self.mixing = mixing
         self.hf_exchange = 0.0
+        self.exc_fn_spin: Optional[Callable] = None
         if callable(xc):
             self.exc_fn = xc
             self.use_sigma = bool(use_sigma)
@@ -172,12 +194,26 @@ class KohnShamSCF:
             self.exc_fn = None
             self.use_sigma = False
             self.hf_exchange = 1.0
-        elif xc == 'lda':
+        elif xc in ('lda', 'lsda', 'svwn'):
             self.exc_fn = lda_xc
+            self.exc_fn_spin = lsda_xc
             self.use_sigma = False
         elif xc == 'pbe':
             self.exc_fn = pbe_xc
+            self.exc_fn_spin = pbe_xc_spin
             self.use_sigma = True
+        elif xc == 'b3lyp':
+            # hybrid: 20% exact exchange + B88/LYP semilocal mix
+            self.exc_fn = b3lyp_xc
+            self.exc_fn_spin = b3lyp_xc_spin
+            self.use_sigma = True
+            self.hf_exchange = 0.20
+        elif xc == 'pbe0':
+            # hybrid: 25% exact exchange + 75% PBE_x + PBE_c
+            self.exc_fn = pbe0_xc
+            self.exc_fn_spin = pbe0_xc_spin
+            self.use_sigma = True
+            self.hf_exchange = 0.25
         else:
             raise ValueError(f'unknown xc {xc!r}')
 
@@ -259,12 +295,16 @@ def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
                           phi=None, dphi=None, weights=None,
                           use_sigma: bool = False,
                           hf_exchange: float = 0.0,
-                          iterations: int = 50, mixing: float = 0.5):
+                          iterations: int = 50, mixing: float = 0.5,
+                          spin_polarized_xc: bool = False):
     """Unrestricted (spin-polarized occupations) SCF for open-shell
-    systems — atomization-energy references need isolated atoms.  The XC
-    functional is evaluated on the TOTAL density (spin-unpolarized
-    approximation; the reference's libxc path uses true spin-density
-    functionals).  Returns (E_electronic, (Da, Db), (mo_a, mo_b))."""
+    systems — atomization-energy references need isolated atoms.
+
+    With ``spin_polarized_xc=True`` the functional is the TRUE
+    spin-density form exc(rho_a, rho_b[, sigmas]) with independent
+    Vxc_a/Vxc_b = dExc/dDa, dExc/dDb (the reference's libxc spin
+    interface); otherwise the total-density approximation is used.
+    Returns (E_electronic, (Da, Db), (mo_a, mo_b))."""
     n = H.shape[0]
 
     def fock(Da, Db):
@@ -282,7 +322,13 @@ def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
                 jnp.einsum('ij,ij->', Da, Ka)
                 + jnp.einsum('ij,ij->', Db, Kb))
         Exc = 0.0
-        if exc_fn is not None:
+        if exc_fn is not None and spin_polarized_xc:
+            Exc, (Vxa, Vxb) = jax.value_and_grad(
+                _exc_energy_spin, argnums=(0, 1))(
+                Da, Db, phi, dphi, weights, exc_fn, use_sigma)
+            Fa = Fa + 0.5 * (Vxa + Vxa.T)
+            Fb = Fb + 0.5 * (Vxb + Vxb.T)
+        elif exc_fn is not None:
             Exc, Vxc = jax.value_and_grad(_exc_energy)(
                 D, phi, dphi, weights, exc_fn, use_sigma)
             Vxc = 0.5 * (Vxc + Vxc.T)
@@ -335,14 +381,18 @@ def run_unrestricted(system: 'DFTSystem', xc='lda',
     n_alpha = (system.n_elec + spin) // 2
     n_beta = system.n_elec - n_alpha
     solver = KohnShamSCF(xc, iterations=iterations, mixing=mixing)
+    # prefer the true spin-density functional when the preset has one
+    exc = solver.exc_fn_spin if solver.exc_fn_spin is not None \
+        else solver.exc_fn
     E, (Da, Db), _ = scf_loop_unrestricted(
         jnp.asarray(system.T + system.V),
         jnp.asarray(system.S_invsqrt), jnp.asarray(system.eri),
-        n_alpha, n_beta, exc_fn=solver.exc_fn,
+        n_alpha, n_beta, exc_fn=exc,
         phi=jnp.asarray(system.phi), dphi=jnp.asarray(system.dphi),
         weights=jnp.asarray(system.grid_weights),
         use_sigma=solver.use_sigma, hf_exchange=solver.hf_exchange,
-        iterations=iterations, mixing=mixing)
+        iterations=iterations, mixing=mixing,
+        spin_polarized_xc=solver.exc_fn_spin is not None)
     return float(E) + system.e_nuc
 
 
