@@ -287,3 +287,75 @@ def crippen_logp(mol: Molecule) -> float:
         elif z == 15:
             logp += -0.5
     return logp
+
+
+def num_h_donors(mol: Molecule) -> int:
+    """Lipinski H-bond donors: N or O bearing at least one hydrogen
+    (RDKit Lipinski.NumHDonors counts the heavy atoms, not the Hs)."""
+    return sum(1 for a in mol.atoms
+               if a.atomic_num in (7, 8) and a.total_hs > 0)
+
+
+def num_h_acceptors(mol: Molecule) -> int:
+    """Lipinski H-bond acceptors: N and O atoms."""
+    return sum(1 for a in mol.atoms if a.atomic_num in (7, 8))
+
+
+def num_rings(mol: Molecule) -> int:
+    """SSSR ring count (RDKit RingInfo.NumRings)."""
+    return len(mol.rings())
+
+
+def num_rotatable_bonds(mol: Molecule, strict: bool = True) -> int:
+    """RDKit rotatable-bond count.  strict=True mirrors RDKit's strict
+    pattern (used by the reference's committed delaney descriptors):
+    single non-ring bonds between non-terminal atoms without triple
+    bonds, excluding amide C-N bonds."""
+    def ok(idx: int) -> bool:
+        a = mol.atoms[idx]
+        if a.degree <= 1:
+            return False
+        return not any(b.order == 3.0 for b in mol.atom_bonds(idx))
+
+    def is_acyl_hetero(b) -> bool:
+        # [CD3](=[N,O,S])-[#7,O,S]: amide/ester/thioester/amidine link
+        for c_idx, x_idx in ((b.a1, b.a2), (b.a2, b.a1)):
+            c = mol.atoms[c_idx]
+            if c.atomic_num == 6 and c.degree == 3 \
+                    and mol.atoms[x_idx].atomic_num in (7, 8, 16):
+                if any(ob.order == 2.0
+                       and mol.atoms[ob.other(c_idx)].atomic_num
+                       in (7, 8, 16)
+                       for ob in mol.atom_bonds(c_idx)):
+                    return True
+        return False
+
+    def is_symmetric_terminal_group(idx: int) -> bool:
+        # CF3 / CCl3 / CBr3 / C(CH3)3 — rotation is a symmetry operation
+        a = mol.atoms[idx]
+        if a.atomic_num != 6:
+            return False
+        nbr_z = sorted(mol.atoms[ob.other(idx)].atomic_num
+                       for ob in mol.atom_bonds(idx)
+                       if mol.atoms[ob.other(idx)].degree == 1
+                       or (mol.atoms[ob.other(idx)].atomic_num == 6
+                           and mol.atoms[ob.other(idx)].total_hs == 3))
+        for z in (9, 17, 35, 6):
+            if nbr_z.count(z) >= 3:
+                return True
+        return False
+
+    n = 0
+    for b in mol.bonds:
+        # a non-ring bond flagged aromatic by perception (biaryl link) is
+        # geometrically a rotatable single bond
+        if b.in_ring or b.order not in (1.0, 1.5):
+            continue
+        if not (ok(b.a1) and ok(b.a2)):
+            continue
+        if strict and (is_acyl_hetero(b)
+                       or is_symmetric_terminal_group(b.a1)
+                       or is_symmetric_terminal_group(b.a2)):
+            continue
+        n += 1
+    return n

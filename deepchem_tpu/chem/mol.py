@@ -238,10 +238,19 @@ class Molecule:
         import math
         for atom in self.atoms:
             bond_sum = 0.0
-            deg = 0
+            deg = len(self._adj[atom.index])
             for bi in self._adj[atom.index]:
-                bond_sum += self.bonds[bi].order
-                deg += 1
+                o = self.bonds[bi].order
+                if o == 1.5:
+                    # kekulé-single aromatic bonds: aromatic O/S never
+                    # donate a ring double bond (thiophene/furan type),
+                    # and 3-connected aromatic N is pyrrole-type (donates
+                    # its lone pair) — else S/N would count one valence
+                    # slot high and gain a bogus implicit H
+                    if atom.atomic_num in (8, 16) \
+                            or (atom.atomic_num == 7 and deg == 3):
+                        o = 1.0
+                bond_sum += o
             atom.degree = deg
             if atom.explicit_hs >= 0:
                 atom.implicit_hs = 0
