@@ -64,3 +64,31 @@ def device_memory_stats() -> Dict[str, int]:
         return {k: int(v) for k, v in (stats or {}).items()}
     except Exception:
         return {}
+
+
+#: bf16 MXU peak FLOP/s per chip by device kind (public specs)
+PEAK_FLOPS = {
+    'TPU v5 lite': 197e12,     # v5e: 197 TFLOPS bf16
+    'TPU v5': 459e12,          # v5p
+    'TPU v4': 275e12,
+    'TPU v6 lite': 918e12,     # v6e (Trillium)
+}
+
+
+def flops_of(fn, *args, **kwargs) -> float:
+    """XLA's FLOP estimate for one call of ``jit(fn)(*args)``."""
+    import jax
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return float(ca.get('flops', 0.0))
+
+
+def mfu(flops_per_step: float, step_time_s: float,
+        device_kind: str = None) -> float:
+    """Model FLOPs utilization vs the chip's bf16 MXU peak."""
+    import jax
+    kind = device_kind or jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(kind, 197e12)
+    return flops_per_step / step_time_s / peak

@@ -1,0 +1,116 @@
+"""MXU-density benchmark: GROVER pretraining step at f32 and bf16
+(VERDICT r1 item 7 — a second benched workload beyond the gather-bound
+GraphConv, with an MFU estimate).
+
+Synthetic but realistically-shaped batch: 64 molecules x ~24 atoms,
+hidden 128, 4 heads, 2 MT blocks — the compute is dominated by the
+per-head MPN matmuls + attention + 4x FFN output heads.
+
+Run: python scripts/bench_grover_mfu.py
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def make_batch(batch=64, nodes_per=24, nf=75, ef=6, max_nb=8,
+               dtype=np.float32):
+    node_cap = batch * nodes_per + 1
+    edge_cap = batch * nodes_per * 2 + 1
+    rng = np.random.RandomState(0)
+    f_atoms = rng.rand(node_cap, nf).astype(dtype)
+    f_bonds = rng.rand(edge_cap, nf + ef).astype(dtype)
+    a2b = rng.randint(0, edge_cap, (node_cap, max_nb)).astype(np.int32)
+    b2a = rng.randint(0, node_cap, edge_cap).astype(np.int32)
+    b2revb = rng.permutation(edge_cap).astype(np.int32)
+    a2a = rng.randint(0, node_cap, (node_cap, max_nb)).astype(np.int32)
+    gidx = np.sort(rng.randint(0, batch, node_cap)).astype(np.int32)
+    nmask = np.ones(node_cap, dtype); nmask[0] = 0
+    emask = np.ones(edge_cap, dtype); emask[0] = 0
+    addf = np.zeros((batch, 1), dtype)
+    return [f_atoms, f_bonds, a2b, b2a, b2revb, a2a, gidx, nmask, emask,
+            addf]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from deepchem_tpu.models.grover import _GroverPretrainModule
+    from deepchem_tpu.utils.profiling import flops_of, mfu
+
+    batch = 64
+    module = _GroverPretrainModule(
+        hidden=128, node_fdim=75, edge_fdim=6, depth=3, num_mt_block=2,
+        num_heads=4, dropout=0.0, atom_vocab_size=600,
+        bond_vocab_size=60, n_fg=10, num_graphs=batch)
+    for dtype, label in ((np.float32, 'f32'), (np.float32, 'bf16')):
+        inputs = [jnp.asarray(a) for a in make_batch(batch, dtype=dtype)]
+        if label == 'bf16':
+            inputs = [a.astype(jnp.bfloat16)
+                      if a.dtype == jnp.float32 else a for a in inputs]
+        params = module.init(jax.random.PRNGKey(0), *inputs,
+                             training=False)
+        if label == 'bf16':
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        av_lab = jnp.zeros(inputs[0].shape[0], jnp.int32)
+        bv_lab = jnp.zeros(inputs[1].shape[0], jnp.int32)
+        fg_lab = jnp.zeros((batch, 10),
+                           jnp.bfloat16 if label == 'bf16'
+                           else jnp.float32)
+
+        def step(params, opt_state, *ins):
+            def loss_fn(p):
+                out = module.apply(p, *ins, training=False)
+                av_a, av_b, bv_a, bv_b, fg_aa, fg_ab, fg_ba, fg_bb = out
+                la = -jnp.mean(jnp.take_along_axis(
+                    av_a, av_lab[:, None], axis=-1)) \
+                    - jnp.mean(jnp.take_along_axis(
+                        av_b, av_lab[:, None], axis=-1))
+                lb = -jnp.mean(jnp.take_along_axis(
+                    bv_a, bv_lab[:, None], axis=-1)) \
+                    - jnp.mean(jnp.take_along_axis(
+                        bv_b, bv_lab[:, None], axis=-1))
+                lf = jnp.mean((fg_aa - fg_lab) ** 2) \
+                    + jnp.mean((fg_bb - fg_lab) ** 2)
+                return (la + lb + lf).astype(jnp.float32)
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        fl = flops_of(step, params, opt_state, *inputs)
+        # time N steps INSIDE one jit (lax.scan): measures on-chip compute
+        # free of the dev tunnel's per-dispatch latency
+        N = 50
+
+        def run(params, opt_state, *ins):
+            def body(carry, _):
+                p, s = carry
+                p, s, loss = step(p, s, *ins)
+                return (p, s), loss
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=N)
+            return params, opt_state, losses[-1]
+        jrun = jax.jit(run, donate_argnums=(0, 1))
+        params, opt_state, _ = jrun(params, opt_state, *inputs)   # warm
+        t0 = time.time()
+        params, opt_state, loss = jrun(params, opt_state, *inputs)
+        loss.block_until_ready()
+        dt = (time.time() - t0) / N
+        print(f'grover pretrain step [{label}]: {dt*1e3:.2f} ms/step, '
+              f'{fl/1e9:.1f} GFLOP/step, MFU {100*mfu(fl, dt):.2f}% '
+              f'({batch} mols -> {batch/dt:.0f} mol/s)')
+
+
+if __name__ == '__main__':
+    main()
