@@ -230,6 +230,7 @@ class Molecule:
     def finalize(self) -> 'Molecule':
         self._perceive_rings()
         self._perceive_hydrogens()
+        self._perceive_aromaticity()
         self._perceive_hybridization()
         self._perceive_conjugation()
         return self
@@ -372,6 +373,92 @@ class Molecule:
 
     def is_atom_in_ring_of_size(self, atom_idx: int, size: int) -> bool:
         return any(len(r) == size and atom_idx in r for r in self.rings())
+
+    def _perceive_aromaticity(self) -> None:
+        """Hückel 4n+2 aromatization of kekulé-written rings (RDKit's
+        default model, Chem.rdmolops.AROMATICITY_RDKIT).
+
+        Only ADDS aromaticity — lowercase/flagged input keeps its flags.
+        Without this pass, kekulé and aromatic writings of the same
+        molecule canonicalize differently (``C1=CC=CC=C1`` vs
+        ``c1ccccc1``), which leaks into ECFP atom invariants and
+        scaffold-split membership for every SDF-parsed molecule (MDL
+        blocks are kekulé).  Per-atom electron contributions: ring or
+        fused-ring double bond -> 1; exocyclic double to N/O/S -> 0
+        (pyridone/quinolinone carbonyls); lone-pair donor N/P/O/S or
+        C- -> 2; C+ (tropylium) -> 0; exocyclic C=C (fulvene) or sp3
+        atoms disqualify the ring.
+        """
+        rings = [r for r in self.rings() if 5 <= len(r) <= 7]
+        if not rings:
+            return
+        changed = True
+        while changed:
+            changed = False
+            dbl = {}
+            for b in self.bonds:
+                if b.order == BOND_DOUBLE:
+                    dbl.setdefault(b.a1, []).append(b.a2)
+                    dbl.setdefault(b.a2, []).append(b.a1)
+            for ring in rings:
+                rset = set(ring)
+                bonds = [self.get_bond(ring[i], ring[(i + 1) % len(ring)])
+                         for i in range(len(ring))]
+                if any(b is None for b in bonds):
+                    continue
+                if all(b.order == BOND_AROMATIC for b in bonds):
+                    continue                      # already aromatic
+                pi = 0
+                donors = []
+                ok = True
+                for i in ring:
+                    a = self.atoms[i]
+                    partners = dbl.get(i, [])
+                    if len(partners) > 1:         # cumulated: sp carbon
+                        ok = False
+                        break
+                    if partners:
+                        p = partners[0]
+                        pb = self.get_bond(i, p)
+                        if p in rset or (pb is not None and pb.in_ring):
+                            pi += 1               # (fused-)ring double bond
+                        elif self.atoms[p].atomic_num in (7, 8, 16, 34) \
+                                and not self.atoms[p].in_ring:
+                            pi += 0               # carbonyl-type exocyclic
+                        else:
+                            ok = False            # exocyclic C=C: fulvene
+                            break
+                    elif a.is_aromatic:
+                        pi += 1                   # π already in arom system
+                    elif a.atomic_num in (7, 15) and a.formal_charge == 0 \
+                            and a.degree + a.total_hs <= 3:
+                        pi += 2                   # pyrrole-type lone pair
+                        donors.append(a)
+                    elif a.atomic_num in (8, 16, 34) \
+                            and a.formal_charge == 0 and a.degree == 2:
+                        pi += 2                   # furan/thiophene O/S
+                    elif a.atomic_num == 6 and a.formal_charge == -1:
+                        pi += 2                   # cyclopentadienyl anion
+                        donors.append(a)
+                    elif a.atomic_num == 6 and a.formal_charge == 1:
+                        pi += 0                   # tropylium cation
+                    else:
+                        ok = False                # sp3 / no π electrons
+                        break
+                if not ok or pi % 4 != 2:
+                    continue
+                # SMILES requires donor-N hydrogens explicit ([nH]); it
+                # also keeps re-finalization (which re-derives implicit H
+                # from the now-1.5 bond orders) from dropping them
+                for a in donors:
+                    if a.explicit_hs < 0:
+                        a.explicit_hs = a.total_hs
+                for i in ring:
+                    self.atoms[i].is_aromatic = True
+                for b in bonds:
+                    b.order = BOND_AROMATIC
+                    b.is_aromatic = True
+                changed = True
 
     def _perceive_hybridization(self) -> None:
         for atom in self.atoms:

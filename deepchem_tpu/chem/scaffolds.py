@@ -53,13 +53,27 @@ def murcko_scaffold(mol: Molecule) -> Molecule:
     if not kept:
         return Molecule().finalize()
     sub = mol.subgraph(kept)
-    # normalize: drop chirality/H counts from pruned attachment points so the
-    # scaffold string only reflects the skeleton
+    # normalize: drop chirality/isotopes so the scaffold string only
+    # reflects the skeleton; re-derive H counts from valence
     for a in sub.atoms:
         a.chirality = ''
         a.explicit_hs = -1
         a.isotope = 0
-    return sub.finalize()
+    sub.finalize()
+    # RDKit GetScaffoldForMol semantics: every pruned substituent is
+    # replaced by a hydrogen on the attachment atom.  Valence-based
+    # re-perception gets this wrong exactly where it is ambiguous —
+    # a demethylated pyrrole/amide nitrogen reads as pyridine-type
+    # (0 H) instead of keeping the [nH] RDKit emits — which would shift
+    # scaffold-split membership for N-substituted heterocycles.
+    refix = False
+    for pos, i in enumerate(kept):
+        want = mol.atoms[i].total_hs + sum(
+            1 for j in mol.neighbors(i) if not alive[j])
+        if sub.atoms[pos].total_hs != want:
+            sub.atoms[pos].explicit_hs = want
+            refix = True
+    return sub.finalize() if refix else sub
 
 
 def scaffold_smiles(smiles: str,

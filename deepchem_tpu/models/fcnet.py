@@ -86,7 +86,8 @@ class _MultitaskClassifierModule(nn.Module):
         x = _MLPTrunk(self.layer_sizes, self.dropouts, self.activation_fns,
                       self.weight_init_stddevs, self.bias_init_consts,
                       self.use_kfac)(x, training)
-        logits = nn.Dense(self.n_tasks * self.n_classes)(x)
+        logits = nn.Dense(self.n_tasks * self.n_classes,
+                          name='output_head')(x)
         logits = logits.reshape(-1, self.n_tasks, self.n_classes)
         probs = jax.nn.softmax(logits, axis=-1)
         return probs, logits
@@ -126,6 +127,7 @@ class MultitaskClassifier(JaxModel):
                                   weight_decay_penalty_type))
         super().__init__(module, loss,
                          output_types=['prediction', 'loss'], **kwargs)
+        self._head_scopes = ('output_head',)
 
     def default_generator(self, dataset, epochs=1, mode='fit',
                           deterministic=True, pad_batches=True):
@@ -163,9 +165,9 @@ class _MultitaskRegressorModule(nn.Module):
         x = _MLPTrunk(self.layer_sizes, self.dropouts, self.activation_fns,
                       self.weight_init_stddevs, self.bias_init_consts,
                       self.use_kfac)(x, training)
-        y = nn.Dense(self.n_tasks)(x)
+        y = nn.Dense(self.n_tasks, name='output_head')(x)
         if self.uncertainty:
-            log_var = nn.Dense(self.n_tasks)(x)
+            log_var = nn.Dense(self.n_tasks, name='uncertainty_head')(x)
             var = jnp.exp(log_var)
             return y, var, y, log_var
         return y
@@ -221,6 +223,7 @@ class MultitaskRegressor(JaxModel):
                                   weight_decay_penalty,
                                   weight_decay_penalty_type))
         super().__init__(module, loss, output_types=output_types, **kwargs)
+        self._head_scopes = ('output_head', 'uncertainty_head')
 
     def get_num_tasks(self) -> int:
         return self.n_tasks

@@ -253,6 +253,45 @@ class _GroverMPN(nn.Module):
         return messages
 
 
+class _TinySeqAttention(nn.Module):
+    """Multi-head attention over a tiny sequence axis (the per-node
+    stack of num_heads MPN outputs), laid out TPU-natively.
+
+    flax's MultiHeadDotProductAttention materializes f32[N, h, S, S]
+    score tensors; with S = num_heads = 8 the trailing (8, 8) tile pads
+    16x under XLA's (8, 128) layout — 768 MB of padding per tensor at
+    pretrain scale (measured OOM at 512 mols x hidden 1024).  Here the
+    large N axis rides in the minor dimension instead, so scores are
+    (h, S, S, N) and pad ~1.0x.  Same math as flax MHA (q/k/v/out
+    projections, 1/sqrt(head_dim) scaling, softmax over keys).
+    """
+    num_heads: int
+    qkv_features: int
+    out_features: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, q, k, v, deterministic: bool = True):
+        n, s, _ = q.shape
+        nh = self.num_heads
+        hd = self.qkv_features // nh
+
+        def proj(name, x):
+            y = nn.DenseGeneral((nh, hd), axis=-1, name=name)(x)
+            return y.transpose(2, 1, 3, 0)          # (nh, S, hd, N)
+        qh = proj('query', q) * jnp.asarray(1.0 / np.sqrt(hd), q.dtype)
+        kh = proj('key', k)
+        vh = proj('value', v)
+        scores = jnp.einsum('asdn,atdn->astn', qh, kh)   # (nh, S, S, N)
+        w = jax.nn.softmax(scores, axis=2)               # over keys t
+        if self.dropout_rate > 0.0:
+            w = nn.Dropout(self.dropout_rate,
+                           deterministic=deterministic)(w)
+        o = jnp.einsum('astn,atdn->asdn', w, vh)         # (nh, S, hd, N)
+        o = o.transpose(3, 1, 0, 2).reshape(n, s, nh * hd)
+        return nn.DenseGeneral(self.out_features, axis=-1, name='out')(o)
+
+
 class _GroverMTBlock(nn.Module):
     """Message-passing multi-head transformer block (reference
     GroverMTBlock:585): each attention head derives q/k/v from three
@@ -294,7 +333,7 @@ class _GroverMTBlock(nn.Module):
         q = jnp.stack(qs, axis=1)   # (N, num_heads, hidden)
         k = jnp.stack(ks, axis=1)
         v = jnp.stack(vs, axis=1)
-        x = nn.MultiHeadDotProductAttention(
+        x = _TinySeqAttention(
             num_heads=self.num_heads, qkv_features=self.hidden,
             out_features=self.hidden, dropout_rate=self.dropout,
             name='attn')(q, k, v, deterministic=not training)

@@ -1003,9 +1003,17 @@ class JaxModel(Model):
                              model_dir: Optional[str] = None,
                              include_top: bool = True,
                              inputs: Optional[Sequence] = None,
+                             top_layers: Optional[Sequence[str]] = None,
                              **kwargs) -> None:
         """Transfer parameter values by matching pytree paths (reference
-        keras_model.py:1210 value-transfer semantics)."""
+        keras_model.py:1210 value-transfer semantics).
+
+        With ``include_top=False`` the output head is excluded.  Which
+        scopes form "the head" is resolved in order: the ``top_layers``
+        argument (flax module names, matched against path components),
+        then the model's ``_head_scopes`` attribute, then — with a
+        warning — the lexicographically-last scope heuristic (fragile
+        for modules whose head is not alphabetically last)."""
         if not source_model._built:
             if checkpoint is not None or model_dir is not None:
                 source_model.restore(checkpoint=checkpoint,
@@ -1019,11 +1027,31 @@ class JaxModel(Model):
             self.build(inputs)
         src_flat = _flatten_params(source_model.params)
         dst_flat = _flatten_params(self.params)
-        new_flat = dict(dst_flat)
+        if include_top:
+            def _skip(key: str) -> bool:
+                return False
+        else:
+            head = tuple(top_layers or
+                         getattr(self, '_head_scopes', None) or
+                         getattr(source_model, '_head_scopes', None) or
+                         ())
+            if head:
+                def _skip(key: str) -> bool:
+                    parts = key.split('/')
+                    return any(h in parts for h in head)
+            else:
+                logger.warning(
+                    'include_top=False without top_layers=: falling back '
+                    'to the lexicographically-last-scope heuristic; pass '
+                    'top_layers=[...head module names...] to be explicit')
+
+                def _skip(key: str) -> bool:
+                    return _is_top_layer(key, src_flat)
         n_assigned = 0
+        new_flat = dict(dst_flat)
         for k, v in src_flat.items():
             if k in dst_flat and dst_flat[k].shape == v.shape:
-                if not include_top and _is_top_layer(k, src_flat):
+                if _skip(k):
                     continue
                 new_flat[k] = v
                 n_assigned += 1

@@ -25,6 +25,11 @@ logger = logging.getLogger(__name__)
 _LOCAL_MIRRORS = [
     os.environ.get('DEEPCHEM_TPU_MIRROR', ''),
     '/root/reference/datasets',
+    # benchmark CSVs shipped under the reference examples tree
+    '/root/reference/examples/toxcast/processing',
+    '/root/reference/examples/hiv',
+    '/root/reference/examples/clintox/datasets',
+    '/root/reference/examples/sider',
 ]
 
 

@@ -2,11 +2,22 @@
 (VERDICT r1 item 7 — a second benched workload beyond the gather-bound
 GraphConv, with an MFU estimate).
 
-Synthetic but realistically-shaped batch: 64 molecules x ~24 atoms,
-hidden 128, 4 heads, 2 MT blocks — the compute is dominated by the
-per-head MPN matmuls + attention + 4x FFN output heads.
+Two configs:
+- ``base``: hidden 128, 64 mols — the finetune-scale config.  Its MFU
+  is intrinsically tiny: molecule graphs at hidden 128 give [1.5k,128]
+  matmuls, far below the MXU's 128x128-tile sweet spot, and per-op
+  dispatch dominates.
+- ``large``: hidden 1024, 8 heads, 512 mols (~12k graph nodes) — the
+  published GROVER-large pretraining scale (hidden 1200).  This is the
+  config MFU is meaningful for: node/edge matmuls are
+  [12k,1024]x[1024,1024], which the chip sustains at >100 TFLOPS in
+  isolation (see RESULTS.md raw-matmul probe).
 
-Run: python scripts/bench_grover_mfu.py
+Synthetic but realistically-shaped batch: ~24 atoms/mol, COO layout
+with max_nb=8 neighbor tables — the same shapes the real featurizer
+emits.
+
+Run: python scripts/bench_grover_mfu.py [base|large|all]
 """
 import os
 import sys
@@ -37,26 +48,27 @@ def make_batch(batch=64, nodes_per=24, nf=75, ef=6, max_nb=8,
             addf]
 
 
-def main():
+def run_config(name, batch, hidden, heads, blocks, depth, n_scan=20):
     import jax
     import jax.numpy as jnp
     import optax
     from deepchem_tpu.models.grover import _GroverPretrainModule
     from deepchem_tpu.utils.profiling import flops_of, mfu
 
-    batch = 64
     module = _GroverPretrainModule(
-        hidden=128, node_fdim=75, edge_fdim=6, depth=3, num_mt_block=2,
-        num_heads=4, dropout=0.0, atom_vocab_size=600,
-        bond_vocab_size=60, n_fg=10, num_graphs=batch)
-    for dtype, label in ((np.float32, 'f32'), (np.float32, 'bf16')):
-        inputs = [jnp.asarray(a) for a in make_batch(batch, dtype=dtype)]
-        if label == 'bf16':
-            inputs = [a.astype(jnp.bfloat16)
-                      if a.dtype == jnp.float32 else a for a in inputs]
+        hidden=hidden, node_fdim=75, edge_fdim=6, depth=depth,
+        num_mt_block=blocks, num_heads=heads, dropout=0.0,
+        atom_vocab_size=600, bond_vocab_size=60, n_fg=10,
+        num_graphs=batch)
+    for label in ('f32', 'bf16'):
+        inputs = [jnp.asarray(a) for a in make_batch(batch)]
         params = module.init(jax.random.PRNGKey(0), *inputs,
                              training=False)
         if label == 'bf16':
+            # bf16 compute params + activations; f32 adam master state
+            # comes from optax operating on the f32 copy
+            inputs = [a.astype(jnp.bfloat16)
+                      if a.dtype == jnp.float32 else a for a in inputs]
             params = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
                 if x.dtype == jnp.float32 else x, params)
@@ -64,9 +76,7 @@ def main():
         opt_state = opt.init(params)
         av_lab = jnp.zeros(inputs[0].shape[0], jnp.int32)
         bv_lab = jnp.zeros(inputs[1].shape[0], jnp.int32)
-        fg_lab = jnp.zeros((batch, 10),
-                           jnp.bfloat16 if label == 'bf16'
-                           else jnp.float32)
+        fg_lab = jnp.zeros((batch, 10), inputs[0].dtype)
 
         def step(params, opt_state, *ins):
             def loss_fn(p):
@@ -91,7 +101,6 @@ def main():
         fl = flops_of(step, params, opt_state, *inputs)
         # time N steps INSIDE one jit (lax.scan): measures on-chip compute
         # free of the dev tunnel's per-dispatch latency
-        N = 50
 
         def run(params, opt_state, *ins):
             def body(carry, _):
@@ -99,17 +108,28 @@ def main():
                 p, s, loss = step(p, s, *ins)
                 return (p, s), loss
             (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), None, length=N)
+                body, (params, opt_state), None, length=n_scan)
             return params, opt_state, losses[-1]
         jrun = jax.jit(run, donate_argnums=(0, 1))
         params, opt_state, _ = jrun(params, opt_state, *inputs)   # warm
         t0 = time.time()
         params, opt_state, loss = jrun(params, opt_state, *inputs)
         loss.block_until_ready()
-        dt = (time.time() - t0) / N
-        print(f'grover pretrain step [{label}]: {dt*1e3:.2f} ms/step, '
-              f'{fl/1e9:.1f} GFLOP/step, MFU {100*mfu(fl, dt):.2f}% '
+        dt = (time.time() - t0) / n_scan
+        print(f'grover[{name}] pretrain step [{label}]: '
+              f'{dt*1e3:.2f} ms/step, {fl/1e9:.1f} GFLOP/step, '
+              f'MFU {100*mfu(fl, dt):.2f}% '
               f'({batch} mols -> {batch/dt:.0f} mol/s)')
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else 'all'
+    if which in ('base', 'all'):
+        run_config('base', batch=64, hidden=128, heads=4, blocks=2,
+                   depth=3, n_scan=50)
+    if which in ('large', 'all'):
+        run_config('large', batch=512, hidden=1024, heads=8, blocks=2,
+                   depth=3, n_scan=10)
 
 
 if __name__ == '__main__':

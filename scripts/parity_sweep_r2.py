@@ -2,11 +2,13 @@
 tox21/delaney — sider tf+graphconv, muv graphconv, qm7 regression.
 
 Baselines: examples/stable_results.csv rows (BASELINE.md); random split,
-valid-set score.  toxcast/pcba raw data is not present in this offline
-environment (only tox21/muv/sider/delaney/gdb1k ship locally), so the
-sweep covers every benchmark dataset that exists here.
+valid-set score.  pcba raw data is not present in this offline
+environment; toxcast ships as examples/toxcast/processing/
+toxcast_data.csv.gz (8.6k mols x 617 tasks), so the sweep covers every
+stable_results benchmark dataset that exists here.
 
-Run on the TPU chip: python scripts/parity_sweep_r2.py [sider|muv|qm7]
+Run on the TPU chip: python scripts/parity_sweep_r2.py
+[sider|muv|qm7|toxcast]
 """
 import os
 import sys
@@ -55,6 +57,36 @@ def run_sider():
     print(f'sider graphconv: train {eval_cls(g, tr, trans):.4f} '
           f'valid {eval_cls(g, va, trans):.4f} ({dt:.1f}s) '
           '[ref 0.7049/0.6176]')
+
+
+def run_toxcast():
+    """toxcast random-split rows (ref tf 0.6840, graphconv 0.7168 valid);
+    617 sparse tasks, 8.6k molecules — stable_results.csv:39,42."""
+    from deepchem_tpu.molnet import load_toxcast
+    from deepchem_tpu.models import GraphConvModel, MultitaskClassifier
+    tasks, (tr, va, te), trans = load_toxcast(featurizer='ECFP',
+                                              splitter='random')
+    m = MultitaskClassifier(n_tasks=len(tasks), n_features=1024,
+                            layer_sizes=[1500], dropouts=0.5,
+                            weight_decay_penalty=0.002,
+                            batch_size=50, learning_rate=0.001)
+    t0 = time.time()
+    m.fit_on_device(tr, nb_epoch=10)
+    dt = time.time() - t0
+    print(f'toxcast tf: train {eval_cls(m, tr, trans):.4f} '
+          f'valid {eval_cls(m, va, trans):.4f} ({dt:.1f}s) '
+          '[ref 0.8355/0.6840, 1586s]')
+    tasks, (tr, va, te), trans = load_toxcast(featurizer='graphconv',
+                                              splitter='random')
+    g = GraphConvModel(n_tasks=len(tasks), batch_size=64,
+                       mode='classification', learning_rate=0.001,
+                       graph_conv_layers=[64, 64], dense_layer_size=128)
+    t0 = time.time()
+    g.fit_on_device(tr, nb_epoch=40)
+    dt = time.time() - t0
+    print(f'toxcast graphconv: train {eval_cls(g, tr, trans):.4f} '
+          f'valid {eval_cls(g, va, trans):.4f} ({dt:.1f}s) '
+          '[ref 0.8198/0.7168, 702s]')
 
 
 def run_muv():
@@ -114,3 +146,5 @@ if __name__ == '__main__':
         run_qm7()
     if which in ('muv', 'all'):
         run_muv()
+    if which in ('toxcast', 'all'):
+        run_toxcast()

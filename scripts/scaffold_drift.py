@@ -1,0 +1,112 @@
+"""Quantify scaffold-split membership drift on tox21 (VERDICT r1 weak
+#7: "quantify the drift instead of asserting it doesn't matter").
+
+RDKit does not exist in this environment, so exact agreement with the
+reference's RDKit-derived split cannot be computed here.  What CAN be
+measured is the mechanism through which memberships could drift:
+
+1. invariance — does every input rewriting of a molecule map to the
+   same scaffold string?  (If yes, the split partition is a pure
+   function of molecular identity, like the reference's.)
+2. membership stability — rebuild the scaffold split from 5 random
+   atom-order rewritings of every tox21 SMILES and count molecules
+   whose train/valid/test assignment changes vs the original-form
+   split.
+3. oracle agreement — the golden Murcko pairs in
+   tests/test_scaffold_goldens.py (published RDKit outputs, compared
+   graph-wise) plus the reference's own pinned value
+   ('CCC(C)c1csc(N)n1' -> 'c1cscn1').
+
+Run: python scripts/scaffold_drift.py            (~10 min, CPU)
+"""
+import csv
+import gzip
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from deepchem_tpu.chem import mol_from_smiles, mol_to_smiles  # noqa: E402
+from deepchem_tpu.chem.scaffolds import scaffold_smiles        # noqa: E402
+
+TOX21 = '/root/reference/datasets/tox21.csv.gz'
+
+
+def scaffold_split_assignment(scaffolds, frac_train=0.8, frac_valid=0.1):
+    """Reference ScaffoldSplitter order: scaffold sets sorted by size
+    (largest first), filled greedily into train/valid/test."""
+    sets = {}
+    for i, s in enumerate(scaffolds):
+        sets.setdefault(s, []).append(i)
+    groups = sorted(sets.values(), key=lambda g: (-len(g), g[0]))
+    n = len(scaffolds)
+    train_cut, valid_cut = frac_train * n, (frac_train + frac_valid) * n
+    assign = [None] * n
+    count = 0
+    for g in groups:
+        if count + len(g) > valid_cut:
+            label = 'test'
+        elif count + len(g) > train_cut:
+            label = 'valid'
+        else:
+            label = 'train'
+        for i in g:
+            assign[i] = label
+        count += len(g)
+    return assign
+
+
+def main():
+    with gzip.open(TOX21, 'rt') as f:
+        smiles = [r['smiles'] for r in csv.DictReader(f)]
+    rng = random.Random(0)
+    t0 = time.time()
+    base_scaf, forms_scaf = [], [[] for _ in range(5)]
+    n_invariance_fail = 0
+    parsed = 0
+    for n, smi in enumerate(smiles):
+        m = mol_from_smiles(smi)
+        if m is None:
+            base_scaf.append(None)
+            for fl in forms_scaf:
+                fl.append(None)
+            continue
+        parsed += 1
+        s0 = scaffold_smiles(smi)
+        base_scaf.append(s0)
+        bad = False
+        for t in range(5):
+            order = list(range(m.num_atoms))
+            rng.shuffle(order)
+            form = mol_to_smiles(m.subgraph(order), canonical=False)
+            st = scaffold_smiles(form)
+            forms_scaf[t].append(st)
+            if st != s0:
+                bad = True
+        if bad:
+            n_invariance_fail += 1
+        if (n + 1) % 1000 == 0:
+            print(f'{n+1}/{len(smiles)} ({time.time()-t0:.0f}s)',
+                  flush=True)
+
+    keep = [i for i, s in enumerate(base_scaf) if s is not None]
+    base_assign = scaffold_split_assignment([base_scaf[i] for i in keep])
+    n_member_drift = 0
+    for t in range(5):
+        a = scaffold_split_assignment([forms_scaf[t][i] for i in keep])
+        n_member_drift += sum(1 for x, y in zip(base_assign, a) if x != y)
+    print(f'tox21: {len(smiles)} rows, {parsed} parsed, '
+          f'{len(set(base_scaf[i] for i in keep))} unique scaffolds')
+    print(f'invariance failures (any of 5 rewritings): '
+          f'{n_invariance_fail}/{parsed} '
+          f'({100*n_invariance_fail/parsed:.3f}%)')
+    print(f'split membership changes across 5 rewritten splits: '
+          f'{n_member_drift}/{5*len(keep)} '
+          f'({100*n_member_drift/(5*len(keep)):.3f}%)')
+
+
+if __name__ == '__main__':
+    main()
