@@ -128,7 +128,7 @@ def main():
         run_config('base', batch=64, hidden=128, heads=4, blocks=2,
                    depth=3, n_scan=50)
     if which in ('large', 'all'):
-        run_config('large', batch=512, hidden=1024, heads=8, blocks=2,
+        run_config('large', batch=256, hidden=1024, heads=8, blocks=2,
                    depth=3, n_scan=10)
 
 

@@ -242,3 +242,50 @@ def test_grover_featurizer_handles_single_atom_molecules():
     assert X[0].edge_features.shape == (0, 6)
     batch = BatchGraphData(list(X))
     assert batch.edge_features.shape[1] == 6
+
+
+def test_grover_nei_sum_custom_vjp_matches_scatter_grad():
+    """The gather-transpose VJPs (_nei_sum_sym/_nei_sum_bonds replace
+    the scatter-add backward with pure gathers using the molecular
+    graph's own transpose structure) must produce gradients identical
+    to XLA's default scatter backward on real molecule batches."""
+    import jax
+    import jax.numpy as jnp
+    from deepchem_tpu.models import (GroverModel, GroverFeaturizer,
+                                     GroverAtomVocabularyBuilder,
+                                     GroverBondVocabularyBuilder)
+    from deepchem_tpu.models import grover as G
+    mols = [mol_from_smiles(s) for s in SMILES]
+    av = GroverAtomVocabularyBuilder(); av.build(mols)
+    bv = GroverBondVocabularyBuilder(); bv.build(mols)
+    X = GroverFeaturizer(atom_vocab=av, bond_vocab=bv).featurize(SMILES)
+    ds = NumpyDataset(X, Y)
+    m = GroverModel(task='pretraining', atom_vocab=av, bond_vocab=bv,
+                    batch_size=10)
+    gen = m.default_generator(ds, epochs=1)
+    inputs, labels, weights = m._prepare_batch(next(gen))
+    m.build(inputs)
+
+    def loss(params):
+        import jax as _jax
+        outs = m._forward(params, inputs, False, _jax.random.PRNGKey(0))
+        return sum(jnp.sum(jnp.asarray(o, jnp.float32) ** 2)
+                   for o in jax.tree_util.tree_leaves(outs))
+
+    g_custom = jax.grad(loss)(m.params)
+    # swap the custom-VJP aggregators for their plain (scatter-backward)
+    # equivalents and re-trace
+    orig_sym, orig_bonds = G._nei_sum_sym, G._nei_sum_bonds
+    try:
+        G._nei_sum_sym = lambda msg, idx: jnp.take(
+            msg, idx, axis=0).sum(axis=1)
+        G._nei_sum_bonds = lambda msg, idx, rd: jnp.take(
+            msg, idx, axis=0).sum(axis=1)
+        g_ref = jax.grad(loss)(m.params)
+    finally:
+        G._nei_sum_sym, G._nei_sum_bonds = orig_sym, orig_bonds
+    flat_c = jax.tree_util.tree_leaves(g_custom)
+    flat_r = jax.tree_util.tree_leaves(g_ref)
+    for c, r in zip(flat_c, flat_r):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(r),
+                                   rtol=2e-4, atol=2e-5)
