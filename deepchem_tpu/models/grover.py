@@ -231,7 +231,7 @@ def _nei_sum(messages: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
 
 @jax.custom_vjp
 def _nei_sum_sym(messages: jnp.ndarray, a2a: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(messages, a2a, axis=0).sum(axis=1)
+    return _slot_gather_sum(messages, a2a, axis=0)
 
 
 def _nei_sum_sym_fwd(messages, a2a):
@@ -239,7 +239,7 @@ def _nei_sum_sym_fwd(messages, a2a):
 
 
 def _nei_sum_sym_bwd(a2a, g):
-    return jnp.take(g, a2a, axis=0).sum(axis=1), None
+    return _slot_gather_sum(g, a2a, axis=0), None
 
 
 _nei_sum_sym.defvjp(_nei_sum_sym_fwd, _nei_sum_sym_bwd)
@@ -248,7 +248,7 @@ _nei_sum_sym.defvjp(_nei_sum_sym_fwd, _nei_sum_sym_bwd)
 @jax.custom_vjp
 def _nei_sum_bonds(messages: jnp.ndarray, a2b: jnp.ndarray,
                    rev_dst: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(messages, a2b, axis=0).sum(axis=1)
+    return _slot_gather_sum(messages, a2b, axis=0)
 
 
 def _nei_sum_bonds_fwd(messages, a2b, rev_dst):
@@ -308,6 +308,120 @@ class _GroverMPN(nn.Module):
                                   deterministic=not training)(messages)
             messages = messages * mask[:, None]
         return messages
+
+
+def _slot_gather_sum(x: jnp.ndarray, idx: jnp.ndarray,
+                     axis: int) -> jnp.ndarray:
+    """sum_j take(x, idx[:, j], axis) as an unrolled accumulation.
+
+    Equivalent to ``jnp.take(x, idx, axis).sum(...)`` but XLA will not
+    fuse that gather into its reduction here — it materializes the
+    (..., N, K, H) neighbor tensor (4.5 GB at grouped pretrain scale,
+    measured OOM).  K is tiny (max_neighbors=8), so K fused gather+add
+    steps bound the temp at one (..., N, H) array."""
+    out = jnp.take(x, idx[:, 0], axis=axis)
+    for j in range(1, idx.shape[1]):
+        out = out + jnp.take(x, idx[:, j], axis=axis)
+    return out
+
+
+@jax.custom_vjp
+def _nei_sum_sym_g(messages: jnp.ndarray, a2a: jnp.ndarray) -> jnp.ndarray:
+    """Grouped (G, N, H) variant of _nei_sum_sym (same transpose trick)."""
+    return _slot_gather_sum(messages, a2a, axis=1)
+
+
+def _nei_sum_sym_g_fwd(messages, a2a):
+    return _nei_sum_sym_g(messages, a2a), a2a
+
+
+def _nei_sum_sym_g_bwd(a2a, g):
+    return _slot_gather_sum(g, a2a, axis=1), None
+
+
+_nei_sum_sym_g.defvjp(_nei_sum_sym_g_fwd, _nei_sum_sym_g_bwd)
+
+
+@jax.custom_vjp
+def _nei_sum_bonds_g(messages: jnp.ndarray, a2b: jnp.ndarray,
+                     rev_dst: jnp.ndarray) -> jnp.ndarray:
+    """Grouped (G, E, H) variant of _nei_sum_bonds."""
+    return _slot_gather_sum(messages, a2b, axis=1)
+
+
+def _nei_sum_bonds_g_fwd(messages, a2b, rev_dst):
+    return _nei_sum_bonds_g(messages, a2b, rev_dst), (a2b, rev_dst)
+
+
+def _nei_sum_bonds_g_bwd(res, g):
+    _, rev_dst = res
+    return jnp.take(g, rev_dst, axis=1), None, None
+
+
+_nei_sum_bonds_g.defvjp(_nei_sum_bonds_g_fwd, _nei_sum_bonds_g_bwd)
+
+
+class _GroverGroupedMPN(nn.Module):
+    """All of an MT block's per-head q/k/v MPN encoders fused into one
+    grouped computation (semantically identical to 3*num_heads
+    independent _GroverMPN(input_layer='none') encoders).
+
+    Two structural wins over running them separately:
+    - every encoder's FIRST iteration aggregates the same input ``f``
+      with the same index tables, so that neighbor-sum (the bandwidth
+      hog) is computed once and fanned out through one wide
+      [H, G*H] matmul instead of G gathers + G matmuls;
+    - later iterations batch the G message tensors into (G, N, H), one
+      gather and one grouped einsum per iteration instead of G each.
+    """
+    groups: int                    # 3 * num_heads (q, k, v per head)
+    hidden: int
+    depth: int
+    atom_messages: bool
+    dropout: float = 0.0
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, f, a2nei, b2a, b2revb, mask, training: bool = False):
+        g, h = self.groups, self.hidden
+        kernel = self.param(
+            'W_h', nn.initializers.lecun_normal(batch_axis=(0,)),
+            (g, h, h))
+        bias = (self.param('b_h', nn.initializers.zeros, (g, 1, h))
+                if self.bias else None)
+        drop = nn.Dropout(self.dropout)
+
+        def matmul(x):               # x: (N,H) shared or (G,N,H) grouped
+            if x.ndim == 2:
+                y = jnp.einsum('nh,ghe->gne', x, kernel)
+            else:
+                y = jnp.einsum('gnh,ghe->gne', x, kernel)
+            if bias is not None:
+                y = y + bias
+            return nn.relu(y)
+
+        msg0 = f * mask[:, None]
+        if not self.atom_messages:
+            rev_dst = jnp.take(b2a, b2revb)
+            nei = _nei_sum_bonds(msg0, a2nei, rev_dst)
+            shared = jnp.take(nei, b2a, axis=0) \
+                - jnp.take(msg0, b2revb, axis=0)
+        else:
+            shared = _nei_sum_sym(msg0, a2nei)
+        x = matmul(shared)                               # (G, N, H)
+        x = drop(x, deterministic=not training)
+        x = x * mask[None, :, None]
+        for _ in range(self.depth - 2):
+            if self.atom_messages:
+                agg = _nei_sum_sym_g(x, a2nei)
+            else:
+                nei = _nei_sum_bonds_g(x, a2nei, rev_dst)
+                agg = jnp.take(nei, b2a, axis=1) \
+                    - jnp.take(x, b2revb, axis=1)
+            x = matmul(agg)
+            x = drop(x, deterministic=not training)
+            x = x * mask[None, :, None]
+        return x
 
 
 class _TinySeqAttention(nn.Module):
@@ -398,34 +512,20 @@ class _GroverMTBlock(nn.Module):
             f = nn.LayerNorm(name='input_norm')(nn.relu(f))
             f = nn.Dropout(self.dropout, deterministic=not training)(f)
             f = f * mask[:, None]
-        # remat each per-head MPN: the depth-step neighbor gathers are
-        # (N, max_nb+1, hidden) activations; saving them for backward
-        # across 3 branches x num_heads x 2 sub-blocks needs ~40 GB at
-        # pretrain scale (512 mols x hidden 1024, measured), while
-        # recomputing them costs one extra forward of pure
-        # gather+matmul.  training is a static arg (controls dropout
-        # determinism), hence static_argnums.
-        MPN = nn.remat(_GroverMPN, static_argnums=(6,))
-        qs, ks, vs = [], [], []
-        for h in range(self.num_heads):
-            q = MPN(self.hidden, self.depth, self.atom_messages,
-                    'none', self.dropout, self.bias,
-                    name=f'head{h}_q')(f, a2nei, b2a, b2revb, mask,
-                                       training)
-            k = MPN(self.hidden, self.depth, self.atom_messages,
-                    'none', self.dropout, self.bias,
-                    name=f'head{h}_k')(f, a2nei, b2a, b2revb, mask,
-                                       training)
-            v = MPN(self.hidden, self.depth, self.atom_messages,
-                    'none', self.dropout, self.bias,
-                    name=f'head{h}_v')(f, a2nei, b2a, b2revb, mask,
-                                       training)
-            qs.append(q)
-            ks.append(k)
-            vs.append(v)
-        q = jnp.stack(qs, axis=1)   # (N, num_heads, hidden)
-        k = jnp.stack(ks, axis=1)
-        v = jnp.stack(vs, axis=1)
+        # one grouped MPN computes all heads' q/k/v encoders (see
+        # _GroverGroupedMPN: shared first aggregation + batched
+        # iterations), rematerialized so the per-depth neighbor gathers
+        # are recomputed in backward instead of saved (40 GB -> fits at
+        # pretrain scale).  training is static (dropout determinism).
+        MPN = nn.remat(_GroverGroupedMPN, static_argnums=(6,))
+        nh = self.num_heads
+        qkv = MPN(3 * nh, self.hidden, self.depth, self.atom_messages,
+                  self.dropout, self.bias,
+                  name='qkv_mpn')(f, a2nei, b2a, b2revb, mask, training)
+        # (3*nh, N, H) -> three (N, nh, H)
+        q = qkv[:nh].transpose(1, 0, 2)
+        k = qkv[nh:2 * nh].transpose(1, 0, 2)
+        v = qkv[2 * nh:].transpose(1, 0, 2)
         x = _TinySeqAttention(
             num_heads=self.num_heads, qkv_features=self.hidden,
             out_features=self.hidden, dropout_rate=self.dropout,
@@ -473,6 +573,18 @@ class GroverTransEncoder(nn.Module):
     def __call__(self, f_atoms, f_bonds, a2b, b2a, b2revb, a2a,
                  nmask, emask, training: bool = False):
         node_h, edge_h = f_atoms, f_bonds
+        # block-level remat on top of the qkv_mpn-level one: only block
+        # inputs are saved for backward, everything else recomputes.
+        # Worth it only when activations are large (measured: at
+        # 64 mols x hidden 128 it costs 35% step time for nothing; at
+        # 256 mols x hidden 1024 it is the difference between OOM and
+        # fitting) — shapes are static under jit, so this is a compile
+        # -time decision.
+        if f_atoms.shape[0] * self.hidden >= 2 ** 22:
+            _GroverMTBlock = nn.remat(globals()['_GroverMTBlock'],
+                                      static_argnums=(6,))
+        else:
+            _GroverMTBlock = globals()['_GroverMTBlock']
         for i in range(self.num_mt_block):
             node_h = _GroverMTBlock(
                 self.hidden, self.num_heads, self.depth,
