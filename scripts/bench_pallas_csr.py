@@ -41,7 +41,7 @@ def bench(n_nodes, n_edges, feat, dtype_name, steps=30):
         return jax.ops.segment_sum(msgs, dstj, num_segments=n_nodes)
 
     def pallas_step(h):
-        return fused_gather_segment_sum(h, srcj, rp)
+        return fused_gather_segment_sum(h, srcj, rp, n_nodes)
 
     results = {}
     for name, step in (('xla', xla_step), ('pallas', pallas_step)):
