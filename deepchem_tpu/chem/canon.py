@@ -363,7 +363,15 @@ def _mol_to_smiles_once(mol: Molecule, canonical: bool = True) -> str:
             root = min(comp, key=lambda i: rank[i])
             roots.append(root)
         for root in roots:
+            # per-component ring-number space: identical components of a
+            # salt/mixture get identical strings regardless of position
+            next_ring[0] = 1
             pieces.append(component_smiles(root))
+        if canonical:
+            # component order must not depend on input atom order (it was
+            # the one remaining canonical-uniqueness leak: 16/8014 tox21
+            # molecules — all salts — wrote components input-ordered)
+            pieces.sort()
         return '.'.join(pieces)
     finally:
         sys.setrecursionlimit(old_limit)
