@@ -5,7 +5,8 @@ from deepchem_tpu.data.loaders import (DataLoader, CSVLoader, UserCSVLoader,
                                        JsonLoader, SDFLoader, FASTALoader,
                                        DFTYamlLoader,
                                        FASTQLoader, ImageLoader,
-                                       InMemoryLoader)
+                                       InMemoryLoader, SAMLoader,
+                                       BAMLoader, CRAMLoader)
 from deepchem_tpu.data.supports import (remove_dead_examples,
                                         get_task_dataset,
                                         get_single_task_test,
@@ -17,5 +18,5 @@ __all__ = [
     'pad_batch', 'sparsify_features', 'densify_features',
     'DataLoader', 'CSVLoader', 'UserCSVLoader', 'JsonLoader', 'SDFLoader',
     'FASTALoader', 'FASTQLoader', 'ImageLoader', 'InMemoryLoader',
-    'DFTYamlLoader',
+    'DFTYamlLoader', 'SAMLoader', 'BAMLoader', 'CRAMLoader',
 ]

@@ -478,3 +478,56 @@ class DFTYamlLoader(DataLoader):
         from deepchem_tpu.data.datasets import NumpyDataset
         return NumpyDataset(X, y, np.ones_like(y),
                             np.arange(len(entries)))
+
+
+class SAMLoader(DataLoader):
+    """Load aligned reads from SAM files (reference data_loader.py:1902).
+
+    X rows are the SAMFeaturizer's 7-column record layout; y/w are
+    zero/one placeholders like the reference's."""
+
+    _default_featurizer = 'SAM'
+    _read_mode = 'sam'
+
+    def __init__(self, featurizer=None):
+        if featurizer is None:
+            from deepchem_tpu.feat.bio_seq_featurizer import SAMFeaturizer
+            featurizer = SAMFeaturizer()
+        self.featurizer = featurizer
+        self.tasks = []
+        self.user_specified_features = None
+
+    def create_dataset(self, inputs, data_dir=None,
+                       shard_size: Optional[int] = None):
+        from deepchem_tpu.data.datasets import DiskDataset
+        if isinstance(inputs, (str, os.PathLike)):
+            inputs = [inputs]
+
+        def shard_generator():
+            for path in inputs:
+                X = self.featurizer.featurize(path)
+                n = len(X)
+                yield X, np.zeros((n, 1)), np.ones((n, 1)), np.arange(n)
+        return DiskDataset.create_dataset(shard_generator(), data_dir)
+
+
+class BAMLoader(SAMLoader):
+    """Load aligned reads from BAM files (reference data_loader.py:1993);
+    uses the in-repo pure-Python BGZF/BAM reader when pysam is absent."""
+
+    def __init__(self, featurizer=None, get_pileup: bool = False):
+        if featurizer is None:
+            from deepchem_tpu.feat.bio_seq_featurizer import BAMFeaturizer
+            featurizer = BAMFeaturizer(get_pileup=get_pileup)
+        super().__init__(featurizer)
+
+
+class CRAMLoader(SAMLoader):
+    """Load aligned reads from CRAM files (reference
+    data_loader.py:2087); CRAM codecs require pysam."""
+
+    def __init__(self, featurizer=None):
+        if featurizer is None:
+            from deepchem_tpu.feat.bio_seq_featurizer import CRAMFeaturizer
+            featurizer = CRAMFeaturizer()
+        super().__init__(featurizer)

@@ -97,3 +97,65 @@ def test_pileup_featurizer(snp_reads):
     # alt-supporting reads flagged in channel 5 (het: alternating reads)
     center = img[:, 30, 5]
     assert (center == 1.0).any() and (center == 0.5).any()
+
+
+REF_TESTS = '/root/reference/deepchem/data/tests'
+
+
+def test_bam_reader_and_featurizer():
+    """Pure-Python BGZF/BAM reader against the reference's committed
+    example.bam (reference data/tests; pysam absent in this env)."""
+    import os
+    import pytest
+    path = os.path.join(REF_TESTS, 'example.bam')
+    if not os.path.exists(path):
+        pytest.skip('reference BAM fixture not present')
+    from deepchem_tpu.utils.bamlib import read_bam
+    bam = read_bam(path)
+    assert bam.references == ['chr1', 'chr2']
+    assert len(bam.records) > 100
+    for r in bam.records:
+        # structural invariants of a well-formed alignment record
+        assert isinstance(r.query_name, str) and r.query_name
+        if r.query_sequence is not None and r.query_qualities is not None:
+            assert len(r.query_sequence) == len(r.query_qualities)
+        if r.cigar and r.query_sequence is not None:
+            # CIGAR ops that consume the query must sum to l_seq
+            consume_q = {0, 1, 4, 7, 8}          # M I S = X
+            n = sum(ln for op, ln in r.cigar if op in consume_q)
+            assert n == len(r.query_sequence)
+        assert 0 <= r.mapping_quality <= 255
+    from deepchem_tpu.feat.bio_seq_featurizer import BAMFeaturizer
+    X = BAMFeaturizer(max_records=5).featurize(path)
+    assert X.shape == (5, 9)
+    name, seq, qlen, rname, start, cigar, mapq, rev, quals = X[0]
+    assert qlen == len(seq) and rname in ('chr1', 'chr2')
+    assert isinstance(cigar, list) and isinstance(rev, (bool,))
+
+
+def test_sam_featurizer_reference_layout():
+    import os
+    import pytest
+    path = os.path.join(REF_TESTS, 'example.sam')
+    if not os.path.exists(path):
+        pytest.skip('reference SAM fixture not present')
+    from deepchem_tpu.feat.bio_seq_featurizer import SAMFeaturizer
+    X = SAMFeaturizer().featurize(path)
+    assert X.shape[1] == 7
+    # spec example r001: pos 7 (1-based) -> reference_start 6, cigar
+    # 8M4I4M1D3M -> [(0,8),(1,4),(0,4),(2,1),(0,3)]
+    row = next(r for r in X if r[0] == 'r001')
+    assert row[4] == 6
+    assert row[5] == [(0, 8), (1, 4), (0, 4), (2, 1), (0, 3)]
+
+
+def test_bam_loader_dataset(tmp_path):
+    import os
+    import pytest
+    path = os.path.join(REF_TESTS, 'example.bam')
+    if not os.path.exists(path):
+        pytest.skip('reference BAM fixture not present')
+    from deepchem_tpu.data import BAMLoader
+    ds = BAMLoader().create_dataset(path, data_dir=str(tmp_path))
+    assert len(ds) > 100
+    assert ds.X[0][0]            # query_name non-empty
