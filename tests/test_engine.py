@@ -335,3 +335,70 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     assert np.allclose(p1, m2.predict_on_batch(X), atol=1e-6)
     assert m2._global_step == 30
     m2.fit(ds, nb_epoch=2, checkpoint_interval=0)  # optimizer resumes
+
+
+def test_uncertainty_mean_matches_predict_and_epistemic_scales():
+    """The MC-dropout mean must track predict(), and the epistemic
+    term must grow with the dropout rate (reference keras_model.py:883
+    decomposition semantics).  (uncertainty=True requires dropout>0,
+    reference fcnet contract.)"""
+    rng = np.random.RandomState(0)
+    X = rng.rand(120, 8).astype(np.float32)
+    y = (X.sum(axis=1, keepdims=True) +
+         rng.normal(0, 0.05, (120, 1))).astype(np.float32)
+    from deepchem_tpu.data import NumpyDataset
+    from deepchem_tpu.models import MultitaskRegressor
+    ds = NumpyDataset(X, y)
+    stds = {}
+    for rate in (0.02, 0.4):
+        m = MultitaskRegressor(n_tasks=1, n_features=8, layer_sizes=[32],
+                               dropouts=rate, uncertainty=True,
+                               batch_size=30, learning_rate=0.01)
+        m.fit(ds, nb_epoch=40, checkpoint_interval=0)
+        pred, std = m.predict_uncertainty(ds, masks=30)
+        assert pred.shape == (120, 1) and np.all(std > 0)
+        # MC mean tracks the deterministic prediction
+        base = m.predict(ds)
+        assert np.mean(np.abs(pred - base)) < 0.3
+        stds[rate] = std.mean()
+    assert stds[0.4] > stds[0.02]
+
+
+def test_uncertainty_tracks_heteroscedastic_noise():
+    """Aleatoric std must be larger where the data is noisier
+    (reference test_uncertainty semantics, torch test_overfit.py)."""
+    rng = np.random.RandomState(0)
+    n = 400
+    X = rng.rand(n, 4).astype(np.float32)
+    noisy = X[:, 0] > 0.5
+    noise = np.where(noisy, 0.5, 0.01)
+    y = (X.sum(axis=1) + rng.normal(0, noise)).astype(
+        np.float32).reshape(-1, 1)
+    from deepchem_tpu.data import NumpyDataset
+    from deepchem_tpu.models import MultitaskRegressor
+    ds = NumpyDataset(X, y)
+    m = MultitaskRegressor(n_tasks=1, n_features=4, layer_sizes=[64],
+                           dropouts=0.1, uncertainty=True, batch_size=50,
+                           learning_rate=0.005)
+    m.fit(ds, nb_epoch=150, checkpoint_interval=0)
+    _, std = m.predict_uncertainty(ds, masks=10)
+    assert std[noisy].mean() > 2 * std[~noisy].mean()
+
+
+def test_saliency_linear_model_equals_weights():
+    """For a linear regressor the saliency Jacobian IS the weight
+    matrix — an exact oracle for compute_saliency."""
+    rng = np.random.RandomState(0)
+    X = rng.rand(200, 6).astype(np.float32)
+    W = np.array([[1.0, -2.0, 0.5, 3.0, 0.0, -1.0]], np.float32)
+    y = X @ W.T
+    from deepchem_tpu.data import NumpyDataset
+    from deepchem_tpu.models import MultitaskRegressor
+    ds = NumpyDataset(X, y)
+    m = MultitaskRegressor(n_tasks=1, n_features=6, layer_sizes=[32],
+                           dropouts=0.0, batch_size=50,
+                           learning_rate=0.01)
+    m.fit(ds, nb_epoch=300, checkpoint_interval=0)
+    s = np.asarray(m.compute_saliency(X[3]))
+    assert s.shape == (1, 6)
+    np.testing.assert_allclose(s[0], W[0], atol=0.25)
