@@ -68,7 +68,8 @@ class GraphConv(nn.Module):
     activation: Optional[Callable] = None
 
     @nn.compact
-    def __call__(self, h, edge_src, edge_dst, edge_mask, degrees):
+    def __call__(self, h, edge_src, edge_dst, edge_mask, degrees,
+                 table=None, nbr_mask=None):
         n, f = h.shape
         d = self.max_degree + 1
         W_self = self.param('W_self', nn.initializers.glorot_uniform(),
@@ -76,7 +77,13 @@ class GraphConv(nn.Module):
         W_nbr = self.param('W_nbr', nn.initializers.glorot_uniform(),
                            (d, f, self.out_channels))
         b = self.param('b', nn.initializers.zeros, (d, self.out_channels))
-        msgs = gather_neighbors_sum(h, edge_src, edge_dst, edge_mask)
+        if table is not None:
+            # scatter-free path: masked slot gathers with the symmetric
+            # transpose backward (ops/nei_table.py)
+            from deepchem_tpu.ops.nei_table import nei_sum
+            msgs = nei_sum(h, table, nbr_mask)
+        else:
+            msgs = gather_neighbors_sum(h, edge_src, edge_dst, edge_mask)
         deg = jnp.clip(degrees, 0, self.max_degree)
         onehot = jax.nn.one_hot(deg, d, dtype=h.dtype)        # [N, D]
         # [D,N,O] branches -> select per node
@@ -89,9 +96,13 @@ class GraphConv(nn.Module):
         return out
 
 
-def graph_pool_max(h, edge_src, edge_dst, edge_mask):
+def graph_pool_max(h, edge_src, edge_dst, edge_mask,
+                   table=None, nbr_mask=None):
     """GraphPool: elementwise max over {self} ∪ neighbors (reference
     models/layers.py:216,256)."""
+    if table is not None:
+        from deepchem_tpu.ops.nei_table import nei_max_incl_self
+        return nei_max_incl_self(h, table, nbr_mask)
     nbr_max = gather_neighbors_max(h, edge_src, edge_dst, edge_mask)
     return jnp.maximum(h, nbr_max)
 

@@ -63,6 +63,10 @@ class GraphModel(JaxModel):
     node_quantum = 512
     edge_quantum = 1024
     uses_edge_features = False
+    #: models that aggregate through ops/nei_table.py (scatter-free VJPs)
+    #: get a padded neighbor table + slot mask appended to their inputs
+    uses_neighbor_table = False
+    max_neighbors = 10
     # flat-COO arrays replicate; in DP mode the stacked leading axis is the
     # device axis and IS sharded (see _shard_batch logic + _n_shards)
     batch_axis_shardable = False
@@ -116,6 +120,17 @@ class GraphModel(JaxModel):
         inputs = [d['node_features'], d['edge_index'][0],
                   d['edge_index'][1], d['graph_index'], d['node_mask'],
                   d['edge_mask']]
+        if self.uses_neighbor_table:
+            from deepchem_tpu.ops.nei_table import build_neighbor_table
+            real = d['edge_mask'] > 0
+            table, nbr_mask = build_neighbor_table(
+                d['edge_index'][0][real], d['edge_index'][1][real],
+                node_cap, self.max_neighbors)
+            # ship degrees (N int8) instead of the (N, K) f32 mask —
+            # the mask is recomputed on device; host->device transfer
+            # is the standard-fit bottleneck on this backend
+            deg = nbr_mask.sum(axis=1).astype(np.int8)
+            inputs += [table, deg]
         if self.uses_edge_features:
             if 'edge_features' not in d:
                 raise ValueError(
@@ -245,20 +260,27 @@ class _GraphConvModule(nn.Module):
 
     @nn.compact
     def __call__(self, nf, esrc, edst, gidx, nmask, emask,
-                 training: bool = False):
+                 table=None, degrees=None, training: bool = False):
         x = nf
         esrc = esrc.astype(jnp.int32)
         edst = edst.astype(jnp.int32)
-        deg = node_degrees(edst, x.shape[0], emask)
+        if table is not None:
+            deg = degrees.astype(jnp.int32)
+            nbr_mask = (jnp.arange(table.shape[1], dtype=jnp.int32)
+                        [None, :] < deg[:, None]).astype(nf.dtype)
+        else:
+            nbr_mask = None
+            deg = node_degrees(edst, x.shape[0], emask)
         for size in self.graph_conv_layers:
-            x = GraphConv(size)(x, esrc, edst, emask, deg)
+            x = GraphConv(size)(x, esrc, edst, emask, deg,
+                                table, nbr_mask)
             if self.batch_normalize:
                 x = MaskedBatchNorm()(x, nmask)
             x = nn.relu(x)
             if self.dropout > 0:
                 x = nn.Dropout(self.dropout,
                                deterministic=not training)(x)
-            x = graph_pool_max(x, esrc, edst, emask)
+            x = graph_pool_max(x, esrc, edst, emask, table, nbr_mask)
         x = nn.Dense(self.dense_layer_size)(x)
         if self.batch_normalize:
             x = MaskedBatchNorm()(x, nmask)
@@ -273,8 +295,13 @@ class _GraphConvModule(nn.Module):
 class GraphConvModel(GraphModel):
     """Duvenaud graph-convolution model (reference graph_models.py:905).
 
-    Featurizer: ConvMolFeaturizer (75-dim atoms, COO edges).
+    Featurizer: ConvMolFeaturizer (75-dim atoms, COO edges).  Neighbor
+    aggregation runs through the padded-table scatter-free path
+    (ops/nei_table.py) — undirected molecular graphs make both the sum
+    and max backward passes pure gathers.
     """
+
+    uses_neighbor_table = True
 
     def __init__(self, n_tasks: int,
                  graph_conv_layers: Sequence[int] = (64, 64),

@@ -1,0 +1,137 @@
+"""Padded neighbor-table aggregation with gather-transpose VJPs.
+
+The COO substrate (ops/segment.py) lowers neighbor aggregation to
+gather + scatter-add; on this backend a scatter costs ~3x the
+equivalent gather (measured: 429us fwd / 619us grad for (13k, 64) at
+tox21 batch-256 scale, vs ~300us for the layer matmul).  For
+UNDIRECTED molecular graphs the padded neighbor table (N, K) is its
+own transpose — node m appears in exactly its neighbors' rows — so
+both directions of both sum and max aggregation can be pure gathers:
+
+- sum:  out[i] = sum_j M[i,j] h[t[i,j]]
+        grad[m] = sum_j M[m,j] g[t[m,j]]           (same masked gather)
+- max:  out[i] = max over self and masked slots
+        grad[m] = self-win indicator + sum_j M[m,j] g[t[m,j]] *
+        (winner[t[m,j]] == m), with winner[i] the argmax source node
+        saved from the forward.
+
+``nbr_mask`` marks real slots; padding slots may hold any index (their
+contribution is masked, so no ghost-row convention is required —
+unlike the GROVER encoder's specialised copies in models/grover.py,
+which use a zeroed ghost row 0 instead of a mask).
+
+First used by GraphConvModel (the benchmark flagship).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+NEG = -9e15
+
+
+def build_neighbor_table(edge_src: np.ndarray, edge_dst: np.ndarray,
+                         num_nodes: int, max_nb: int = 10
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """COO (both edge directions present) -> (table, nbr_mask).
+
+    table[i, j] = j-th neighbor of i (0-padded); nbr_mask[i, j] = 1.0
+    for real slots.  Vectorized (no Python loop over edges): sorts by
+    destination and ranks within each group.  Neighbors beyond
+    ``max_nb`` are dropped (organic chemistry tops out at 6).
+    """
+    edge_src = np.asarray(edge_src, np.int64)
+    edge_dst = np.asarray(edge_dst, np.int64)
+    order = np.argsort(edge_dst, kind='stable')
+    ds, ss = edge_dst[order], edge_src[order]
+    counts = np.bincount(ds, minlength=num_nodes)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(len(ds)) - np.repeat(starts, counts)
+    keep = pos < max_nb
+    table = np.zeros((num_nodes, max_nb), np.int32)
+    table[ds[keep], pos[keep]] = ss[keep]
+    nbr_mask = (np.arange(max_nb)[None, :]
+                < np.minimum(counts, max_nb)[:, None]).astype(np.float32)
+    return table, nbr_mask
+
+
+def _slot_sum(x: jnp.ndarray, table: jnp.ndarray,
+              nbr_mask: jnp.ndarray) -> jnp.ndarray:
+    out = jnp.take(x, table[:, 0], axis=0) * nbr_mask[:, 0:1]
+    for j in range(1, table.shape[1]):
+        out = out + jnp.take(x, table[:, j], axis=0) * \
+            nbr_mask[:, j:j + 1]
+    return out
+
+
+@jax.custom_vjp
+def nei_sum(h: jnp.ndarray, table: jnp.ndarray,
+            nbr_mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked sum over padded neighbors; symmetric-transpose backward."""
+    return _slot_sum(h, table, nbr_mask)
+
+
+def _nei_sum_fwd(h, table, nbr_mask):
+    return _slot_sum(h, table, nbr_mask), (table, nbr_mask)
+
+
+def _nei_sum_bwd(res, g):
+    table, nbr_mask = res
+    return _slot_sum(g, table, nbr_mask), None, None
+
+
+nei_sum.defvjp(_nei_sum_fwd, _nei_sum_bwd)
+
+
+@jax.custom_vjp
+def nei_max_incl_self(h: jnp.ndarray, table: jnp.ndarray,
+                      nbr_mask: jnp.ndarray) -> jnp.ndarray:
+    """max over {self} U neighbors (Duvenaud GraphPool semantics,
+    reference layers.py GraphPool:300), scatter-free in both passes."""
+    out, _ = _nei_max_fwd_impl(h, table, nbr_mask)
+    return out
+
+
+def _nei_max_fwd_impl(h, table, nbr_mask):
+    n = h.shape[0]
+    self_idx = jnp.arange(n, dtype=table.dtype)
+    best = h
+    winner = jnp.broadcast_to(self_idx[:, None], h.shape)
+    for j in range(table.shape[1]):
+        idx_j = table[:, j]
+        cand = jnp.take(h, idx_j, axis=0)
+        cand = jnp.where(nbr_mask[:, j:j + 1] > 0, cand, NEG)
+        take_it = cand > best
+        best = jnp.where(take_it, cand, best)
+        winner = jnp.where(take_it, idx_j[:, None], winner)
+    return best, winner
+
+
+def _nei_max_fwd(h, table, nbr_mask):
+    out, winner = _nei_max_fwd_impl(h, table, nbr_mask)
+    return out, (table, nbr_mask, winner)
+
+
+def _nei_max_bwd(res, g):
+    table, nbr_mask, winner = res
+    n = g.shape[0]
+    self_idx = jnp.arange(n, dtype=table.dtype)
+    # self contribution: i won its own max
+    grad = jnp.where(winner == self_idx[:, None], g, 0.0)
+    # neighbor contributions: i's cotangent flows to m when m was i's
+    # winner; by symmetry every i that could name m lives in m's row
+    for j in range(table.shape[1]):
+        idx_j = table[:, j]                       # (N,): m's j-th nbr i
+        g_i = jnp.take(g, idx_j, axis=0)
+        w_i = jnp.take(winner, idx_j, axis=0)     # i's winner
+        hit = (w_i == self_idx[:, None]) & (nbr_mask[:, j:j + 1] > 0)
+        grad = grad + jnp.where(hit, g_i, 0.0)
+    return grad, None, None
+
+
+nei_max_incl_self.defvjp(_nei_max_fwd, _nei_max_bwd)

@@ -154,3 +154,19 @@ def test_graph_model_export(tmp_path, conv_ds):
     out = exp(*inputs)
     ref = model.predict(conv_ds)
     assert np.allclose(out[0][:10], ref, atol=1e-4)
+
+
+def test_graphconv_table_path_matches_coo(conv_ds):
+    """The scatter-free neighbor-table path must produce EXACTLY the
+    same predictions as the COO gather+segment path for one set of
+    parameters (ops/nei_table.py vs ops/segment.py)."""
+    m = GraphConvModel(n_tasks=1, mode='classification', batch_size=10,
+                       graph_conv_layers=[16, 16], dense_layer_size=32)
+    m.fit(conv_ds, nb_epoch=2, checkpoint_interval=0)
+    p_table = m.predict(conv_ds)
+    try:
+        type(m).uses_neighbor_table = False
+        p_coo = m.predict(conv_ds)
+    finally:
+        type(m).uses_neighbor_table = True
+    np.testing.assert_allclose(p_table, p_coo, rtol=1e-5, atol=1e-6)

@@ -111,3 +111,90 @@ def test_segment_max_sumgrad_matches_forward_and_grad():
     g_new = np.asarray(jax.grad(f_new)(jnp.asarray(data)))
     g_old = np.asarray(jax.grad(f_old)(jnp.asarray(data)))
     assert np.allclose(g_new, g_old, atol=1e-4)
+
+
+class TestNeighborTableOps:
+    """ops/nei_table.py vs the COO segment oracle: forward AND grad
+    must match exactly on undirected molecular-style graphs."""
+
+    def _random_graph(self, seed=0, n=50, extra=60, max_nb=10):
+        import numpy as np
+        rng = np.random.RandomState(seed)
+        # undirected simple graph over nodes 1..n-1 (0 = ghost row)
+        edges = set()
+        for _ in range(extra):
+            a, b = rng.randint(1, n, 2)
+            if a != b and (a, b) not in edges and \
+                    len([e for e in edges if a in e]) < max_nb - 1 and \
+                    len([e for e in edges if b in e]) < max_nb - 1:
+                edges.add((a, b))
+        src, dst = [], []
+        for a, b in edges:
+            src += [a, b]
+            dst += [b, a]
+        return (np.array(src, np.int32), np.array(dst, np.int32), n)
+
+    def test_nei_sum_matches_coo(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from deepchem_tpu.ops.nei_table import (build_neighbor_table,
+                                                nei_sum)
+        src, dst, n = self._random_graph()
+        table, nbr_mask = build_neighbor_table(src, dst, n)
+        rng = np.random.RandomState(1)
+        h = rng.rand(n, 7).astype(np.float32)
+        mask = np.ones((n, 1), np.float32)
+        mask[0] = 0.0
+
+        def f_table(h):
+            return jnp.sum(jnp.sin(
+                nei_sum(h * mask, jnp.asarray(table),
+                        jnp.asarray(nbr_mask)) * mask) ** 2)
+
+        def f_coo(h):
+            agg = jax.ops.segment_sum(
+                jnp.take(h * mask, src, axis=0), jnp.asarray(dst),
+                num_segments=n)
+            return jnp.sum(jnp.sin(agg * mask) ** 2)
+        np.testing.assert_allclose(f_table(jnp.asarray(h)),
+                                   f_coo(jnp.asarray(h)), rtol=1e-6)
+        g1 = jax.grad(f_table)(jnp.asarray(h))
+        g2 = jax.grad(f_coo)(jnp.asarray(h))
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_nei_max_incl_self_matches_coo(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from deepchem_tpu.ops.nei_table import (build_neighbor_table,
+                                                nei_max_incl_self)
+        from deepchem_tpu.ops import segment_max_sumgrad  # noqa: F401
+        src, dst, n = self._random_graph(seed=3)
+        table, nbr_mask = build_neighbor_table(src, dst, n)
+        rng = np.random.RandomState(2)
+        h = rng.rand(n, 5).astype(np.float32)
+        h[0] = 0.0
+        mask = np.ones((n, 1), np.float32)
+        mask[0] = 0.0
+
+        def f_table(h):
+            out = nei_max_incl_self(h * mask, jnp.asarray(table),
+                                    jnp.asarray(nbr_mask))
+            return jnp.sum(jnp.cos(out * mask))
+
+        def f_coo(h):
+            hm = h * mask
+            cand = jnp.take(hm, src, axis=0)
+            agg = jax.ops.segment_max(cand, jnp.asarray(dst),
+                                      num_segments=n)
+            agg = jnp.where(jnp.isfinite(agg), agg, -9e15)
+            out = jnp.maximum(hm, agg)
+            return jnp.sum(jnp.cos(out * mask))
+        np.testing.assert_allclose(f_table(jnp.asarray(h)),
+                                   f_coo(jnp.asarray(h)), rtol=1e-6)
+        g1 = jax.grad(f_table)(jnp.asarray(h))
+        g2 = jax.grad(f_coo)(jnp.asarray(h))
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-6)
