@@ -128,11 +128,16 @@ class GCNLayer(nn.Module):
     residual: bool = True
 
     @nn.compact
-    def __call__(self, h, edge_src, edge_dst, edge_mask, degrees):
+    def __call__(self, h, edge_src, edge_dst, edge_mask, degrees,
+                 table=None, nbr_mask=None, rev_slot=None):
         deg = jnp.maximum(degrees.astype(h.dtype), 1.0)
         norm = jax.lax.rsqrt(deg)
         x = h * norm[:, None]
-        agg = gather_neighbors_sum(x, edge_src, edge_dst, edge_mask)
+        if table is not None:
+            from deepchem_tpu.ops.nei_table import nei_sum
+            agg = nei_sum(x, table, nbr_mask)
+        else:
+            agg = gather_neighbors_sum(x, edge_src, edge_dst, edge_mask)
         agg = agg * norm[:, None]
         out = nn.Dense(self.out_channels)(agg) \
             + nn.Dense(self.out_channels, use_bias=False)(h)
@@ -154,7 +159,8 @@ class GATLayer(nn.Module):
     agg_mode: str = 'flatten'    # or 'mean'
 
     @nn.compact
-    def __call__(self, h, edge_src, edge_dst, edge_mask, degrees):
+    def __call__(self, h, edge_src, edge_dst, edge_mask, degrees,
+                 table=None, nbr_mask=None, rev_slot=None):
         n = h.shape[0]
         H, O = self.n_heads, self.out_channels
         z = nn.Dense(H * O, use_bias=False)(h).reshape(n, H, O)
@@ -164,12 +170,23 @@ class GATLayer(nn.Module):
                            (H, O))
         e_src = jnp.einsum('nho,ho->nh', z, a_src)
         e_dst = jnp.einsum('nho,ho->nh', z, a_dst)
-        logits = jnp.take(e_src, edge_src, axis=0) \
-            + jnp.take(e_dst, edge_dst, axis=0)          # [E, H]
-        logits = nn.leaky_relu(logits, self.alpha)
-        att = segment_softmax(logits, edge_dst, n, mask=edge_mask)
-        msgs = jnp.take(z, edge_src, axis=0) * att[:, :, None]
-        out = segment_sum(msgs, edge_dst, n)              # [N, H, O]
+        if table is not None:
+            # scatter-free attention: per-slot logits, softmax over the
+            # K neighbor slots, weighted slot sum (ops/nei_table.py)
+            from deepchem_tpu.ops.nei_table import NEG, nei_gather
+            es = nei_gather(e_src, table, rev_slot, nbr_mask)  # [N,K,H]
+            logits = nn.leaky_relu(es + e_dst[:, None, :], self.alpha)
+            logits = jnp.where(nbr_mask[..., None] > 0, logits, NEG)
+            att = jax.nn.softmax(logits, axis=1) * nbr_mask[..., None]
+            zg = nei_gather(z, table, rev_slot, nbr_mask)    # [N,K,H,O]
+            out = jnp.einsum('nkh,nkho->nho', att, zg)
+        else:
+            logits = jnp.take(e_src, edge_src, axis=0) \
+                + jnp.take(e_dst, edge_dst, axis=0)          # [E, H]
+            logits = nn.leaky_relu(logits, self.alpha)
+            att = segment_softmax(logits, edge_dst, n, mask=edge_mask)
+            msgs = jnp.take(z, edge_src, axis=0) * att[:, :, None]
+            out = segment_sum(msgs, edge_dst, n)              # [N, H, O]
         if self.agg_mode == 'flatten':
             return out.reshape(n, H * O)
         return out.mean(axis=1)
@@ -181,17 +198,32 @@ class AttentiveFPLayer(nn.Module):
     out_channels: int
 
     @nn.compact
-    def __call__(self, h, edge_src, edge_dst, edge_mask, degrees):
+    def __call__(self, h, edge_src, edge_dst, edge_mask, degrees,
+                 table=None, nbr_mask=None, rev_slot=None):
         n = h.shape[0]
         z = nn.Dense(self.out_channels)(h)
-        # edge attention logits from [h_dst || h_src]
-        cat = jnp.concatenate([jnp.take(z, edge_dst, axis=0),
-                               jnp.take(z, edge_src, axis=0)], axis=1)
-        logits = nn.Dense(1)(nn.leaky_relu(nn.Dense(
-            self.out_channels)(cat)))[:, 0]
-        att = segment_softmax(logits, edge_dst, n, mask=edge_mask)
-        msgs = jnp.take(nn.Dense(self.out_channels)(z), edge_src, axis=0)
-        context = segment_sum(msgs * att[:, None], edge_dst, n)
+        att_h = nn.Dense(self.out_channels)
+        att_out = nn.Dense(1)
+        msg_proj = nn.Dense(self.out_channels)
+        if table is not None:
+            from deepchem_tpu.ops.nei_table import NEG, nei_gather
+            zs = nei_gather(z, table, rev_slot, nbr_mask)     # [N,K,O]
+            cat = jnp.concatenate(
+                [jnp.broadcast_to(z[:, None, :], zs.shape), zs], axis=-1)
+            logits = att_out(nn.leaky_relu(att_h(cat)))[..., 0]
+            logits = jnp.where(nbr_mask > 0, logits, NEG)
+            att = jax.nn.softmax(logits, axis=1) * nbr_mask
+            msgs = nei_gather(msg_proj(z), table, rev_slot, nbr_mask)
+            context = jnp.einsum('nk,nko->no', att, msgs)
+        else:
+            # edge attention logits from [h_dst || h_src]
+            cat = jnp.concatenate([jnp.take(z, edge_dst, axis=0),
+                                   jnp.take(z, edge_src, axis=0)],
+                                  axis=1)
+            logits = att_out(nn.leaky_relu(att_h(cat)))[:, 0]
+            att = segment_softmax(logits, edge_dst, n, mask=edge_mask)
+            msgs = jnp.take(msg_proj(z), edge_src, axis=0)
+            context = segment_sum(msgs * att[:, None], edge_dst, n)
         context = nn.elu(context)
         # GRU cell update
         gru = nn.GRUCell(features=self.out_channels)

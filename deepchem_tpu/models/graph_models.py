@@ -66,6 +66,8 @@ class GraphModel(JaxModel):
     #: models that aggregate through ops/nei_table.py (scatter-free VJPs)
     #: get a padded neighbor table + slot mask appended to their inputs
     uses_neighbor_table = False
+    #: attention models also need the reverse-slot table (nei_gather)
+    uses_rev_slot = False
     max_neighbors = 10
     # flat-COO arrays replicate; in DP mode the stacked leading axis is the
     # device axis and IS sharded (see _shard_batch logic + _n_shards)
@@ -121,7 +123,8 @@ class GraphModel(JaxModel):
                   d['edge_index'][1], d['graph_index'], d['node_mask'],
                   d['edge_mask']]
         if self.uses_neighbor_table:
-            from deepchem_tpu.ops.nei_table import build_neighbor_table
+            from deepchem_tpu.ops.nei_table import (build_neighbor_table,
+                                                    build_rev_slot)
             real = d['edge_mask'] > 0
             table, nbr_mask = build_neighbor_table(
                 d['edge_index'][0][real], d['edge_index'][1][real],
@@ -131,6 +134,8 @@ class GraphModel(JaxModel):
             # is the standard-fit bottleneck on this backend
             deg = nbr_mask.sum(axis=1).astype(np.int8)
             inputs += [table, deg]
+            if self.uses_rev_slot:       # attention models (nei_gather)
+                inputs.append(build_rev_slot(table, nbr_mask))
         if self.uses_edge_features:
             if 'edge_features' not in d:
                 raise ValueError(
@@ -368,21 +373,31 @@ class _StackedGNNModule(nn.Module):
 
     @nn.compact
     def __call__(self, nf, esrc, edst, gidx, nmask, emask,
+                 table=None, degrees=None, rev_slot=None,
                  training: bool = False):
         x = nf
         esrc = esrc.astype(jnp.int32)
         edst = edst.astype(jnp.int32)
-        deg = node_degrees(edst, x.shape[0], emask)
+        if table is not None:
+            deg = degrees.astype(jnp.int32)
+            nbr_mask = (jnp.arange(table.shape[1], dtype=jnp.int32)
+                        [None, :] < deg[:, None]).astype(nf.dtype)
+        else:
+            nbr_mask = None
+            deg = node_degrees(edst, x.shape[0], emask)
         for size in self.layer_sizes:
             if self.layer_kind == 'gcn':
                 x = GCNLayer(size, activation=nn.relu)(
-                    x, esrc, edst, emask, deg)
+                    x, esrc, edst, emask, deg, table, nbr_mask,
+                    rev_slot)
             elif self.layer_kind == 'gat':
                 x = GATLayer(size, n_heads=self.n_attention_heads)(
-                    x, esrc, edst, emask, deg)
+                    x, esrc, edst, emask, deg, table, nbr_mask,
+                    rev_slot)
                 x = nn.elu(x)
             elif self.layer_kind == 'attentivefp':
-                x = AttentiveFPLayer(size)(x, esrc, edst, emask, deg)
+                x = AttentiveFPLayer(size)(x, esrc, edst, emask, deg,
+                                           table, nbr_mask, rev_slot)
             else:
                 raise ValueError(self.layer_kind)
             if self.dropout > 0:
@@ -405,6 +420,8 @@ def _gnn_loss_outputs(mode: str):
 class GCNModel(GraphModel):
     """Graph Convolutional Network (reference torch_models/gcn.py:12;
     featurizer MolGraphConvFeaturizer, 30-dim atoms)."""
+
+    uses_neighbor_table = True
 
     def __init__(self, n_tasks: int, graph_conv_layers=(64, 64),
                  activation=None, residual: bool = True,
@@ -430,7 +447,11 @@ class GCNModel(GraphModel):
 
 
 class GATModel(GraphModel):
-    """Graph Attention Network (reference torch_models/gat.py:12)."""
+    """Graph Attention Network (reference torch_models/gat.py:12);
+    attention runs scatter-free over neighbor slots (nei_gather)."""
+
+    uses_neighbor_table = True
+    uses_rev_slot = True
 
     def __init__(self, n_tasks: int, graph_attention_layers=(8, 8),
                  n_attention_heads: int = 8, dropout: float = 0.0,
@@ -459,6 +480,9 @@ class AttentiveFPModel(GraphModel):
     """AttentiveFP (reference torch_models/attentivefp.py:12; featurizer
     MolGraphConvFeaturizer(use_edges=True) in the reference — edge features
     are folded into the first layer here)."""
+
+    uses_neighbor_table = True
+    uses_rev_slot = True
 
     def __init__(self, n_tasks: int, num_layers: int = 2,
                  graph_feat_size: int = 200, dropout: float = 0.0,

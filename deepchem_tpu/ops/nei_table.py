@@ -135,3 +135,64 @@ def _nei_max_bwd(res, g):
 
 
 nei_max_incl_self.defvjp(_nei_max_fwd, _nei_max_bwd)
+
+
+def build_rev_slot(table: np.ndarray, nbr_mask: np.ndarray
+                   ) -> np.ndarray:
+    """rev_slot[i, j] = position of i in row table[i, j] (the slot its
+    neighbor uses for the reverse direction).  Exists for every real
+    slot of an undirected graph; 0 for padding slots (masked out).
+
+    Vectorized: table[table] is (N, K, K); find where it equals i.
+    Contract: simple undirected graph (each neighbor appears once per
+    row) — molecular graphs always are; parallel edges would alias to
+    one reverse slot and miscount the backward.
+    """
+    n, k = table.shape
+    tt = table[table]                               # (N, K, K)
+    hit = tt == np.arange(n)[:, None, None]
+    rs = np.argmax(hit, axis=2).astype(np.int8)
+    return np.where(nbr_mask > 0, rs, 0).astype(np.int8)
+
+
+@jax.custom_vjp
+def nei_gather(x: jnp.ndarray, table: jnp.ndarray,
+               rev_slot: jnp.ndarray, nbr_mask: jnp.ndarray
+               ) -> jnp.ndarray:
+    """out[i, j] = x[table[i, j]] * nbr_mask[i, j] — the fundamental
+    scatter-free neighbor primitive.
+
+    Backward: the cotangent for node m is the sum over m's OWN slots of
+    g at (neighbor, reverse-slot) — grad[m] = sum_j M[m,j] *
+    g[t[m,j], rs[m,j]] — a pure gather via the precomputed reverse-slot
+    table (build_rev_slot).  From this one primitive, attention layers
+    (GAT/AttentiveFP) compose with zero scatters: per-slot logits,
+    softmax over the K axis, weighted slot sums.
+    """
+    out = jnp.take(x, table, axis=0)
+    m = nbr_mask.reshape(nbr_mask.shape + (1,) * (out.ndim - 2))
+    return out * m
+
+
+def _nei_gather_fwd(x, table, rev_slot, nbr_mask):
+    return nei_gather(x, table, rev_slot, nbr_mask), \
+        (table, rev_slot, nbr_mask)
+
+
+def _nei_gather_bwd(res, g):
+    table, rev_slot, nbr_mask = res
+    k = table.shape[1]
+    grad = None
+    for j in range(k):
+        # g[t[m,j], rs[m,j]] : gather rows then pick the slot
+        rows = jnp.take(g, table[:, j], axis=0)         # (N, K, ...)
+        picked = jnp.take_along_axis(
+            rows, rev_slot[:, j].astype(jnp.int32).reshape(
+                (-1, 1) + (1,) * (rows.ndim - 2)), axis=1)[:, 0]
+        m = nbr_mask[:, j].reshape((-1,) + (1,) * (picked.ndim - 1))
+        contrib = picked * m
+        grad = contrib if grad is None else grad + contrib
+    return grad, None, None, None
+
+
+nei_gather.defvjp(_nei_gather_fwd, _nei_gather_bwd)

@@ -170,3 +170,23 @@ def test_graphconv_table_path_matches_coo(conv_ds):
     finally:
         type(m).uses_neighbor_table = True
     np.testing.assert_allclose(p_table, p_coo, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize('cls_name', ['GCNModel', 'GATModel',
+                                      'AttentiveFPModel'])
+def test_stacked_gnn_table_path_matches_coo(graph_ds, cls_name):
+    """Scatter-free slot attention/aggregation must equal the COO
+    segment-op formulation for identical parameters."""
+    import deepchem_tpu.models as M
+    cls = getattr(M, cls_name)
+    m = cls(n_tasks=1, mode='classification', batch_size=10)
+    m.fit(graph_ds, nb_epoch=1, checkpoint_interval=0)
+    p_table = m.predict(graph_ds)
+    try:
+        cls.uses_neighbor_table = False
+        cls.uses_rev_slot = False
+        p_coo = m.predict(graph_ds)
+    finally:
+        cls.uses_neighbor_table = True
+        cls.uses_rev_slot = cls_name != 'GCNModel'
+    np.testing.assert_allclose(p_table, p_coo, rtol=1e-4, atol=1e-5)

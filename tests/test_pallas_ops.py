@@ -125,6 +125,7 @@ class TestNeighborTableOps:
         for _ in range(extra):
             a, b = rng.randint(1, n, 2)
             if a != b and (a, b) not in edges and \
+                    (b, a) not in edges and \
                     len([e for e in edges if a in e]) < max_nb - 1 and \
                     len([e for e in edges if b in e]) < max_nb - 1:
                 edges.add((a, b))
@@ -196,5 +197,39 @@ class TestNeighborTableOps:
                                    f_coo(jnp.asarray(h)), rtol=1e-6)
         g1 = jax.grad(f_table)(jnp.asarray(h))
         g2 = jax.grad(f_coo)(jnp.asarray(h))
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_nei_gather_grad_matches_plain_take(self):
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from deepchem_tpu.ops.nei_table import (build_neighbor_table,
+                                                build_rev_slot,
+                                                nei_gather)
+        src, dst, n = self._random_graph(seed=7)
+        table, nbr_mask = build_neighbor_table(src, dst, n)
+        rev_slot = build_rev_slot(table, nbr_mask)
+        # reverse-slot consistency: table[table[i,j], rev_slot[i,j]] == i
+        for i in range(n):
+            for j in range(table.shape[1]):
+                if nbr_mask[i, j] > 0:
+                    assert table[table[i, j], rev_slot[i, j]] == i
+        rng = np.random.RandomState(5)
+        h = rng.rand(n, 6).astype(np.float32)
+        t, rs, m = (jnp.asarray(table), jnp.asarray(rev_slot),
+                    jnp.asarray(nbr_mask))
+        w = jnp.asarray(rng.rand(n, table.shape[1], 6).astype(np.float32))
+
+        def f_custom(h):
+            return jnp.sum(jnp.sin(nei_gather(h, t, rs, m) * w))
+
+        def f_plain(h):
+            out = jnp.take(h, t, axis=0) * m[..., None]
+            return jnp.sum(jnp.sin(out * w))
+        np.testing.assert_allclose(f_custom(jnp.asarray(h)),
+                                   f_plain(jnp.asarray(h)), rtol=1e-6)
+        g1 = jax.grad(f_custom)(jnp.asarray(h))
+        g2 = jax.grad(f_plain)(jnp.asarray(h))
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                    rtol=1e-5, atol=1e-6)
