@@ -40,17 +40,19 @@ def canonical_ranks(mol: Molecule) -> List[int]:
         invariants.append((a.atomic_num, a.degree, a.total_hs,
                            a.formal_charge, int(a.is_aromatic),
                            int(a.in_ring), a.isotope))
-    # initial ranks from sorted unique invariants
-    order = sorted(set(invariants))
-    rank = [order.index(inv) for inv in invariants]
+    # initial ranks from sorted unique invariants (dict lookups: the
+    # linear list.index here made ranking O(n^2) per round and was the
+    # top profile entry for bulk featurization)
+    pos = {inv: i for i, inv in enumerate(sorted(set(invariants)))}
+    rank = [pos[inv] for inv in invariants]
     for _ in range(2 * n):
         keys = []
         for i in range(n):
             nbr = sorted((round(b.order * 2), rank[b.other(i)])
                          for b in mol.atom_bonds(i))
             keys.append((rank[i], tuple(nbr)))
-        uniq = sorted(set(keys))
-        new_rank = [uniq.index(k) for k in keys]
+        pos = {k: i for i, k in enumerate(sorted(set(keys)))}
+        new_rank = [pos[k] for k in keys]
         if new_rank == rank:
             break
         rank = new_rank
@@ -69,16 +71,16 @@ def canonical_ranks(mol: Molecule) -> List[int]:
         rank = [r * 2 + (0 if (i == first) else 1) if r == tie_class
                 else r * 2 for i, r in enumerate(rank)]
         # re-normalize + refine
-        uniq = sorted(set(rank))
-        rank = [uniq.index(r) for r in rank]
+        pos = {r: i for i, r in enumerate(sorted(set(rank)))}
+        rank = [pos[r] for r in rank]
         for _ in range(n):
             keys = []
             for i in range(n):
                 nbr = sorted((round(b.order * 2), rank[b.other(i)])
                              for b in mol.atom_bonds(i))
                 keys.append((rank[i], tuple(nbr)))
-            uniq2 = sorted(set(keys))
-            new_rank = [uniq2.index(k) for k in keys]
+            pos = {k: i for i, k in enumerate(sorted(set(keys)))}
+            new_rank = [pos[k] for k in keys]
             if new_rank == rank:
                 break
             rank = new_rank
