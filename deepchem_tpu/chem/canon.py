@@ -45,12 +45,13 @@ def canonical_ranks(mol: Molecule) -> List[int]:
     # top profile entry for bulk featurization)
     pos = {inv: i for i, inv in enumerate(sorted(set(invariants)))}
     rank = [pos[inv] for inv in invariants]
+    # hoist per-atom (bond-order-key, neighbor) pairs out of the rounds
+    nbrs = [[(round(b.order * 2), b.other(i)) for b in mol.atom_bonds(i)]
+            for i in range(n)]
     for _ in range(2 * n):
-        keys = []
-        for i in range(n):
-            nbr = sorted((round(b.order * 2), rank[b.other(i)])
-                         for b in mol.atom_bonds(i))
-            keys.append((rank[i], tuple(nbr)))
+        keys = [(rank[i],
+                 tuple(sorted((o, rank[j]) for o, j in nbrs[i])))
+                for i in range(n)]
         pos = {k: i for i, k in enumerate(sorted(set(keys)))}
         new_rank = [pos[k] for k in keys]
         if new_rank == rank:
@@ -74,11 +75,9 @@ def canonical_ranks(mol: Molecule) -> List[int]:
         pos = {r: i for i, r in enumerate(sorted(set(rank)))}
         rank = [pos[r] for r in rank]
         for _ in range(n):
-            keys = []
-            for i in range(n):
-                nbr = sorted((round(b.order * 2), rank[b.other(i)])
-                             for b in mol.atom_bonds(i))
-                keys.append((rank[i], tuple(nbr)))
+            keys = [(rank[i],
+                     tuple(sorted((o, rank[j]) for o, j in nbrs[i])))
+                    for i in range(n)]
             pos = {k: i for i, k in enumerate(sorted(set(keys)))}
             new_rank = [pos[k] for k in keys]
             if new_rank == rank:
