@@ -35,13 +35,31 @@ class _DMPNNModule(nn.Module):
     num_graphs: int
 
     @nn.compact
-    def __call__(self, nf, esrc, edst, gidx, nmask, emask, ef,
+    def __call__(self, nf, esrc, edst, gidx, nmask, emask,
+                 e_table=None, e_deg=None, ef=None,
                  training: bool = False):
         esrc = esrc.astype(jnp.int32)
         edst = edst.astype(jnp.int32)
+        if ef is None and e_table is not None and \
+                jnp.issubdtype(e_table.dtype, jnp.floating):
+            # COO mode (uses_edge_table=False): edge features arrive in
+            # the e_table position
+            ef, e_table = e_table, None
         n = nf.shape[0]
         E = ef.shape[0]
         D = self.enc_hidden
+        if e_table is not None:
+            from deepchem_tpu.ops.nei_table import nei_sum_edges
+            e_nbr_mask = (jnp.arange(e_table.shape[1], dtype=jnp.int32)
+                          [None, :]
+                          < e_deg.astype(jnp.int32)[:, None]
+                          ).astype(nf.dtype)
+
+            def edge_to_node(h):
+                return nei_sum_edges(h, e_table, e_nbr_mask, edst, emask)
+        else:
+            def edge_to_node(h):
+                return segment_sum(h * emask[:, None], edst, n)
         # initial directed-edge states from [x_src || e_feat]
         x_src = jnp.take(nf, esrc, axis=0)
         h0 = nn.relu(nn.Dense(D, use_bias=False)(
@@ -52,7 +70,7 @@ class _DMPNNModule(nn.Module):
         h = h0
         for _ in range(self.depth - 1):
             # sum of edge states arriving at each node
-            node_in = segment_sum(h * emask[:, None], edst, n)
+            node_in = edge_to_node(h)
             # directed message: arrivals at src(e), minus the reverse edge
             m = jnp.take(node_in, esrc, axis=0) - jnp.take(h, rev, axis=0)
             h = nn.relu(h0 + W_h(m))
@@ -60,7 +78,7 @@ class _DMPNNModule(nn.Module):
                 h = nn.Dropout(self.dropout,
                                deterministic=not training)(h)
         # node embeddings from incoming edge states
-        node_in = segment_sum(h * emask[:, None], edst, n)
+        node_in = edge_to_node(h)
         z = nn.relu(nn.Dense(D)(jnp.concatenate([nf, node_in], axis=1)))
         g = graph_pool(z, gidx, self.num_graphs, nmask, 'sum')
         x = g
@@ -78,6 +96,7 @@ class DMPNNModel(GraphModel):
     MolGraphConvFeaturizer(use_edges=True) or DMPNNFeaturizer)."""
 
     uses_edge_features = True
+    uses_edge_table = True
 
     def __init__(self, n_tasks: int = 1, mode: str = 'regression',
                  n_classes: int = 2, batch_size: int = 100,

@@ -68,6 +68,8 @@ class GraphModel(JaxModel):
     uses_neighbor_table = False
     #: attention models also need the reverse-slot table (nei_gather)
     uses_rev_slot = False
+    #: directed MPNNs get an incoming-EDGE-id table (nei_sum_edges)
+    uses_edge_table = False
     max_neighbors = 10
     # flat-COO arrays replicate; in DP mode the stacked leading axis is the
     # device axis and IS sharded (see _shard_batch logic + _n_shards)
@@ -136,6 +138,16 @@ class GraphModel(JaxModel):
             inputs += [table, deg]
             if self.uses_rev_slot:       # attention models (nei_gather)
                 inputs.append(build_rev_slot(table, nbr_mask))
+        if self.uses_edge_table:
+            # incoming-EDGE-id table per node (directed MPNNs: D-MPNN)
+            from deepchem_tpu.ops.nei_table import build_neighbor_table
+            real = d['edge_mask'] > 0
+            e_ids = np.arange(len(d['edge_mask']))[real]
+            e_table, e_nbr_mask = build_neighbor_table(
+                e_ids, d['edge_index'][1][real], node_cap,
+                self.max_neighbors)
+            inputs += [e_table,
+                       e_nbr_mask.sum(axis=1).astype(np.int8)]
         if self.uses_edge_features:
             if 'edge_features' not in d:
                 raise ValueError(

@@ -196,3 +196,32 @@ def _nei_gather_bwd(res, g):
 
 
 nei_gather.defvjp(_nei_gather_fwd, _nei_gather_bwd)
+
+
+@jax.custom_vjp
+def nei_sum_edges(h: jnp.ndarray, e_table: jnp.ndarray,
+                  e_nbr_mask: jnp.ndarray, edst: jnp.ndarray,
+                  emask: jnp.ndarray) -> jnp.ndarray:
+    """Directed edge->node aggregation without scatters.
+
+    out[v] = sum over v's incoming-edge slots of h[e_table[v, j]]
+    (e_table holds EDGE ids, built with build_neighbor_table(
+    arange(E)[real], edge_dst[real], ...)).  Each directed edge arrives
+    at exactly one node, so the backward is the row gather
+    grad_h[e] = g[edst[e]] * emask[e] — the D-MPNN / Chemprop
+    counterpart of the undirected symmetric trick.
+    """
+    return _slot_sum(h, e_table, e_nbr_mask)
+
+
+def _nei_sum_edges_fwd(h, e_table, e_nbr_mask, edst, emask):
+    return _slot_sum(h, e_table, e_nbr_mask), (edst, emask)
+
+
+def _nei_sum_edges_bwd(res, g):
+    edst, emask = res
+    grad = jnp.take(g, edst, axis=0) * emask[:, None]
+    return grad, None, None, None, None
+
+
+nei_sum_edges.defvjp(_nei_sum_edges_fwd, _nei_sum_edges_bwd)

@@ -190,3 +190,20 @@ def test_stacked_gnn_table_path_matches_coo(graph_ds, cls_name):
         cls.uses_neighbor_table = True
         cls.uses_rev_slot = cls_name != 'GCNModel'
     np.testing.assert_allclose(p_table, p_coo, rtol=1e-4, atol=1e-5)
+
+
+def test_dmpnn_edge_table_path_matches_coo(graph_edge_ds):
+    """Directed edge->node aggregation via the incoming-edge-id table
+    (nei_sum_edges) must equal the segment_sum formulation, values AND
+    gradients (training one step from the same init)."""
+    from deepchem_tpu.models import DMPNNModel
+    m = DMPNNModel(n_tasks=1, mode='classification', batch_size=10,
+                   enc_hidden=16, depth=3, ffn_hidden=16, ffn_layers=1)
+    m.fit(graph_edge_ds, nb_epoch=1, checkpoint_interval=0)
+    p_table = m.predict(graph_edge_ds)
+    try:
+        DMPNNModel.uses_edge_table = False
+        p_coo = m.predict(graph_edge_ds)
+    finally:
+        DMPNNModel.uses_edge_table = True
+    np.testing.assert_allclose(p_table, p_coo, rtol=1e-4, atol=1e-5)
