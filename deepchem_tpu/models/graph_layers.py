@@ -299,7 +299,8 @@ class EdgeNetworkMPNN(nn.Module):
     n_steps: int = 3
 
     @nn.compact
-    def __call__(self, h, edge_src, edge_dst, edge_feats, edge_mask):
+    def __call__(self, h, edge_src, edge_dst, edge_feats, edge_mask,
+                 e_table=None, e_deg=None, o_table=None, o_deg=None):
         n = h.shape[0]
         D = self.node_dim
         h = nn.Dense(D)(h)
@@ -308,11 +309,25 @@ class EdgeNetworkMPNN(nn.Module):
         gru = nn.GRUCell(features=D)
         carry = h
         A = W_edge(edge_feats).reshape(-1, D, D)
+        if e_table is not None:
+            from deepchem_tpu.ops.nei_table import (nei_sum_edges,
+                                                    take_src)
+            e_m = (jnp.arange(e_table.shape[1], dtype=jnp.int32)[None, :]
+                   < e_deg.astype(jnp.int32)[:, None]).astype(h.dtype)
+            o_m = (jnp.arange(o_table.shape[1], dtype=jnp.int32)[None, :]
+                   < o_deg.astype(jnp.int32)[:, None]).astype(h.dtype)
         for _ in range(self.n_steps):
-            src_h = jnp.take(carry, edge_src, axis=0)
-            msg = jnp.einsum('eij,ej->ei', A, src_h)
-            msg = msg * edge_mask[:, None]
-            agg = segment_sum(msg, edge_dst, n)
+            if e_table is not None:
+                src_h = take_src(carry, edge_src, o_table, o_m)
+                msg = jnp.einsum('eij,ej->ei', A, src_h)
+                msg = msg * edge_mask[:, None]
+                agg = nei_sum_edges(msg, e_table, e_m, edge_dst,
+                                    edge_mask)
+            else:
+                src_h = jnp.take(carry, edge_src, axis=0)
+                msg = jnp.einsum('eij,ej->ei', A, src_h)
+                msg = msg * edge_mask[:, None]
+                agg = segment_sum(msg, edge_dst, n)
             carry, _ = gru(carry, agg)
         return carry
 

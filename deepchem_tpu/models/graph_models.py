@@ -139,7 +139,9 @@ class GraphModel(JaxModel):
             if self.uses_rev_slot:       # attention models (nei_gather)
                 inputs.append(build_rev_slot(table, nbr_mask))
         if self.uses_edge_table:
-            # incoming-EDGE-id table per node (directed MPNNs: D-MPNN)
+            # incoming-EDGE-id table per node (directed MPNNs: D-MPNN);
+            # 'both' adds the outgoing table (Gilmer MPNN's node->edge
+            # broadcast backward, ops/nei_table.py take_src)
             from deepchem_tpu.ops.nei_table import build_neighbor_table
             real = d['edge_mask'] > 0
             e_ids = np.arange(len(d['edge_mask']))[real]
@@ -148,6 +150,12 @@ class GraphModel(JaxModel):
                 self.max_neighbors)
             inputs += [e_table,
                        e_nbr_mask.sum(axis=1).astype(np.int8)]
+            if self.uses_edge_table == 'both':
+                o_table, o_nbr_mask = build_neighbor_table(
+                    e_ids, d['edge_index'][0][real], node_cap,
+                    self.max_neighbors)
+                inputs += [o_table,
+                           o_nbr_mask.sum(axis=1).astype(np.int8)]
         if self.uses_edge_features:
             if 'edge_features' not in d:
                 raise ValueError(
@@ -529,12 +537,17 @@ class _MPNNModule(nn.Module):
     set2set_steps: int = 6
 
     @nn.compact
-    def __call__(self, nf, esrc, edst, gidx, nmask, emask, ef,
-                 training: bool = False):
+    def __call__(self, nf, esrc, edst, gidx, nmask, emask,
+                 e_table=None, e_deg=None, o_table=None, o_deg=None,
+                 ef=None, training: bool = False):
         esrc = esrc.astype(jnp.int32)
         edst = edst.astype(jnp.int32)
+        if ef is None and e_table is not None and \
+                jnp.issubdtype(e_table.dtype, jnp.floating):
+            # COO mode: edge features arrive in the e_table position
+            ef, e_table = e_table, None
         h = EdgeNetworkMPNN(self.node_dim, self.n_steps)(
-            nf, esrc, edst, ef, emask)
+            nf, esrc, edst, ef, emask, e_table, e_deg, o_table, o_deg)
         g = SetGather(self.node_dim, self.set2set_steps)(
             h, gidx, nmask, self.num_graphs)
         x = nn.relu(nn.Dense(self.node_dim)(g))
@@ -548,6 +561,7 @@ class MPNNModel(GraphModel):
     use_edges=True) or WeaveFeaturizer in the reference)."""
 
     uses_edge_features = True
+    uses_edge_table = 'both'
 
     def __init__(self, n_tasks: int, n_atom_feat: int = 30,
                  n_pair_feat: int = 11, T: int = 3, M: int = 6,

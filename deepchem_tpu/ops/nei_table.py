@@ -225,3 +225,27 @@ def _nei_sum_edges_bwd(res, g):
 
 
 nei_sum_edges.defvjp(_nei_sum_edges_fwd, _nei_sum_edges_bwd)
+
+
+@jax.custom_vjp
+def take_src(carry: jnp.ndarray, esrc: jnp.ndarray,
+             out_table: jnp.ndarray, out_mask: jnp.ndarray
+             ) -> jnp.ndarray:
+    """h[esrc[e]] (node -> edge broadcast) whose backward is a gather
+    over each node's OUTGOING-edge-id table instead of a scatter:
+    grad[v] = sum over v's outgoing slots of g[out_table[v, j]].
+    out_table = build_neighbor_table(arange(E)[real], edge_src[real]).
+    """
+    return jnp.take(carry, esrc, axis=0)
+
+
+def _take_src_fwd(carry, esrc, out_table, out_mask):
+    return jnp.take(carry, esrc, axis=0), (out_table, out_mask)
+
+
+def _take_src_bwd(res, g):
+    out_table, out_mask = res
+    return _slot_sum(g, out_table, out_mask), None, None, None
+
+
+take_src.defvjp(_take_src_fwd, _take_src_bwd)

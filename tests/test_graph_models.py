@@ -207,3 +207,19 @@ def test_dmpnn_edge_table_path_matches_coo(graph_edge_ds):
     finally:
         DMPNNModel.uses_edge_table = True
     np.testing.assert_allclose(p_table, p_coo, rtol=1e-4, atol=1e-5)
+
+
+def test_mpnn_edge_table_path_matches_coo(graph_edge_ds):
+    """Gilmer MPNN with in+out edge-id tables (nei_sum_edges + take_src)
+    must equal the COO segment formulation."""
+    from deepchem_tpu.models import MPNNModel
+    m = MPNNModel(n_tasks=1, mode='classification', batch_size=10,
+                  node_dim=16, T=2, M=2)
+    m.fit(graph_edge_ds, nb_epoch=1, checkpoint_interval=0)
+    p_table = m.predict(graph_edge_ds)
+    try:
+        MPNNModel.uses_edge_table = False
+        p_coo = m.predict(graph_edge_ds)
+    finally:
+        MPNNModel.uses_edge_table = 'both'
+    np.testing.assert_allclose(p_table, p_coo, rtol=1e-4, atol=1e-5)
