@@ -98,10 +98,70 @@ def _parse_sam_text(path: str) -> '_RecordIter':
     return _RecordIter(records)
 
 
+def pileup_from_records(records) -> List[dict]:
+    """Pure-Python pileup: one dict per covered reference position with
+    the reference's layout (``bio_seq_featurizer.py`` pileup_info —
+    name/pos/depth/reads; each read entry is [query_sequence,
+    query_position, is_del, is_refskip, indel]).
+
+    Computed from CIGAR walks over the in-repo BAM records.  Matches
+    pysam's ``pileup(stepper='nofilter', min_base_quality=0)`` — the
+    default pysam stepper additionally drops bases below quality 13,
+    which is a filtering choice, not part of the pileup definition.
+    """
+    cols: dict = {}
+    for r in records:
+        if r.flag & 0x4 or r.reference_start is None \
+                or r.reference_start < 0 or not r.cigar:
+            continue
+        qpos, rpos = 0, r.reference_start
+        ops = list(r.cigar)
+        for k, (op, ln) in enumerate(ops):
+            if op in (0, 7, 8):            # M / = / X: aligned bases
+                for i in range(ln):
+                    indel = 0
+                    if i == ln - 1 and k + 1 < len(ops):
+                        nop, nln = ops[k + 1]
+                        if nop == 1:       # insertion follows this base
+                            indel = nln
+                        elif nop == 2:     # deletion follows this base
+                            indel = -nln
+                    cols.setdefault((r.reference_name, rpos + i),
+                                    []).append(
+                        [r.query_sequence, qpos + i, 0, 0, indel])
+                qpos += ln
+                rpos += ln
+            elif op == 1:                  # I: query only
+                qpos += ln
+            elif op == 2:                  # D: deleted ref positions
+                for i in range(ln):
+                    cols.setdefault((r.reference_name, rpos + i),
+                                    []).append(
+                        [r.query_sequence, None, 1, 0, 0])
+                rpos += ln
+            elif op == 3:                  # N: refskip
+                for i in range(ln):
+                    cols.setdefault((r.reference_name, rpos + i),
+                                    []).append(
+                        [r.query_sequence, None, 0, 1, 0])
+                rpos += ln
+            elif op == 4:                  # S: soft clip, query only
+                qpos += ln
+            # H (5), P (6): consume neither
+    out = []
+    for (name, pos) in sorted(cols, key=lambda t: (str(t[0]), t[1])):
+        reads = cols[(name, pos)]
+        out.append({'name': name, 'pos': pos, 'depth': len(reads),
+                    'reads': reads})
+    return out
+
+
 class BAMFeaturizer(SAMFeaturizer):
     """(reference bio_seq_featurizer.py BAMFeaturizer): SAM columns plus
-    [is_reverse, query_qualities]; ``get_pileup=True`` appends pysam
-    pileup columns (pysam-only — the pure-Python path raises)."""
+    [is_reverse, query_qualities]; ``get_pileup=True`` appends the
+    file's pileup columns to every row (the reference appends
+    ``datapoint.pileup()`` output per record — same value each time, so
+    it is computed once here)."""
 
     def __init__(self, max_records: Optional[int] = None,
                  get_pileup: bool = False):
@@ -109,22 +169,34 @@ class BAMFeaturizer(SAMFeaturizer):
         self.get_pileup = get_pileup
 
     def get_features(self, bamfile) -> np.ndarray:
-        features = []
+        records = []
         for i, r in enumerate(bamfile):
             if self.max_records is not None and i >= self.max_records:
                 break
+            records.append(r)
+        pileup_columns: Optional[List[dict]] = None
+        if self.get_pileup:
+            if hasattr(bamfile, 'pileup'):     # pysam AlignmentFile
+                pileup_columns = [
+                    {'name': pc.reference_name,
+                     'pos': pc.reference_pos,
+                     'depth': pc.nsegments,
+                     'reads': [[pr.alignment.query_sequence,
+                                pr.query_position, pr.is_del,
+                                pr.is_refskip, pr.indel]
+                               for pr in pc.pileups]}
+                    for pc in bamfile.pileup()]
+            else:
+                pileup_columns = pileup_from_records(records)
+        features = []
+        for r in records:
             row = [r.query_name, r.query_sequence, r.query_length,
                    r.reference_name, r.reference_start, r.cigar,
                    r.mapping_quality, r.is_reverse,
                    np.array(r.query_qualities
                             if r.query_qualities is not None else [])]
-            if self.get_pileup:
-                if not _HAS_PYSAM:
-                    raise ImportError(
-                        'BAMFeaturizer(get_pileup=True) requires pysam '
-                        '(pileup traversal); plain record featurization '
-                        'works without it')
-                row.append([])      # filled by the pysam path below
+            if pileup_columns is not None:
+                row.append(pileup_columns)
             features.append(row)
         bamfile.close()
         return np.array(features, dtype=object)
@@ -136,9 +208,11 @@ class BAMFeaturizer(SAMFeaturizer):
             path, max_records=self.max_records).records))
 
 
-class CRAMFeaturizer(BAMFeaturizer):
-    """(reference bio_seq_featurizer.py CRAMFeaturizer); CRAM decoding
-    needs htslib's codec stack — gated on pysam."""
+class CRAMFeaturizer(SAMFeaturizer):
+    """(reference bio_seq_featurizer.py CRAMFeaturizer): emits the SAM
+    7-column layout, NOT the BAM 9-column one — matching the reference's
+    class hierarchy.  CRAM decoding needs htslib's codec stack — gated
+    on pysam."""
 
     def featurize(self, path: str) -> np.ndarray:
         if not _HAS_PYSAM:

@@ -383,6 +383,15 @@ class _GroverGroupedMPN(nn.Module):
 
     @nn.compact
     def __call__(self, f, a2nei, b2a, b2revb, mask, training: bool = False):
+        # the grouped encoder runs (depth-1) matmul iterations: one
+        # shared-aggregation iteration + (depth-2) batched ones.  The
+        # per-head _GroverMPN it mirrors runs the same count only for
+        # depth >= 2; depth <= 1 would silently diverge (ADVICE r2)
+        if self.depth < 2:
+            raise ValueError(
+                f'_GroverGroupedMPN requires depth >= 2 (got '
+                f'{self.depth}); the grouped and per-head encoders are '
+                'only equivalent from depth 2')
         g, h = self.groups, self.hidden
         kernel = self.param(
             'W_h', nn.initializers.lecun_normal(batch_axis=(0,)),

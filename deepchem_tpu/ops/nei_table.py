@@ -42,14 +42,26 @@ def build_neighbor_table(edge_src: np.ndarray, edge_dst: np.ndarray,
 
     table[i, j] = j-th neighbor of i (0-padded); nbr_mask[i, j] = 1.0
     for real slots.  Vectorized (no Python loop over edges): sorts by
-    destination and ranks within each group.  Neighbors beyond
-    ``max_nb`` are dropped (organic chemistry tops out at 6).
+    destination and ranks within each group.
+
+    Raises when any node's degree exceeds ``max_nb``: the table VJPs
+    assume the table is complete (symmetric transpose / unique reverse
+    slot), so silently dropping neighbors would make both the forward
+    AND the backward wrong (ADVICE r2).  Organic chemistry tops out at
+    degree 6; non-molecular graphs must raise ``max_neighbors``.
     """
     edge_src = np.asarray(edge_src, np.int64)
     edge_dst = np.asarray(edge_dst, np.int64)
     order = np.argsort(edge_dst, kind='stable')
     ds, ss = edge_dst[order], edge_src[order]
     counts = np.bincount(ds, minlength=num_nodes)
+    max_deg = int(counts.max()) if len(counts) else 0
+    if max_deg > max_nb:
+        raise ValueError(
+            f'node degree {max_deg} exceeds the neighbor-table capacity '
+            f'max_nb={max_nb}; raise max_neighbors on the model (the '
+            'table aggregation path cannot silently truncate — its '
+            'gather-transpose gradients assume a complete table)')
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     pos = np.arange(len(ds)) - np.repeat(starts, counts)
     keep = pos < max_nb

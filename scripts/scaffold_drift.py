@@ -36,26 +36,37 @@ TOX21 = '/root/reference/datasets/tox21.csv.gz'
 
 
 def scaffold_split_assignment(scaffolds, frac_train=0.8, frac_valid=0.1):
-    """Reference ScaffoldSplitter order: scaffold sets sorted by size
-    (largest first), filled greedily into train/valid/test."""
+    """EXACTLY the library ScaffoldSplitter.split logic
+    (deepchem_tpu/splits/splitters.py ScaffoldSplitter): sets sorted by
+    (size, first-index) descending, greedy fill comparing len(train)
+    only — so later small groups can still enter train (ADVICE r2: the
+    previous cumulative-count version measured drift against a
+    different partition than the splitter actually produces)."""
     sets = {}
     for i, s in enumerate(scaffolds):
         sets.setdefault(s, []).append(i)
-    groups = sorted(sets.values(), key=lambda g: (-len(g), g[0]))
+    scaffold_sets = [
+        sorted(v) for _, v in sorted(
+            sets.items(), key=lambda kv: (len(kv[1]), kv[1][0]),
+            reverse=True)]
     n = len(scaffolds)
-    train_cut, valid_cut = frac_train * n, (frac_train + frac_valid) * n
+    train_cutoff = frac_train * n
+    valid_cutoff = (frac_train + frac_valid) * n
+    train, valid, test = [], [], []
     assign = [None] * n
-    count = 0
-    for g in groups:
-        if count + len(g) > valid_cut:
-            label = 'test'
-        elif count + len(g) > train_cut:
-            label = 'valid'
+    for group in scaffold_sets:
+        if len(train) + len(group) > train_cutoff:
+            if len(train) + len(valid) + len(group) > valid_cutoff:
+                label = 'test'
+                test += group
+            else:
+                label = 'valid'
+                valid += group
         else:
             label = 'train'
-        for i in g:
+            train += group
+        for i in group:
             assign[i] = label
-        count += len(g)
     return assign
 
 
