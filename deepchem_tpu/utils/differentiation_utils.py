@@ -229,6 +229,259 @@ def _davidson_bwd(neig, max_space, restarts, tol, res, cotangents):
 davidson.defvjp(_davidson_fwd, _davidson_bwd)
 
 
+def _gmres_cycle(matvec: Callable, b: jnp.ndarray, x0: jnp.ndarray,
+                 m: int) -> jnp.ndarray:
+    """One GMRES(m) cycle: Arnoldi (modified Gram-Schmidt) + dense
+    least-squares in the Krylov subspace.  ``m`` is static so the whole
+    cycle traces to one fixed XLA program (no dynamic shapes)."""
+    n = b.shape[0]
+    r0 = b - matvec(x0)
+    beta = jnp.linalg.norm(r0)
+    V = jnp.zeros((n, m + 1)).at[:, 0].set(
+        r0 / jnp.maximum(beta, 1e-30))
+    H = jnp.zeros((m + 1, m))
+
+    def arnoldi(j, carry):
+        V, H = carry
+        w = matvec(V[:, j])
+
+        def mgs(i, wh):
+            w, H = wh
+            h = jnp.vdot(V[:, i], w) * (i <= j)
+            return w - h * V[:, i], H.at[i, j].add(h)
+        w, H = jax.lax.fori_loop(0, m, mgs, (w, H))
+        hj = jnp.linalg.norm(w)
+        H = H.at[j + 1, j].set(hj)
+        V = V.at[:, j + 1].set(w / jnp.maximum(hj, 1e-30))
+        return V, H
+    V, H = jax.lax.fori_loop(0, m, arnoldi, (V, H))
+    e1 = jnp.zeros(m + 1).at[0].set(beta)
+    y, *_ = jnp.linalg.lstsq(H, e1)
+    return x0 + V[:, :m] @ y
+
+
+def gmres_solve(mv: Callable, b: jnp.ndarray,
+                mv_t: Optional[Callable] = None,
+                restart: int = 30, maxiter: int = 150) -> jnp.ndarray:
+    """Restarted GMRES for general (non-symmetric) A x = b with IMPLICIT
+    differentiation (reference solve.py gmres; xitorch hand-writes the
+    solve backward — here ``jax.lax.custom_linear_solve`` routes the
+    cotangent through a transpose solve with the same solver).
+
+    ``mv_t`` is the transpose matvec (required for gradients of
+    non-symmetric operators; defaults to ``mv``, i.e. symmetric).
+    """
+    mv_t = mv_t or mv
+    cycles = max(1, maxiter // restart)
+
+    def run(matvec, rhs):
+        x = jnp.zeros_like(rhs)
+        for _ in range(cycles):
+            x = _gmres_cycle(matvec, rhs, x, restart)
+        return x
+
+    return jax.lax.custom_linear_solve(
+        mv, b, solve=run, transpose_solve=lambda _, y: run(mv_t, y))
+
+
+def bicgstab_solve(mv: Callable, b: jnp.ndarray,
+                   mv_t: Optional[Callable] = None,
+                   tol: float = 1e-8, maxiter: int = 200) -> jnp.ndarray:
+    """BiCGStab for general A x = b with implicit differentiation
+    (reference solve.py bicgstab).  ``mv_t`` as in :func:`gmres_solve`.
+    """
+    mv_t = mv_t or mv
+
+    def run_clean(matvec, rhs):
+        # state = ((x, r, rhat, p, rho, alpha, omega, k), v_prev):
+        # standard BiCGStab carries the previous v in the p-update
+        x0 = jnp.zeros_like(rhs)
+        st = ((x0, rhs, rhs, jnp.zeros_like(rhs),
+               jnp.asarray(1.0, rhs.dtype), jnp.asarray(1.0, rhs.dtype),
+               jnp.asarray(1.0, rhs.dtype), 0), jnp.zeros_like(rhs))
+
+        def cond(s):
+            (_, r, _, _, _, _, _, k), _ = s
+            return jnp.logical_and(jnp.vdot(r, r) > tol * tol,
+                                   k < maxiter)
+
+        def body(s):
+            (x, r, rhat, p, rho, alpha, omega, k), v_prev = s
+            rho_new = jnp.vdot(rhat, r)
+            beta = (rho_new / jnp.where(rho == 0, 1e-30, rho)) * \
+                (alpha / jnp.where(omega == 0, 1e-30, omega))
+            p = r + beta * (p - omega * v_prev)
+            v = matvec(p)
+            denom = jnp.vdot(rhat, v)
+            alpha = rho_new / jnp.where(denom == 0, 1e-30, denom)
+            h = x + alpha * p
+            s_vec = r - alpha * v
+            t = matvec(s_vec)
+            tt = jnp.vdot(t, t)
+            omega = jnp.vdot(t, s_vec) / jnp.where(tt == 0, 1e-30, tt)
+            return ((h + omega * s_vec, s_vec - omega * t, rhat, p,
+                     rho_new, alpha, omega, k + 1), v)
+        (x, *_), _ = jax.lax.while_loop(cond, body, st)
+        return x
+
+    return jax.lax.custom_linear_solve(
+        mv, b, solve=run_clean,
+        transpose_solve=lambda _, y: run_clean(mv_t, y))
+
+
+def broyden(fcn: Callable, x0: jnp.ndarray, maxiter: int = 50,
+            tol: float = 1e-10) -> jnp.ndarray:
+    """Broyden's good method for f(x)=0 with IMPLICIT differentiation
+    (reference optimize/rootfinder.py broyden1): maintains an inverse-
+    Jacobian estimate, rank-1 updated per step; gradients route through
+    ``jax.lax.custom_root`` (linearized solve at the root), never
+    through the iterations."""
+    x0 = jnp.asarray(x0, dtype=jnp.result_type(float))
+    scalar = x0.ndim == 0
+    xf = x0.reshape(-1)
+    n = xf.shape[0]
+
+    def f_flat(z):
+        out = fcn(z.reshape(x0.shape) if not scalar else z[0])
+        return jnp.reshape(out, (-1,))
+
+    def solve_fn(f, z0):
+        def body(state):
+            x, fx, Jinv, k = state
+            d = -(Jinv @ fx)
+            # damped step: backtrack until the residual norm drops
+            # (undamped Newton-Broyden diverges on e.g. coupled
+            # quadratics; scipy's broyden1 line-searches too)
+            fn0 = jnp.vdot(fx, fx)
+
+            def ls(i, t):
+                fn = f(x + t * d)
+                ok = jnp.vdot(fn, fn) < fn0
+                return jnp.where(ok, t, t * 0.5)
+            t = jax.lax.fori_loop(
+                0, 15, ls, jnp.asarray(1.0, x.dtype))
+            dx = t * d
+            x_new = x + dx
+            f_new = f(x_new)
+            df = f_new - fx
+            # good Broyden inverse update (Sherman-Morrison)
+            Jdf = Jinv @ df
+            denom = jnp.vdot(dx, Jdf)
+            Jinv = Jinv + jnp.outer(dx - Jdf, dx @ Jinv) / \
+                jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+            return x_new, f_new, Jinv, k + 1
+
+        def cond(state):
+            _, fx, _, k = state
+            return jnp.logical_and(jnp.vdot(fx, fx) > tol, k < maxiter)
+        x, *_ = jax.lax.while_loop(
+            cond, body, (z0, f(z0), jnp.eye(n), 0))
+        return x
+
+    def tangent_solve(g, y):
+        # solve linearized g(x) = y; g is linear, so its matrix is the
+        # jacobian — small systems here, dense solve
+        J = jax.jacfwd(g)(jnp.zeros_like(y))
+        return jnp.linalg.solve(J.reshape(n, n), y.reshape(-1)).reshape(
+            y.shape)
+
+    xr = jax.lax.custom_root(f_flat, xf, solve_fn, tangent_solve)
+    return xr[0] if scalar else xr.reshape(x0.shape)
+
+
+def lbfgs_minimize(fcn: Callable, x0: jnp.ndarray, maxiter: int = 100,
+                   history: int = 10, tol: float = 1e-9) -> jnp.ndarray:
+    """L-BFGS minimizer with IMPLICIT differentiation (reference
+    optimize/minimizer.py lbfgs / gd): two-loop recursion over a rolling
+    (s, y) history inside ``lax.while_loop`` with backtracking line
+    search; the gradient of the solution w.r.t. closure parameters
+    routes through ``custom_root`` on the stationarity condition
+    grad f(x*) = 0 (Hessian solve by CG)."""
+    x0 = jnp.asarray(x0, dtype=jnp.result_type(float))
+    shape = x0.shape
+    xf = x0.reshape(-1)
+    n = xf.shape[0]
+    m = history
+
+    def g_flat(z):
+        return jax.grad(lambda v: fcn(v.reshape(shape)))(
+            z.reshape(shape)).reshape(-1)
+
+    def f_flat(z):
+        return fcn(z.reshape(shape))
+
+    def solve_fn(g, z0):
+        S = jnp.zeros((m, n))
+        Y = jnp.zeros((m, n))
+        rho = jnp.zeros(m)
+
+        def direction(grad, S, Y, rho, k):
+            q = grad
+            alphas = jnp.zeros(m)
+
+            def bwd(i, qa):
+                q, alphas = qa
+                j = (k - 1 - i) % m
+                valid = i < jnp.minimum(k, m)
+                a = rho[j] * jnp.vdot(S[j], q) * valid
+                return q - a * Y[j], alphas.at[j].set(a)
+            q, alphas = jax.lax.fori_loop(0, m, bwd, (q, alphas))
+            # initial Hessian scaling gamma = s.y / y.y of newest pair
+            jn = (k - 1) % m
+            yy = jnp.vdot(Y[jn], Y[jn])
+            gamma = jnp.where(
+                jnp.logical_and(k > 0, yy > 1e-30),
+                jnp.vdot(S[jn], Y[jn]) / jnp.maximum(yy, 1e-30), 1.0)
+            r = gamma * q
+
+            def fwd(i, r):
+                j = (k - jnp.minimum(k, m) + i) % m
+                valid = i < jnp.minimum(k, m)
+                b = rho[j] * jnp.vdot(Y[j], r) * valid
+                return r + (alphas[j] - b) * S[j] * valid
+            r = jax.lax.fori_loop(0, m, fwd, r)
+            return -r
+
+        def body(state):
+            x, grad, S, Y, rho, k = state
+            d = direction(grad, S, Y, rho, k)
+            # backtracking Armijo line search (static 20 halvings)
+            f0 = f_flat(x)
+            slope = jnp.vdot(grad, d)
+
+            def ls(i, t):
+                fx = f_flat(x + t * d)
+                ok = fx <= f0 + 1e-4 * t * slope
+                return jnp.where(ok, t, t * 0.5)
+            t = jax.lax.fori_loop(0, 20, ls, jnp.asarray(1.0, x.dtype))
+            x_new = x + t * d
+            g_new = g(x_new)
+            s, y = x_new - x, g_new - grad
+            sy = jnp.vdot(s, y)
+            j = k % m
+            upd = sy > 1e-10
+            S = jnp.where(upd, S.at[j].set(s), S)
+            Y = jnp.where(upd, Y.at[j].set(y), Y)
+            rho = jnp.where(upd, rho.at[j].set(1.0 / jnp.maximum(
+                sy, 1e-30)), rho)
+            return x_new, g_new, S, Y, rho, k + jnp.where(upd, 1, 0)
+
+        def cond(state):
+            _, grad, _, _, _, k = state
+            return jnp.logical_and(jnp.vdot(grad, grad) > tol,
+                                   k < maxiter)
+        x, *_ = jax.lax.while_loop(
+            cond, body, (z0, g(z0), S, Y, rho, 0))
+        return x
+
+    def tangent_solve(g, y):
+        # g is the linearized gradient map (Hessian action): symmetric
+        return cg_solve(g, y, maxiter=10 * n)
+
+    xr = jax.lax.custom_root(g_flat, xf, solve_fn, tangent_solve)
+    return xr.reshape(shape)
+
+
 def minimize(fcn: Callable, x0: jnp.ndarray, lr: float = 0.1,
              maxiter: int = 200) -> jnp.ndarray:
     """Simple differentiable gradient-descent minimizer (reference

@@ -77,3 +77,107 @@ def test_davidson_implicit_vjp_matches_eigh():
     gd = jax.grad(f_dav)(S)
     ge = jax.grad(f_eigh)(S)
     assert float(jnp.abs(gd - ge).max()) < 1e-7
+
+
+# -- round 3: GMRES / BiCGStab / Broyden / L-BFGS --------------------------
+
+def _nonsym(n=30, seed=2):
+    rng = np.random.RandomState(seed)
+    return np.diag(np.arange(2.0, n + 2.0)) + rng.randn(n, n) * 0.3
+
+
+def test_gmres_matches_direct_solve():
+    from deepchem_tpu.utils.differentiation_utils import gmres_solve
+    A = _nonsym()
+    b = np.random.RandomState(3).randn(30)
+    x = gmres_solve(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                    mv_t=lambda v: jnp.asarray(A).T @ v)
+    x_ref = np.linalg.solve(A, b)
+    assert float(np.abs(np.asarray(x) - x_ref).max()) < 1e-7
+
+
+def test_gmres_implicit_gradient_nonsymmetric():
+    from deepchem_tpu.utils.differentiation_utils import gmres_solve
+    A = jnp.asarray(_nonsym())
+    b = jnp.asarray(np.random.RandomState(3).randn(30))
+    g1 = jax.grad(lambda bb: jnp.sum(gmres_solve(
+        lambda v: A @ v, bb, mv_t=lambda v: A.T @ v) ** 2))(b)
+    g2 = jax.grad(lambda bb: jnp.sum(jnp.linalg.solve(A, bb) ** 2))(b)
+    assert float(jnp.abs(g1 - g2).max()) < 1e-6
+
+
+def test_bicgstab_matches_scipy():
+    import scipy.sparse.linalg as spla
+    from deepchem_tpu.utils.differentiation_utils import bicgstab_solve
+    A = _nonsym()
+    b = np.random.RandomState(4).randn(30)
+    x = bicgstab_solve(lambda v: jnp.asarray(A) @ v, jnp.asarray(b),
+                       mv_t=lambda v: jnp.asarray(A).T @ v, tol=1e-12)
+    x_sp = spla.bicgstab(A, b, rtol=1e-12)[0]
+    assert float(np.abs(np.asarray(x) - x_sp).max()) < 1e-6
+
+
+def test_bicgstab_implicit_gradient():
+    from deepchem_tpu.utils.differentiation_utils import bicgstab_solve
+    A = jnp.asarray(_spd(30, 5))
+    b = jnp.asarray(np.random.RandomState(5).randn(30))
+    g1 = jax.grad(lambda bb: jnp.sum(bicgstab_solve(
+        lambda v: A @ v, bb, tol=1e-12) ** 2))(b)
+    g2 = jax.grad(lambda bb: jnp.sum(jnp.linalg.solve(A, bb) ** 2))(b)
+    assert float(jnp.abs(g1 - g2).max()) < 1e-6
+
+
+def test_broyden_root_and_gradient():
+    from deepchem_tpu.utils.differentiation_utils import broyden
+    # root of f(x) = x^3 + a x - b, parameterized; d(root)/da via
+    # implicit function theorem: -x / (3x^2 + a)
+    a, b = 2.0, 10.0
+
+    def root_of(av):
+        return broyden(lambda x: x ** 3 + av * x - b,
+                       jnp.asarray(1.0))
+    x = root_of(a)
+    assert abs(float(x ** 3 + a * x - b)) < 1e-7
+    g = jax.grad(root_of)(jnp.asarray(a))
+    expected = -float(x) / (3 * float(x) ** 2 + a)
+    assert abs(float(g) - expected) < 1e-6
+
+
+def test_broyden_vector_system():
+    from deepchem_tpu.utils.differentiation_utils import broyden
+    import scipy.optimize as sopt
+
+    def f_np(v):
+        return [v[0] ** 2 + v[1] - 3.0, v[0] - v[1] ** 2 + 1.0]
+    x_sp = sopt.fsolve(f_np, [1.0, 1.0], xtol=1e-12)
+    x = broyden(lambda v: jnp.stack([v[0] ** 2 + v[1] - 3.0,
+                                     v[0] - v[1] ** 2 + 1.0]),
+                jnp.asarray([1.0, 1.0]), maxiter=200, tol=1e-20)
+    assert float(jnp.abs(x - jnp.asarray(np.asarray(x_sp))).max()) < 1e-6
+    assert float(np.abs(np.asarray(f_np(np.asarray(x)))).max()) < 1e-8
+
+
+def test_lbfgs_matches_scipy_minimum():
+    import scipy.optimize as sopt
+    from deepchem_tpu.utils.differentiation_utils import lbfgs_minimize
+    # rosenbrock
+    def f(v):
+        return (1 - v[0]) ** 2 + 100 * (v[1] - v[0] ** 2) ** 2
+    x = lbfgs_minimize(f, jnp.asarray([-1.2, 1.0]), maxiter=200)
+    ref = sopt.minimize(lambda v: float(f(jnp.asarray(v))),
+                        [-1.2, 1.0], method='L-BFGS-B').x
+    assert float(jnp.abs(x - jnp.asarray(ref)).max()) < 1e-4
+
+
+def test_lbfgs_implicit_gradient():
+    from deepchem_tpu.utils.differentiation_utils import lbfgs_minimize
+    # argmin_x (x - a)^2 + 0.1 x^4; d(x*)/da via IFT = 2 / (2 + 1.2 x*^2)
+    def xstar(a):
+        return lbfgs_minimize(
+            lambda x: jnp.sum((x - a) ** 2 + 0.1 * x ** 4),
+            jnp.zeros(1))[0]
+    a = jnp.asarray(1.5)
+    x = xstar(a)
+    g = jax.grad(xstar)(a)
+    expected = 2.0 / (2.0 + 1.2 * float(x) ** 2)
+    assert abs(float(g) - expected) < 1e-5
