@@ -52,21 +52,24 @@ def main() -> None:
     dt = time.time() - t0
     mols_per_sec = n_train * n_epochs / dt
 
-    # standard fit() throughput (streaming path with host prefetch +
-    # windowed sync; VERDICT r1 item 3) — counted toward the 40-epoch
-    # protocol.  First epoch warms the per-step executable.
-    model.fit(train, nb_epoch=2, checkpoint_interval=0)
+    # standard fit() throughput: fit() now routes through device-
+    # resident scan segments with the prepared-batch cache shared with
+    # fit_on_device (VERDICT r2 item 1) — counted toward the 40-epoch
+    # protocol.  First call warms the scan executable for this epoch
+    # count; the second (same shapes) is the steady-state measurement.
+    fit_epochs = 8
+    model.fit(train, nb_epoch=fit_epochs, checkpoint_interval=0)
     t0 = time.time()
-    model.fit(train, nb_epoch=n_epochs - 2, checkpoint_interval=0)
+    model.fit(train, nb_epoch=fit_epochs, checkpoint_interval=0)
     fit_dt = time.time() - t0
-    fit_mols_per_sec = n_train * (n_epochs - 2) / fit_dt
+    fit_mols_per_sec = n_train * fit_epochs / fit_dt
     print(f'# standard fit(): {fit_mols_per_sec:.0f} mol-graphs/s '
           f'({fit_dt:.1f}s, {fit_mols_per_sec / mols_per_sec:.2f}x of '
           'fit_on_device)', file=sys.stderr)
 
     # finish the reference's 40-epoch protocol before scoring (cached:
-    # ~0.1s per additional 10-epoch call)
-    model.fit_on_device(train, nb_epoch=n_epochs)
+    # ~0.1s per additional call)
+    model.fit_on_device(train, nb_epoch=n_epochs - 2 * fit_epochs + 10)
 
     try:
         metric = Metric(roc_auc_score, np.mean)
