@@ -486,39 +486,67 @@ load_uspto = _make_dynamic_csv_load_fn(
     'uspto', 'USPTO_MIT.csv', [], feature_field='reactions')
 
 
-def load_pdbbind(featurizer=None, splitter='random', transformers=(),
+def load_pdbbind(featurizer='atomic', splitter='random', transformers=(),
                  reload: bool = True, data_dir: Optional[str] = None,
                  save_dir: Optional[str] = None, pocket: bool = True,
                  set_name: str = 'core', **kwargs):
     """PDBBind protein-ligand affinity (reference pdbbind_datasets.py).
 
-    Needs the PDBBind structure archive (not redistributable; place
-    pdbbind_v2019_{core,refined}.tar.gz or the reference's processed
-    ``pdbbind_core_df.pkl.gz`` in data_dir)."""
-    import pandas as pd
+    Loads the reference's processed dataframe
+    (``pdbbind_<set>_df.pkl.gz`` — legacy pandas<=0.19 pickles are
+    handled by deepchem_tpu.utils.legacy_pandas) from ``data_dir`` or
+    the reference's local ``datasets/`` directory; featurizer 'atomic'
+    (default) runs AtomicConvFeaturizer over the (ligand_pdb,
+    protein_pdb) line lists for AtomicConvModel training; 'raw' yields
+    the dataframe columns as object features."""
     from deepchem_tpu.data import NumpyDataset
     from deepchem_tpu.utils.data_utils import get_data_dir
-    data_dir = data_dir or get_data_dir()
-    for fname in (f'pdbbind_{set_name}_5_df.pkl.gz',
-                  f'pdbbind_{set_name}_df.pkl.gz'):
-        path = os.path.join(data_dir, fname)
-        if not os.path.exists(path):
-            try:
-                download_url(DEEPCHEM_S3 + fname, data_dir, fname)
-            except Exception:
+    from deepchem_tpu.utils.legacy_pandas import load_legacy_dataframe
+    search_dirs = [data_dir or get_data_dir(),
+                   '/root/reference/datasets']
+    df = None
+    for d in search_dirs:
+        for fname in (f'pdbbind_{set_name}_5_df.pkl.gz',
+                      f'pdbbind_{set_name}_df.pkl.gz'):
+            path = os.path.join(d, fname)
+            if not os.path.exists(path):
                 continue
-        if os.path.exists(path):
-            df = pd.read_pickle(path)
-            y = df['label'].values.reshape(-1, 1).astype(float)
-            X = df.drop(columns=['label']).values
-            ds = NumpyDataset(X, y, ids=np.arange(len(df)))
-            from deepchem_tpu.molnet.loader import splitters as _spl
-            spl = _spl[splitter] if isinstance(splitter, str) else splitter
-            tr, va, te = spl.train_valid_test_split(ds)
-            return ['-logKd/Ki'], (tr, va, te), []
-    raise FileNotFoundError(
-        'PDBBind data not found: place the processed dataframe '
-        f'(pdbbind_{set_name}_df.pkl.gz) or structures in ' + data_dir)
+            try:
+                import pandas as pd
+                df = pd.read_pickle(path)
+            except Exception:
+                df = load_legacy_dataframe(path)
+            break
+        if df is not None:
+            break
+    if df is None:
+        raise FileNotFoundError(
+            'PDBBind data not found: place the processed dataframe '
+            f'(pdbbind_{set_name}_df.pkl.gz) in ' +
+            ' or '.join(search_dirs))
+    y = np.asarray(df['label'].values, dtype=float).reshape(-1, 1)
+    ids = np.asarray(df['pdb_id'].values)
+    if featurizer in (None, 'raw'):
+        X = df.drop(columns=['label']).values
+    else:
+        from deepchem_tpu.models.atomic_conv import AtomicConvFeaturizer
+        if featurizer == 'atomic':
+            featurizer = AtomicConvFeaturizer(
+                frag1_num_atoms=kwargs.get('frag1_num_atoms', 128),
+                frag2_num_atoms=kwargs.get('frag2_num_atoms', 6000),
+                complex_num_atoms=kwargs.get('complex_num_atoms', 6128),
+                max_num_neighbors=kwargs.get('max_num_neighbors', 12),
+                neighbor_cutoff=kwargs.get('neighbor_cutoff', 12.0))
+        pairs = list(zip(df['ligand_pdb'].values,
+                         df['protein_pdb'].values))
+        X = featurizer.featurize(pairs)
+        kept = featurizer.kept_indices
+        y, ids = y[kept], ids[kept]
+    ds = NumpyDataset(X, y, ids=ids)
+    from deepchem_tpu.molnet.loader import splitters as _spl
+    spl = _spl[splitter] if isinstance(splitter, str) else splitter
+    tr, va, te = spl.train_valid_test_split(ds)
+    return ['-logKd/Ki'], (tr, va, te), []
 
 
 def _image_dataset_stub(name: str, filename: str):

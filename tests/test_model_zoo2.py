@@ -160,22 +160,33 @@ def test_gan_learns_gaussian():
 
 
 def test_atomic_conv_model_trains():
+    """Reference protocol (models/tests/test_atomic_conv.py
+    test_atomic_conv): dummy 9-tuple frag1/frag2/complex features,
+    fit, loss decreases."""
     from deepchem_tpu.models import AtomicConvModel
+    from deepchem_tpu.models.atomic_conv import neighbor_dict
     rng = np.random.RandomState(0)
-    n_samples, max_atoms, M = 10, 12, 4
+    n_samples, n_atoms = 8, 5
     X = np.empty(n_samples, dtype=object)
     y = np.zeros((n_samples, 1))
     for i in range(n_samples):
-        coords = rng.randn(max_atoms, 3) * 2
-        nbr = np.stack([rng.choice(max_atoms, M, replace=False)
-                        for _ in range(max_atoms)])
-        z = rng.choice([1, 6, 7, 8], max_atoms)
-        X[i] = (coords.astype(np.float32), nbr.astype(np.int32),
-                z.astype(np.int32))
-        y[i, 0] = z.sum() * 0.01
+        f1 = rng.rand(n_atoms, 3).astype(np.float32) * 3
+        f2 = rng.rand(n_atoms, 3).astype(np.float32) * 3 + 1
+        z1 = rng.choice([6, 7, 8], n_atoms).astype(np.int32)
+        z2 = rng.choice([6, 7, 8], n_atoms).astype(np.int32)
+        cx = np.concatenate([f1, f2])
+        cz = np.concatenate([z1, z2])
+        X[i] = (f1, neighbor_dict(f1, 12.0, 4), z1,
+                f2, neighbor_dict(f2, 12.0, 4), z2,
+                cx, neighbor_dict(cx, 12.0, 4), cz)
+        y[i, 0] = cz.sum() * 0.01
     ds = NumpyDataset(X, y)
-    m = AtomicConvModel(n_tasks=1, max_atoms=max_atoms, batch_size=5,
-                        layer_sizes=(16, 8), learning_rate=0.003)
+    m = AtomicConvModel(
+        n_tasks=1, frag1_num_atoms=n_atoms, frag2_num_atoms=n_atoms,
+        complex_num_atoms=2 * n_atoms, max_num_neighbors=4,
+        batch_size=4, layer_sizes=[16, 8],
+        radial=[[1.5, 3.0, 6.0, 12.0], [0.0, 2.0, 4.0], [0.4]],
+        learning_rate=0.003)
     l0 = m.fit(ds, nb_epoch=2, checkpoint_interval=0)
     l1 = m.fit(ds, nb_epoch=40, checkpoint_interval=0)
     assert l1 < l0
