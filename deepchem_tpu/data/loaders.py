@@ -38,23 +38,49 @@ def _filter_valid(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return kept, np.nonzero(valid)[0]
 
 
+def _lookahead(gen: Iterator, depth: int = 1) -> Iterator:
+    """Run a generator one item ahead in a thread so shard featurization
+    (CPU pool) overlaps DiskDataset shard WRITES (joblib compression) —
+    the streaming half of SURVEY section 7's 'multiprocess feature
+    workers feeding shard writers'."""
+    import queue
+    import threading
+    q: 'queue.Queue' = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:
+            q.put(e)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def _convert_df_to_numpy(df, tasks: Sequence[str]) -> Tuple[np.ndarray,
                                                             np.ndarray]:
     """Extract (y, w) from dataframe task columns; missing values get w=0
     (reference data_loader.py:40 _convert_df_to_numpy)."""
+    import pandas as pd
     n = len(df)
     n_tasks = len(tasks)
     y = np.zeros((n, n_tasks), dtype=float)
     w = np.ones((n, n_tasks), dtype=float)
     for i, task in enumerate(tasks):
-        col = df[task].values
-        for j, raw in enumerate(col):
-            if raw is None or (isinstance(raw, float) and np.isnan(raw)) \
-                    or raw == '':
-                y[j, i] = 0.0
-                w[j, i] = 0.0
-            else:
-                y[j, i] = float(raw)
+        col = df[task]
+        vals = pd.to_numeric(col, errors='coerce')
+        missing = vals.isna().to_numpy()
+        y[:, i] = np.nan_to_num(vals.to_numpy(dtype=float), nan=0.0)
+        w[:, i] = (~missing).astype(float)
     return y, w
 
 
@@ -65,13 +91,18 @@ class DataLoader:
     def __init__(self, tasks: Sequence[str],
                  featurizer: Featurizer,
                  id_field: Optional[str] = None,
-                 log_every_n: int = 1000):
+                 log_every_n: int = 1000,
+                 n_jobs: Optional[int] = None):
         if not isinstance(tasks, (list, tuple)):
             raise ValueError('tasks must be a list of task names')
         self.tasks = list(tasks)
         self.featurizer = featurizer
         self.id_field = id_field
         self.log_every_n = log_every_n
+        #: featurization process-pool width; None = all cores (VERDICT
+        #: r2 item 5: n_jobs was previously never plumbed from the
+        #: loaders into feat/base.py's pool)
+        self.n_jobs = os.cpu_count() if n_jobs is None else n_jobs
         self.user_specified_features = None
         if isinstance(featurizer, UserDefinedFeaturizer):
             self.user_specified_features = featurizer.feature_fields
@@ -80,6 +111,18 @@ class DataLoader:
         """Alias kept for reference-API compatibility
         (data_loader.py:164)."""
         return self.create_dataset(inputs, data_dir, shard_size)
+
+    def _featurize(self, inputs):
+        """Run the featurizer over one shard's raw inputs with the
+        loader's pool width (hot loop #1)."""
+        try:
+            return self.featurizer.featurize(
+                inputs, log_every_n=self.log_every_n,
+                n_jobs=self.n_jobs)
+        except TypeError:
+            # featurizers with custom signatures (no n_jobs support)
+            return self.featurizer.featurize(
+                inputs, log_every_n=self.log_every_n)
 
     def create_dataset(self, inputs: Union[str, Sequence],
                        data_dir: Optional[str] = None,
@@ -100,8 +143,8 @@ class DataLoader:
                 logger.info('featurized shard %d (%d/%d valid)',
                             shard_num, len(X), len(valid))
                 yield X, y, w, ids
-        return DiskDataset.create_dataset(shard_generator(), data_dir,
-                                          self.tasks)
+        return DiskDataset.create_dataset(
+            _lookahead(shard_generator()), data_dir, self.tasks)
 
     # subclass hooks -------------------------------------------------------
     def _get_shards(self, inputs: List, shard_size: Optional[int]):
@@ -128,12 +171,14 @@ class CSVLoader(DataLoader):
                  feature_field: Optional[str] = None,
                  id_field: Optional[str] = None,
                  smiles_field: Optional[str] = None,
-                 log_every_n: int = 1000):
+                 log_every_n: int = 1000,
+                 n_jobs: Optional[int] = None):
         if smiles_field is not None:
             logger.warning('smiles_field is deprecated; use feature_field')
             if feature_field is None:
                 feature_field = smiles_field
-        super().__init__(tasks, featurizer, id_field, log_every_n)
+        super().__init__(tasks, featurizer, id_field, log_every_n,
+                         n_jobs=n_jobs)
         self.feature_field = feature_field
         if id_field is None:
             self.id_field = feature_field
@@ -148,8 +193,7 @@ class CSVLoader(DataLoader):
 
     def _featurize_shard(self, shard):
         inputs = shard[self.feature_field].values
-        feats = self.featurizer.featurize(inputs,
-                                          log_every_n=self.log_every_n)
+        feats = self._featurize(inputs)
         return _filter_valid(feats)
 
     def _shard_ids(self, shard):
@@ -177,8 +221,9 @@ class JsonLoader(DataLoader):
 
     def __init__(self, tasks, featurizer, feature_field,
                  id_field=None, label_field=None, weight_field=None,
-                 log_every_n: int = 1000):
-        super().__init__(tasks, featurizer, id_field, log_every_n)
+                 log_every_n: int = 1000, n_jobs=None):
+        super().__init__(tasks, featurizer, id_field, log_every_n,
+                         n_jobs=n_jobs)
         self.feature_field = feature_field
         self.label_field = label_field
         self.weight_field = weight_field
@@ -194,8 +239,7 @@ class JsonLoader(DataLoader):
                     yield df.iloc[start:start + shard_size]
 
     def _featurize_shard(self, shard):
-        feats = self.featurizer.featurize(
-            shard[self.feature_field].values, log_every_n=self.log_every_n)
+        feats = self._featurize(shard[self.feature_field].values)
         return _filter_valid(feats)
 
     def _shard_ids(self, shard):
@@ -211,8 +255,9 @@ class SDFLoader(DataLoader):
     data_loader.py:733)."""
 
     def __init__(self, tasks, featurizer, sanitize: bool = False,
-                 log_every_n: int = 1000):
-        super().__init__(tasks, featurizer, None, log_every_n)
+                 log_every_n: int = 1000, n_jobs=None):
+        super().__init__(tasks, featurizer, None, log_every_n,
+                         n_jobs=n_jobs)
         self.sanitize = sanitize
 
     def _get_shards(self, inputs, shard_size):
@@ -231,8 +276,7 @@ class SDFLoader(DataLoader):
 
     def _featurize_shard(self, shard):
         mols = [m for m, _ in shard]
-        feats = self.featurizer.featurize(mols,
-                                          log_every_n=self.log_every_n)
+        feats = self._featurize(mols)
         return _filter_valid(feats)
 
     def _shard_ids(self, shard):

@@ -217,10 +217,50 @@ class ConvMolFeaturizer(MolecularFeaturizer):
     def feature_length(self) -> int:
         return 75 + (3 if self.use_chirality else 0)
 
+    def featurize(self, datapoints, log_every_n: int = 1000,
+                  n_jobs: int = 1, **kwargs) -> np.ndarray:
+        """String datapoints take the NATIVE fast path (C++ parse +
+        perception, chem/native_parse.py — 30k mol/s vs 2.4k Python,
+        byte-identical features); anything the native parser rejects
+        falls back to the Python path per datapoint."""
+        from deepchem_tpu.chem.native_parse import (native_available,
+                                                    parse_smiles_props)
+        simple = (not self.master_atom and not self.atom_properties
+                  and not self.per_atom_fragmentation and n_jobs <= 1)
+        if not simple or not native_available() \
+                or isinstance(datapoints, (str, Molecule)) \
+                or not hasattr(datapoints, '__len__') \
+                or not hasattr(datapoints, '__getitem__'):
+            return super().featurize(datapoints, log_every_n,
+                                     n_jobs=n_jobs, **kwargs)
+        out = np.empty(len(datapoints), dtype=object)
+        slow: list = []
+        for i, point in enumerate(datapoints):
+            props = parse_smiles_props(point) \
+                if isinstance(point, str) else None
+            if props is None:
+                slow.append(i)
+                continue
+            ap, bp = props
+            feats = fu.atom_features_75_from_props(
+                ap, use_chirality=self.use_chirality)
+            ne = len(bp)
+            ei = np.empty((2, 2 * ne), dtype=np.int64)
+            ei[0, 0::2] = bp[:, 0]
+            ei[0, 1::2] = bp[:, 1]
+            ei[1, 0::2] = bp[:, 1]
+            ei[1, 1::2] = bp[:, 0]
+            out[i] = GraphData(feats, ei)
+        if slow:
+            fallback = super().featurize(
+                [datapoints[i] for i in slow], log_every_n, **kwargs)
+            for j, i in enumerate(slow):
+                out[i] = fallback[j]
+        return out
+
     def _featurize(self, mol: Molecule, **kwargs) -> GraphData:
-        feats = np.stack([
-            fu.atom_features_75(a, mol, use_chirality=self.use_chirality)
-            for a in mol.atoms])
+        feats = fu.atom_features_75_mol(
+            mol, use_chirality=self.use_chirality)
         src, dst = [], []
         for b in mol.bonds:
             src += [b.a1, b.a2]

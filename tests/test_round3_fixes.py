@@ -239,3 +239,40 @@ def test_fit_fast_cache_invalidated_by_version(tmp_path):
     ds._version = getattr(ds, '_version', 0) + 1
     model.fit(ds, nb_epoch=1, checkpoint_interval=0)
     assert model._fit_data_cache is not c1
+
+
+# -- parallel featurization wiring ----------------------------------------
+
+def test_n_jobs_pool_matches_serial():
+    """Pooled featurization (workers parse SMILES) must produce
+    byte-identical features to the serial path."""
+    from deepchem_tpu.feat import CircularFingerprint
+    smiles = ['CCO', 'c1ccccc1', 'CC(=O)OC1=CC=CC=C1C(=O)O',
+              'not_a_smiles', 'CCN'] * 20
+    feat = CircularFingerprint(size=512)
+    a = feat.featurize(smiles, n_jobs=1)
+    b = feat.featurize(smiles, n_jobs=2)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_loader_n_jobs_plumbed(tmp_path):
+    import csv as _csv
+    from deepchem_tpu.data import CSVLoader
+    from deepchem_tpu.feat import CircularFingerprint
+    path = tmp_path / 'mini.csv'
+    with open(path, 'w', newline='') as f:
+        w = _csv.writer(f)
+        w.writerow(['smiles', 'task'])
+        for s, y in [('CCO', 1), ('CCN', 0), ('c1ccccc1', 1)] * 30:
+            w.writerow([s, y])
+    loader = CSVLoader(['task'], CircularFingerprint(size=128),
+                       feature_field='smiles', n_jobs=2)
+    assert loader.n_jobs == 2
+    ds = loader.create_dataset(str(path), str(tmp_path / 'out'))
+    assert len(ds) == 90 and ds.X.shape == (90, 128)
+    serial = CSVLoader(['task'], CircularFingerprint(size=128),
+                       feature_field='smiles', n_jobs=1)
+    ds2 = serial.create_dataset(str(path), str(tmp_path / 'out2'))
+    np.testing.assert_array_equal(ds.X, ds2.X)
