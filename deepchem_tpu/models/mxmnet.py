@@ -149,12 +149,23 @@ class MXMNetModel(GraphModel):
              for g, off in zip(graphs, offsets)], axis=1) \
             if graphs else np.zeros((2, 0), np.int64)
         n_global = ge.shape[1]
-        node_cap, ledge_cap = bucket_caps(batch.num_nodes + 1,
-                                          batch.num_edges,
-                                          self.node_quantum,
-                                          self.edge_quantum)
-        _, gedge_cap = bucket_caps(1, max(n_global, 1),
-                                   self.node_quantum, self.edge_quantum)
+        if self._fixed_caps is not None:
+            # uniform-shape mode (fit_on_device/_fit_fast): the global
+            # radius graph has ~2-3x the local edge count, so cap it at
+            # 4x the local cap
+            node_cap, ledge_cap = self._fixed_caps
+            gedge_cap = 4 * ledge_cap
+            if n_global > gedge_cap:
+                raise ValueError(
+                    f'global edges {n_global} exceed cap {gedge_cap}')
+        else:
+            node_cap, ledge_cap = bucket_caps(batch.num_nodes + 1,
+                                              batch.num_edges,
+                                              self.node_quantum,
+                                              self.edge_quantum)
+            _, gedge_cap = bucket_caps(1, max(n_global, 1),
+                                       self.node_quantum,
+                                       self.edge_quantum)
         d = batch.pad(node_cap, ledge_cap, num_graphs=self.batch_size)
         gsrc = np.full(gedge_cap, node_cap - 1, dtype=np.int32)
         gdst = np.full(gedge_cap, node_cap - 1, dtype=np.int32)
