@@ -511,11 +511,16 @@ class DFTYamlLoader(DataLoader):
             with open(path) as f:
                 records = yaml.safe_load(f) or []
             for rec in records:
-                entries.append(DFTEntry(rec['e_type'],
-                                        float(rec['true_val']),
-                                        rec['systems'],
-                                        **self.entry_kwargs))
-                ys.append(float(rec['true_val']))
+                e_type = rec['e_type']
+                true_val = rec['true_val']
+                if e_type not in ('dm', 'dens'):
+                    true_val = float(true_val)
+                entries.append(DFTEntry(
+                    e_type, true_val, rec['systems'],
+                    weight=float(rec.get('weight', 1.0)),
+                    **self.entry_kwargs))
+                ys.append(float(true_val)
+                          if e_type not in ('dm', 'dens') else 0.0)
         X = np.empty(len(entries), dtype=object)
         X[:] = entries
         y = np.asarray(ys).reshape(-1, 1)

@@ -256,3 +256,155 @@ def pbe0_xc_spin(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb):
 
 def lsda_xc_spin(rho_a, rho_b):
     return lsda_xc(rho_a, rho_b)
+
+
+# -- SCAN meta-GGA (Sun, Ruzsinszky, Perdew, PRL 115, 036402 (2015)) -------
+# The repo's meta-GGA entry (VERDICT r2 item 8): tau-dependent exchange +
+# correlation.  Formulas transcribed from the paper + SI; limit checks
+# (uniform gas -> LDA/PW92 at s=0, alpha=1) in tests/test_dft_scf.py.
+
+def _pw92_ec_unpol(rs):
+    """PW92 epsilon_c(rs, zeta=0), Hartree per particle (Perdew-Wang
+    1992 eq. 10 with unpolarized parameters)."""
+    A, a1, b1, b2, b3, b4 = (0.031091, 0.21370, 7.5957, 3.5876, 1.6382,
+                             0.49294)
+    srs = jnp.sqrt(rs)
+    q0 = -2.0 * A * (1.0 + a1 * rs)
+    q1 = 2.0 * A * (b1 * srs + b2 * rs + b3 * rs * srs + b4 * rs * rs)
+    return q0 * jnp.log1p(1.0 / jnp.maximum(q1, 1e-15))
+
+
+def _pw92_ec_spin(rs, zeta):
+    """PW92 epsilon_c(rs, zeta) with the full spin interpolation."""
+    def G(rs, A, a1, b1, b2, b3, b4):
+        srs = jnp.sqrt(rs)
+        q0 = -2.0 * A * (1.0 + a1 * rs)
+        q1 = 2.0 * A * (b1 * srs + b2 * rs + b3 * rs * srs
+                        + b4 * rs * rs)
+        return q0 * jnp.log1p(1.0 / jnp.maximum(q1, 1e-15))
+    ec0 = G(rs, 0.031091, 0.21370, 7.5957, 3.5876, 1.6382, 0.49294)
+    ec1 = G(rs, 0.015545, 0.20548, 14.1189, 6.1977, 3.3662, 0.62517)
+    mac = -G(rs, 0.016887, 0.11125, 10.357, 3.6231, 0.88026, 0.49671)
+    fz = ((1 + zeta) ** (4.0 / 3) + (1 - zeta) ** (4.0 / 3) - 2) \
+        / (2 ** (4.0 / 3) - 2)
+    fpp0 = 1.709921
+    z4 = zeta ** 4
+    return ec0 + (mac / fpp0) * fz * (1 - z4) + (ec1 - ec0) * fz * z4
+
+
+def _scan_fx(s2, alpha):
+    """SCAN exchange enhancement F_x(s, alpha)."""
+    k1 = 0.065
+    mu_ak = 10.0 / 81.0
+    b2 = jnp.sqrt(5913.0 / 405000.0)
+    b1 = (511.0 / 13500.0) / (2.0 * b2)
+    b3 = 0.5
+    b4 = mu_ak ** 2 / k1 - 1606.0 / 18225.0 - b1 ** 2
+    c1x, c2x, dx = 0.667, 0.8, 1.24
+    h0x = 1.174
+    # clamp (1 - alpha): the x*exp(-x^2) term vanishes beyond |x|~6
+    # anyway, and un-clamped it overflows to -inf*0 = NaN in f32 at
+    # near-zero-density grid points where alpha explodes
+    one_m_a = jnp.clip(1.0 - alpha, -20.0, 20.0)
+    x = mu_ak * s2 * (1.0 + (b4 * s2 / mu_ak)
+                      * jnp.exp(-jnp.abs(b4) * s2 / mu_ak)) \
+        + (b1 * s2 + b2 * one_m_a * jnp.exp(-b3 * one_m_a ** 2)) ** 2
+    h1x = 1.0 + k1 - k1 / (1.0 + x / k1)
+    # interpolation f_x(alpha): branch-safe around alpha = 1
+    # (epsilon must survive f32: 1.0 +/- 1e-12 rounds to 1.0 exactly)
+    am = jnp.minimum(alpha, 1.0 - 1e-6)
+    ap = jnp.maximum(alpha, 1.0 + 1e-6)
+    fx = jnp.where(
+        alpha < 1.0,
+        jnp.exp(-c1x * am / (1.0 - am)),
+        -dx * jnp.exp(c2x / (1.0 - ap)))
+    s = jnp.sqrt(jnp.maximum(s2, 1e-24))
+    gx = 1.0 - jnp.exp(-4.9479 / jnp.sqrt(s))
+    return (h1x + fx * (h0x - h1x)) * gx
+
+
+def _scan_alpha(rho, sigma, tau, dx_zeta=1.0):
+    tau_w = sigma / jnp.maximum(8.0 * rho, 1e-15)
+    tau_unif = 0.3 * (3.0 * jnp.pi ** 2) ** (2.0 / 3.0) \
+        * rho ** (5.0 / 3.0) * dx_zeta
+    return jnp.minimum(
+        jnp.maximum(tau - tau_w, 0.0) / jnp.maximum(tau_unif, 1e-15),
+        1e6)
+
+
+def scan_exchange(rho, sigma, tau):
+    """Closed-shell SCAN exchange energy density (per volume)."""
+    kf = (3.0 * jnp.pi ** 2 * rho) ** (1.0 / 3.0)
+    s2 = sigma / jnp.maximum((2.0 * kf * rho) ** 2, 1e-15)
+    alpha = _scan_alpha(rho, sigma, tau)
+    ex_unif = -(3.0 / (4.0 * jnp.pi)) * kf * rho
+    return ex_unif * _scan_fx(s2, alpha)
+
+
+def _scan_ec(rho, sigma, tau, zeta=0.0, dx_zeta=1.0, phi_z=1.0,
+             gc_z=1.0):
+    """SCAN correlation energy per particle."""
+    rs = (3.0 / (4.0 * jnp.pi * jnp.maximum(rho, 1e-12))) ** (1.0 / 3.0)
+    kf = (3.0 * jnp.pi ** 2 * rho) ** (1.0 / 3.0)
+    s2 = sigma / jnp.maximum((2.0 * kf * rho) ** 2, 1e-15)
+    alpha = _scan_alpha(rho, sigma, tau, dx_zeta)
+    # ec1: PW92 + gradient term with rs-dependent beta
+    gamma = 0.031091
+    beta = 0.066725 * (1.0 + 0.1 * rs) / (1.0 + 0.1778 * rs)
+    ec_lsda = _pw92_ec_spin(rs, zeta) if zeta is not None else \
+        _pw92_ec_unpol(rs)
+    phi3 = phi_z ** 3
+    w1 = jnp.expm1(-ec_lsda / (gamma * phi3))
+    t2 = (3.0 * jnp.pi ** 2 / 16.0) ** (2.0 / 3.0) * s2 \
+        / jnp.maximum(phi_z ** 2 * rs, 1e-12)
+    A = beta / (gamma * jnp.maximum(w1, 1e-15))
+    g_at2 = (1.0 + 4.0 * A * t2) ** (-0.25)
+    H1 = gamma * phi3 * jnp.log1p(w1 * (1.0 - g_at2))
+    ec1 = ec_lsda + H1
+    # ec0: low-density limit form
+    b1c, b2c, b3c = 0.0285764, 0.0889, 0.125541
+    ec_lda0 = -b1c / (1.0 + b2c * jnp.sqrt(rs) + b3c * rs)
+    w0 = jnp.expm1(-ec_lda0 / b1c)
+    chi = 0.12802585262625815
+    ginf = (1.0 + 4.0 * chi * s2) ** (-0.25)
+    H0 = b1c * jnp.log1p(w0 * (1.0 - ginf))
+    ec0 = (ec_lda0 + H0) * gc_z
+    # interpolation f_c(alpha)
+    c1c, c2c, dc = 0.64, 1.5, 0.7
+    am = jnp.minimum(alpha, 1.0 - 1e-6)
+    ap = jnp.maximum(alpha, 1.0 + 1e-6)
+    fc = jnp.where(alpha < 1.0,
+                   jnp.exp(-c1c * am / (1.0 - am)),
+                   -dc * jnp.exp(c2c / (1.0 - ap)))
+    return ec1 + fc * (ec0 - ec1)
+
+
+def scan_correlation(rho, sigma, tau):
+    return rho * _scan_ec(rho, sigma, tau, zeta=0.0)
+
+
+def scan_xc(rho, sigma, tau):
+    """Closed-shell SCAN exchange-correlation energy density."""
+    return scan_exchange(rho, sigma, tau) + scan_correlation(rho, sigma,
+                                                             tau)
+
+
+def scan_xc_spin(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb,
+                 tau_a, tau_b):
+    """Spin-resolved SCAN: exact spin scaling for exchange
+    (Ex[na, nb] = (Ex[2na] + Ex[2nb]) / 2) and the zeta-dependent
+    correlation (phi, Gc, dx(zeta) from the SI)."""
+    ex = 0.5 * (scan_exchange(2.0 * rho_a, 4.0 * sigma_aa, 2.0 * tau_a)
+                + scan_exchange(2.0 * rho_b, 4.0 * sigma_bb,
+                                2.0 * tau_b))
+    rho = rho_a + rho_b
+    sigma = sigma_aa + 2.0 * sigma_ab + sigma_bb
+    tau = tau_a + tau_b
+    zeta = jnp.clip((rho_a - rho_b) / jnp.maximum(rho, 1e-12),
+                    -1.0 + 1e-6, 1.0 - 1e-6)
+    phi_z = 0.5 * ((1 + zeta) ** (2.0 / 3) + (1 - zeta) ** (2.0 / 3))
+    dx_z = 0.5 * ((1 + zeta) ** (4.0 / 3) + (1 - zeta) ** (4.0 / 3))
+    gc_z = (1.0 - 2.3631 * (dx_z - 1.0)) * (1.0 - zeta ** 12)
+    ec = _scan_ec(rho, sigma, tau, zeta=zeta, dx_zeta=dx_z,
+                  phi_z=phi_z, gc_z=gc_z)
+    return ex + rho * ec

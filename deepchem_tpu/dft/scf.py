@@ -16,7 +16,7 @@ the vendored DQC solver) as a TPU-first program:
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -34,22 +34,33 @@ from deepchem_tpu.dft.grid import molecular_grid
 ANGSTROM_TO_BOHR = 1.0 / 0.52917721092
 
 
-def _exc_energy(D, phi, dphi, weights, exc_fn, use_sigma):
-    """Quadrature Exc as a function of the density matrix (jnp)."""
+def _exc_energy(D, phi, dphi, weights, exc_fn, use_sigma,
+                use_tau=False):
+    """Quadrature Exc as a function of the density matrix (jnp).
+
+    With ``use_tau`` (meta-GGA) the kinetic-energy density
+    tau = 1/2 sum_occ |grad psi|^2 = 1/2 sum_d (dphi D dphi) enters as a
+    third argument; its contribution to Vxc comes out of the same
+    d/dD autodiff (generalized Kohn-Sham)."""
     rho = jnp.einsum('ij,gi,gj->g', D, phi, phi)
     rho = jnp.maximum(rho, 1e-12)
     if use_sigma:
         grad_rho = 2.0 * jnp.einsum('ij,gai,gj->ga', D, dphi, phi)
         sigma = jnp.einsum('ga,ga->g', grad_rho, grad_rho)
-        e = exc_fn(rho, sigma)
+        if use_tau:
+            tau = 0.5 * jnp.einsum('ij,gai,gaj->g', D, dphi, dphi)
+            e = exc_fn(rho, sigma, tau)
+        else:
+            e = exc_fn(rho, sigma)
     else:
         e = exc_fn(rho)
     return jnp.sum(weights * e)
 
 
-def _exc_energy_spin(Da, Db, phi, dphi, weights, exc_fn, use_sigma):
+def _exc_energy_spin(Da, Db, phi, dphi, weights, exc_fn, use_sigma,
+                     use_tau=False):
     """Quadrature Exc for spin-resolved functionals
-    exc(rho_a, rho_b[, sigma_aa, sigma_ab, sigma_bb])."""
+    exc(rho_a, rho_b[, sigma_aa, sigma_ab, sigma_bb[, tau_a, tau_b]])."""
     rho_a = jnp.maximum(jnp.einsum('ij,gi,gj->g', Da, phi, phi), 1e-12)
     rho_b = jnp.maximum(jnp.einsum('ij,gi,gj->g', Db, phi, phi), 1e-12)
     if use_sigma:
@@ -58,17 +69,55 @@ def _exc_energy_spin(Da, Db, phi, dphi, weights, exc_fn, use_sigma):
         saa = jnp.einsum('ga,ga->g', ga, ga)
         sab = jnp.einsum('ga,ga->g', ga, gb)
         sbb = jnp.einsum('ga,ga->g', gb, gb)
-        e = exc_fn(rho_a, rho_b, saa, sab, sbb)
+        if use_tau:
+            ta = 0.5 * jnp.einsum('ij,gai,gaj->g', Da, dphi, dphi)
+            tb = 0.5 * jnp.einsum('ij,gai,gaj->g', Db, dphi, dphi)
+            e = exc_fn(rho_a, rho_b, saa, sab, sbb, ta, tb)
+        else:
+            e = exc_fn(rho_a, rho_b, saa, sab, sbb)
     else:
         e = exc_fn(rho_a, rho_b)
     return jnp.sum(weights * e)
+
+
+@jax.custom_vjp
+def eigh_safe(A):
+    """eigh whose BACKWARD zeroes the 1/(lambda_i - lambda_j) terms for
+    (near-)degenerate pairs instead of producing inf/NaN.  Exact atomic
+    p/d-shell degeneracies otherwise NaN every gradient through the SCF
+    (the density matrix is rotation-invariant within fully occupied or
+    fully virtual degenerate blocks, so dropping those terms is exact
+    there; partially occupied degenerate shells are ill-defined for any
+    eigh gradient)."""
+    w, V = jnp.linalg.eigh(A)
+    return w, V                       # plain tuple (not EighResult)
+
+
+def _eigh_safe_fwd(A):
+    w, V = jnp.linalg.eigh(A)
+    return (w, V), (w, V)
+
+
+def _eigh_safe_bwd(res, cotangents):
+    w, V = res
+    gw, gV = cotangents
+    diff = w[None, :] - w[:, None]
+    safe = jnp.abs(diff) > 1e-9
+    F = jnp.where(safe, 1.0 / jnp.where(safe, diff, 1.0), 0.0)
+    mid = jnp.diag(gw) + F * (V.T @ gV)
+    gA = V @ mid @ V.T
+    return (0.5 * (gA + gA.T),)
+
+
+eigh_safe.defvjp(_eigh_safe_fwd, _eigh_safe_bwd)
 
 
 def scf_loop(H, S_invsqrt, eri, n_occ: int,
              exc_fn: Optional[Callable] = None,
              phi=None, dphi=None, weights=None,
              use_sigma: bool = False, hf_exchange: float = 0.0,
-             iterations: int = 50, mixing: float = 0.5):
+             iterations: int = 50, mixing: float = 0.5,
+             use_tau: bool = False):
     """Fixed-iteration restricted SCF; returns (E_electronic, D, mo_e).
 
     exc_fn=None with hf_exchange=1.0 is Hartree-Fock; exc_fn set with
@@ -87,7 +136,7 @@ def scf_loop(H, S_invsqrt, eri, n_occ: int,
         Exc = 0.0
         if exc_fn is not None:
             Exc, Vxc = jax.value_and_grad(_exc_energy)(
-                D, phi, dphi, weights, exc_fn, use_sigma)
+                D, phi, dphi, weights, exc_fn, use_sigma, use_tau)
             # d/dD of einsum('ij,...') is already symmetric; symmetrize
             # anyway to guard numerical asymmetry
             F = F + 0.5 * (Vxc + Vxc.T)
@@ -96,7 +145,7 @@ def scf_loop(H, S_invsqrt, eri, n_occ: int,
 
     def density(F):
         Fp = S_invsqrt.T @ F @ S_invsqrt
-        mo_e, Cp = jnp.linalg.eigh(Fp)
+        mo_e, Cp = eigh_safe(Fp)
         C = S_invsqrt @ Cp
         occ = C[:, :n_occ]
         return 2.0 * occ @ occ.T, mo_e
@@ -182,10 +231,12 @@ class KohnShamSCF:
     """
 
     def __init__(self, xc='lda', use_sigma: Optional[bool] = None,
-                 iterations: int = 50, mixing: float = 0.5):
+                 iterations: int = 50, mixing: float = 0.5,
+                 use_tau: bool = False):
         self.iterations = iterations
         self.mixing = mixing
         self.hf_exchange = 0.0
+        self.use_tau = use_tau
         self.exc_fn_spin: Optional[Callable] = None
         if callable(xc):
             self.exc_fn = xc
@@ -214,6 +265,14 @@ class KohnShamSCF:
             self.exc_fn_spin = pbe0_xc_spin
             self.use_sigma = True
             self.hf_exchange = 0.25
+        elif xc == 'scan':
+            # meta-GGA (tau-dependent); dft/functionals.py SCAN port
+            from deepchem_tpu.dft.functionals import (scan_xc,
+                                                      scan_xc_spin)
+            self.exc_fn = scan_xc
+            self.exc_fn_spin = scan_xc_spin
+            self.use_sigma = True
+            self.use_tau = True
         else:
             raise ValueError(f'unknown xc {xc!r}')
 
@@ -231,7 +290,8 @@ class KohnShamSCF:
             dphi=jnp.asarray(system.dphi),
             weights=jnp.asarray(system.grid_weights),
             use_sigma=self.use_sigma, hf_exchange=self.hf_exchange,
-            iterations=self.iterations, mixing=self.mixing)
+            iterations=self.iterations, mixing=self.mixing,
+            use_tau=self.use_tau)
         return KSCalc(system, E, D, mo_e)
 
 
@@ -277,14 +337,83 @@ class XCNNSCF:
             return E + e_nuc
         return total_energy
 
-    def run(self, system: DFTSystem) -> KSCalc:
+    def _exc_closure(self, params):
         if self.use_sigma:
             def exc(rho, sigma):
-                return self.nnxc.apply(self.params, rho, sigma)
+                return self.nnxc.apply(params, rho, sigma)
         else:
             def exc(rho):
-                return self.nnxc.apply(self.params, rho)
-        solver = KohnShamSCF(exc, use_sigma=self.use_sigma,
+                return self.nnxc.apply(params, rho)
+        return exc
+
+    def energy_fn_unrestricted(self, system: DFTSystem,
+                               spin: int = 0) -> Callable:
+        """params -> total energy for open-shell systems (total-density
+        neural functional over spin-summed rho)."""
+        if not spin:
+            spin = system.n_elec % 2
+        n_alpha = (system.n_elec + spin) // 2
+        n_beta = system.n_elec - n_alpha
+        H = jnp.asarray(system.T + system.V)
+        Sih = jnp.asarray(system.S_invsqrt)
+        eri = jnp.asarray(system.eri)
+        phi = jnp.asarray(system.phi)
+        dphi = jnp.asarray(system.dphi)
+        w = jnp.asarray(system.grid_weights)
+        e_nuc = system.e_nuc
+
+        def total_energy(params):
+            E, _, _ = scf_loop_unrestricted(
+                H, Sih, eri, n_alpha, n_beta,
+                exc_fn=self._exc_closure(params), phi=phi, dphi=dphi,
+                weights=w, use_sigma=self.use_sigma,
+                iterations=self.iterations, mixing=self.mixing)
+            return E + e_nuc
+        return total_energy
+
+    def system_energy_fn(self, system: DFTSystem,
+                         spin: int = 0) -> Callable:
+        """params -> total energy, restricted when closed-shell and
+        spin-unpolarized, else unrestricted."""
+        if spin or system.n_elec % 2:
+            return self.energy_fn_unrestricted(system, spin)
+        return self.energy_fn(system)
+
+    def density_matrix_fn(self, system: DFTSystem) -> Callable:
+        """params -> total AO density matrix (reference _EntryDM
+        get_val: qcs[0].aodmtot())."""
+        H = jnp.asarray(system.T + system.V)
+        Sih = jnp.asarray(system.S_invsqrt)
+        eri = jnp.asarray(system.eri)
+        phi = jnp.asarray(system.phi)
+        dphi = jnp.asarray(system.dphi)
+        w = jnp.asarray(system.grid_weights)
+        n_occ = system.n_elec // 2
+
+        def dm(params):
+            _, D, _ = scf_loop(H, Sih, eri, n_occ,
+                               exc_fn=self._exc_closure(params),
+                               phi=phi, dphi=dphi, weights=w,
+                               use_sigma=self.use_sigma,
+                               iterations=self.iterations,
+                               mixing=self.mixing)
+            return D
+        return dm
+
+    def density_fn(self, system: DFTSystem) -> Callable:
+        """params -> electron density on the system's grid (reference
+        _EntryDens get_val via its integration grid)."""
+        dm = self.density_matrix_fn(system)
+        phi = jnp.asarray(system.phi)
+
+        def dens(params):
+            D = dm(params)
+            return jnp.einsum('ij,gi,gj->g', D, phi, phi)
+        return dens
+
+    def run(self, system: DFTSystem) -> KSCalc:
+        solver = KohnShamSCF(self._exc_closure(self.params),
+                             use_sigma=self.use_sigma,
                              iterations=self.iterations,
                              mixing=self.mixing)
         return solver.run(system)
@@ -296,7 +425,8 @@ def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
                           use_sigma: bool = False,
                           hf_exchange: float = 0.0,
                           iterations: int = 50, mixing: float = 0.5,
-                          spin_polarized_xc: bool = False):
+                          spin_polarized_xc: bool = False,
+                          use_tau: bool = False):
     """Unrestricted (spin-polarized occupations) SCF for open-shell
     systems — atomization-energy references need isolated atoms.
 
@@ -325,12 +455,12 @@ def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
         if exc_fn is not None and spin_polarized_xc:
             Exc, (Vxa, Vxb) = jax.value_and_grad(
                 _exc_energy_spin, argnums=(0, 1))(
-                Da, Db, phi, dphi, weights, exc_fn, use_sigma)
+                Da, Db, phi, dphi, weights, exc_fn, use_sigma, use_tau)
             Fa = Fa + 0.5 * (Vxa + Vxa.T)
             Fb = Fb + 0.5 * (Vxb + Vxb.T)
         elif exc_fn is not None:
             Exc, Vxc = jax.value_and_grad(_exc_energy)(
-                D, phi, dphi, weights, exc_fn, use_sigma)
+                D, phi, dphi, weights, exc_fn, use_sigma, use_tau)
             Vxc = 0.5 * (Vxc + Vxc.T)
             Fa = Fa + Vxc
             Fb = Fb + Vxc
@@ -339,7 +469,7 @@ def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
 
     def density(F, nocc):
         Fp = S_invsqrt.T @ F @ S_invsqrt
-        mo_e, Cp = jnp.linalg.eigh(Fp)
+        mo_e, Cp = eigh_safe(Fp)
         C = S_invsqrt @ Cp
         occ = C[:, :nocc] if nocc > 0 else C[:, :1] * 0.0
         return occ @ occ.T, mo_e
@@ -392,7 +522,8 @@ def run_unrestricted(system: 'DFTSystem', xc='lda',
         weights=jnp.asarray(system.grid_weights),
         use_sigma=solver.use_sigma, hf_exchange=solver.hf_exchange,
         iterations=iterations, mixing=mixing,
-        spin_polarized_xc=solver.exc_fn_spin is not None)
+        spin_polarized_xc=solver.exc_fn_spin is not None,
+        use_tau=solver.use_tau)
     return float(E) + system.e_nuc
 
 
@@ -410,19 +541,53 @@ def parse_moldesc(moldesc: str) -> Tuple[List[str], 'np.ndarray']:
 
 
 class DFTEntry:
-    """One labeled DFT datapoint (reference feat/dft_data.py DFTEntry):
-    e_type 'ae' (atomization energy) or 'ie'/'e' (total energy), the true
-    value (Hartree), and one or more systems given as DQC moldesc
-    strings."""
+    """One labeled DFT datapoint (reference feat/dft_data.py DFTEntry
+    hierarchy _EntryAE/_EntryIE/_EntryDM/_EntryDens):
 
-    def __init__(self, e_type: str, true_val: float,
-                 systems: Sequence[dict], n_radial: int = 40,
+    - 'ae'/'ie': energy combination sum_i n_i E_i - 2 n_0 E_0 over the
+      listed systems (the reference's get_val formula,
+      feat/dft_data.py _EntryIE.get_val) — for a single-system 'ae'
+      entry the isolated-atom references are derived from the formula
+      instead;
+    - 'e': plain total energy sum;
+    - 'dm': the single system's total AO density matrix (true_val may
+      be a .npy path);
+    - 'dens': the single system's density profile on its own grid.
+
+    Each system desc may carry 'charge', 'spin' (n_alpha - n_beta) and
+    'n' (multiplicity in the energy combination; reference's
+    ``system.no``)."""
+
+    def __init__(self, e_type: str, true_val, systems: Sequence[dict],
+                 weight: float = 1.0, n_radial: int = 40,
                  grid_level: int = 1):
         self.e_type = e_type
-        self.true_val = float(true_val)
+        if e_type in ('dm', 'dens') and isinstance(true_val, str):
+            self.true_val = np.load(true_val)
+        elif e_type in ('dm', 'dens'):
+            self.true_val = np.asarray(true_val, dtype=np.float64)
+        else:
+            self.true_val = float(true_val)
+        self.weight = float(weight)
         self.system_descs = list(systems)
+        if e_type in ('dm', 'dens') and len(self.system_descs) != 1:
+            raise ValueError(f'{e_type} entries take exactly one system')
         self._kw = dict(n_radial=n_radial, grid_level=grid_level)
         self._systems: Optional[List[DFTSystem]] = None
+
+    def get_true_val(self):
+        return self.true_val
+
+    def get_weight(self) -> float:
+        return self.weight
+
+    @property
+    def ns(self) -> List[int]:
+        return [int(d.get('n', 1)) for d in self.system_descs]
+
+    @property
+    def spins(self) -> List[int]:
+        return [int(d.get('spin', 0)) for d in self.system_descs]
 
     def get_systems(self) -> List['DFTSystem']:
         if self._systems is None:
@@ -434,6 +599,12 @@ class DFTEntry:
                     units='bohr', **self._kw))
         return self._systems
 
+    def combine_energies(self, energies: Sequence) -> Any:
+        """The reference get_val energy combination for 'ae'/'ie':
+        sum_i n_i E_i - 2 n_0 E_0 (molecule/neutral first)."""
+        terms = [n * e for n, e in zip(self.ns, energies)]
+        return sum(terms) - 2.0 * terms[0]
+
     def atom_systems(self) -> List[Tuple[str, int]]:
         """Unique (symbol, count) pairs across all systems — the isolated
         atoms an atomization energy references."""
@@ -444,16 +615,36 @@ class DFTEntry:
             c.update(symbols)
         return sorted(c.items())
 
-    def compute(self, xc='lda', iterations: int = 80) -> float:
-        """Evaluate this entry's quantity with a classical functional:
-        'ae' -> sum(E_atoms) - E_molecule; otherwise total energy."""
+    def _system_energy(self, system: 'DFTSystem', spin: int, xc,
+                       iterations: int) -> float:
+        if spin or system.n_elec % 2:
+            return run_unrestricted(system, xc, spin=spin or None,
+                                    iterations=iterations)
+        return float(KohnShamSCF(xc, iterations=iterations)
+                     .run(system).energy())
+
+    def compute(self, xc='lda', iterations: int = 80):
+        """Evaluate this entry's quantity with a classical functional.
+
+        'ae' with one system -> derive isolated-atom references from
+        the molecular formula (the r2 protocol); 'ae'/'ie' with
+        explicitly listed systems -> the reference's get_val
+        combination; 'dm'/'dens' -> the single system's density
+        matrix / grid density profile."""
         systems = self.get_systems()
+        if self.e_type == 'dm':
+            calc = KohnShamSCF(xc, iterations=iterations).run(systems[0])
+            return np.asarray(calc.D)
+        if self.e_type == 'dens':
+            calc = KohnShamSCF(xc, iterations=iterations).run(systems[0])
+            return np.asarray(calc.density())
+        if self.e_type in ('ae', 'ie') and len(systems) > 1:
+            energies = [self._system_energy(s, sp, xc, iterations)
+                        for s, sp in zip(systems, self.spins)]
+            return float(self.combine_energies(energies))
         if self.e_type == 'ae':
-            e_mol = sum(run_unrestricted(s, xc, iterations=iterations)
-                        if s.n_elec % 2 else
-                        float(KohnShamSCF(xc, iterations=iterations)
-                              .run(s).energy())
-                        for s in systems)
+            e_mol = sum(self._system_energy(s, sp, xc, iterations)
+                        for s, sp in zip(systems, self.spins))
             e_atoms = 0.0
             for sym, count in self.atom_systems():
                 atom_sys = DFTSystem([sym], np.zeros((1, 3)),
@@ -461,7 +652,5 @@ class DFTEntry:
                 e_atoms += count * run_unrestricted(
                     atom_sys, xc, iterations=iterations)
             return e_atoms - e_mol
-        return sum(float(KohnShamSCF(xc, iterations=iterations)
-                         .run(s).energy()) if s.n_elec % 2 == 0
-                   else run_unrestricted(s, xc, iterations=iterations)
-                   for s in systems)
+        return sum(self._system_energy(s, sp, xc, iterations)
+                   for s, sp in zip(systems, self.spins))

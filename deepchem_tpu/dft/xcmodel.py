@@ -81,3 +81,110 @@ class XCModel(JaxModel):
 
     def get_task_type(self):
         return 'regression'
+
+    # -- training THROUGH the SCF on reference entry types -------------
+    def _entry_value_fn(self, entry, scf):
+        """DFTEntry -> (params -> predicted quantity), differentiable
+        through the SCF (reference dftxc.py:89 XCModel forward over
+        entry.get_val)."""
+        systems = entry.get_systems()
+        if entry.e_type == 'dm':
+            return scf.density_matrix_fn(systems[0])
+        if entry.e_type == 'dens':
+            return scf.density_fn(systems[0])
+        fns = [scf.system_energy_fn(s, sp)
+               for s, sp in zip(systems, entry.spins)]
+        if entry.e_type in ('ae', 'ie') and len(systems) > 1:
+            def val(params):
+                return entry.combine_energies(
+                    [f(params) for f in fns])
+            return val
+        if entry.e_type == 'ae':
+            from deepchem_tpu.dft.scf import DFTSystem
+            atom_fns = []
+            for sym, count in entry.atom_systems():
+                asys = DFTSystem([sym], np.zeros((1, 3)), units='bohr',
+                                 **entry._kw)
+                atom_fns.append((count,
+                                 scf.system_energy_fn(asys, 0)))
+
+            def val(params):
+                e_mol = sum(f(params) for f in fns)
+                e_at = sum(c * f(params) for c, f in atom_fns)
+                return e_at - e_mol
+            return val
+
+        def val(params):
+            return sum(f(params) for f in fns)
+        return val
+
+    def fit_entries(self, entries, nb_epoch: int = 25,
+                    iterations: int = 25,
+                    learning_rate: Optional[float] = None):
+        """Train the neural functional end-to-end THROUGH the SCF on
+        DFTEntry objects of any reference entry type (ae/ie/e/dm/dens)
+        — gradients flow through every SCF iteration of every system
+        (the reference's XCNNSCF/dftxc path).  Returns per-epoch
+        losses; trained functional params land in ``self.xc_params``.
+        """
+        import optax
+        from deepchem_tpu.dft.scf import XCNNSCF
+        if hasattr(entries, 'X'):        # Dataset from DFTYamlLoader
+            entries = list(entries.X)
+        nnxc = self.module.xc
+        rng = self._next_rng()
+        dummy = jnp.full(8, 0.3)
+        if self.use_sigma:
+            params = nnxc.init(rng, dummy, dummy)
+        else:
+            params = nnxc.init(rng, dummy)
+        scf = XCNNSCF(nnxc, params, use_sigma=self.use_sigma,
+                      iterations=iterations)
+        targets = []
+        for e in entries:
+            vf = self._entry_value_fn(e, scf)
+            tv = jnp.asarray(e.get_true_val())
+            targets.append((vf, tv, e.get_weight()))
+
+        def loss_fn(params):
+            total = 0.0
+            for vf, tv, w in targets:
+                pred = vf(params)
+                total = total + w * jnp.mean((pred - tv) ** 2)
+            return total / len(targets)
+
+        lr = learning_rate if learning_rate is not None else \
+            self.optimizer.learning_rate \
+            if isinstance(getattr(self.optimizer, 'learning_rate', None),
+                          float) else 1e-3
+        opt = optax.adam(lr)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+        losses = []
+        for _ in range(nb_epoch):
+            params, opt_state, loss = step(params, opt_state)
+            losses.append(float(loss))
+        self.xc_params = params
+        self._scf_iterations = iterations
+        return losses
+
+    def predict_entries(self, entries, iterations: Optional[int] = None):
+        """Evaluate each entry's quantity with the trained functional."""
+        from deepchem_tpu.dft.scf import XCNNSCF
+        if hasattr(entries, 'X'):
+            entries = list(entries.X)
+        if not hasattr(self, 'xc_params'):
+            raise ValueError('call fit_entries first')
+        scf = XCNNSCF(self.module.xc, self.xc_params,
+                      use_sigma=self.use_sigma,
+                      iterations=iterations or self._scf_iterations)
+        out = []
+        for e in entries:
+            vf = jax.jit(self._entry_value_fn(e, scf))
+            out.append(np.asarray(vf(self.xc_params)))
+        return out

@@ -50,6 +50,7 @@ from deepchem_tpu.models.low_data import (AttnLSTMEmbedding,
                                           SupportGraphClassifier)
 from deepchem_tpu.models.atomic_conv import (AtomicConvModel,
                                              AtomicConvFeaturizer)
+from deepchem_tpu.models.bert_encoder import BertEncoderMLM
 from deepchem_tpu.models.multitask import SingletaskToMultitask
 from deepchem_tpu.models.hf_models import HuggingFaceModel, Chemberta
 from deepchem_tpu.models.molgan import BasicMolGANModel
@@ -87,7 +88,7 @@ __all__ = [
     'TensorboardLogger', 'DMPNNModel', 'AtomicConvModel',
     'AttnLSTMEmbedding', 'IterRefLSTMEmbedding', 'SupportGraphClassifier',
     'InfoMax3DModular', 'Net3DLayer',
-    'AtomicConvFeaturizer', 'SingletaskToMultitask',
+    'AtomicConvFeaturizer', 'SingletaskToMultitask', 'BertEncoderMLM',
     'HuggingFaceModel', 'Chemberta', 'BasicMolGANModel',
     'DistributedTrainer', 'InfoGraphModel', 'InfoGraphStarModel',
     'CGCNNModel', 'MEGNetModel', 'LCNNModel', 'ElemNetModel',

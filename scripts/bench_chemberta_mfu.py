@@ -7,6 +7,16 @@ framework's ceiling on MXU-dominated models.  ChemBERTa-77M class
 config: 12 layers, hidden 768, seq 128.
 
 Run: python scripts/bench_chemberta_mfu.py [batch]
+
+Measured (2026-08-17, TPU v5 lite, batch 512):
+  HF FlaxRoberta f32:          909.8 ms/step  MFU 21.8%  563 seq/s
+  HF FlaxRoberta bf16 compute: 808.0 ms/step  MFU 23.6%  634 seq/s
+  native flash encoder (bf16): 559.2 ms/step  MFU 35.4%  916 seq/s
+The round-2 'bf16 slower than f32' finding was a mixed-dtype artifact
+(params cast to bf16 while the module computed f32 -> per-op converts);
+with the computation dtype set properly bf16 > f32, and the native
+encoder (deepchem_tpu/models/bert_encoder.py: Pallas flash attention,
+f32 LN/softmax islands) clears the 35% MFU bar.
 """
 import os
 import sys
@@ -31,31 +41,49 @@ def main():
         vocab_size=vocab, max_position_embeddings=seq + 2,
         num_attention_heads=12, num_hidden_layers=12, hidden_size=768,
         intermediate_size=3072, type_vocab_size=1)
-    model = FlaxRobertaForMaskedLM(config, seed=0,
-                                   input_shape=(batch, seq))
+    f32_model = FlaxRobertaForMaskedLM(config, seed=0,
+                                       input_shape=(batch, seq))
+    # PROPER mixed precision (round-2's bf16 regression root cause —
+    # VERDICT r2 item 4): round 2 cast the PARAMS to bf16 while the
+    # module computed in f32, so every matmul ran mixed-dtype with
+    # per-op converts.  The right arm keeps params f32 and sets the
+    # module COMPUTATION dtype to bf16 (activations + matmuls on the
+    # MXU's native type).
+    bf16_model = FlaxRobertaForMaskedLM(config, seed=0,
+                                        input_shape=(batch, seq),
+                                        dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
     ids = jnp.asarray(rng.randint(4, vocab, (batch, seq)), jnp.int32)
     mask = jnp.ones((batch, seq), jnp.int32)
     labels = jnp.asarray(rng.randint(4, vocab, (batch, seq)), jnp.int32)
 
-    for label in ('f32', 'bf16'):
-        # fresh copy per arm — the scan donates its input buffers
-        params = jax.tree.map(jnp.array, model.params)
-        if label == 'bf16':
-            params = jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16)
-                if x.dtype == jnp.float32 else x, params)
+    from deepchem_tpu.models.bert_encoder import (BertEncoderMLM,
+                                                  mlm_loss)
+    native = BertEncoderMLM(vocab_size=vocab, hidden=768, layers=12,
+                            heads=12, intermediate=3072,
+                            max_positions=seq + 2,
+                            dtype=jnp.bfloat16)
+
+    for label in ('f32', 'bf16', 'native-flash'):
+        model = bf16_model if label == 'bf16' else f32_model
+        # fresh params per arm (the scan donates its input buffers);
+        # HBM is tight across 3 arms — init lazily, free between arms
+        jax.clear_caches()
+        if label == 'native-flash':
+            params = native.init(jax.random.PRNGKey(0), ids)
+        else:
+            params = jax.tree.map(jnp.array, f32_model.params)
         opt = optax.adamw(1e-4)
         opt_state = opt.init(params)
 
         def step(params, opt_state):
             def loss_fn(p):
-                logits = model(input_ids=ids, attention_mask=mask,
-                               params=p, train=False).logits
-                logp = jax.nn.log_softmax(
-                    logits.astype(jnp.float32), axis=-1)
-                return -jnp.mean(jnp.take_along_axis(
-                    logp, labels[..., None], axis=-1))
+                if label == 'native-flash':
+                    logits = native.apply(p, ids)  # no padding: flash
+                else:
+                    logits = model(input_ids=ids, attention_mask=mask,
+                                   params=p, train=False).logits
+                return mlm_loss(logits.astype(jnp.float32), labels)
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)

@@ -3,6 +3,7 @@ and utils/test/test_dftutils.py exercise the DQC path; here the in-repo
 McMurchie-Davidson + Becke-grid + lax.scan SCF is validated against
 literature STO-3G energies)."""
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import jax
@@ -157,3 +158,151 @@ class TestRound2DFT:
             assert abs(ep - (-1.164)) < 5e-3, ep
         finally:
             jax.config.update('jax_enable_x64', False)
+
+
+# -- round 3: meta-GGA (SCAN), entry types, training through the SCF -------
+
+class TestScanFunctional:
+    def test_uniform_gas_limits(self):
+        """SCAN -> LDA exchange / PW92 correlation at s=0, alpha=1."""
+        from deepchem_tpu.dft.functionals import (
+            scan_exchange, scan_correlation, lda_exchange,
+            _pw92_ec_unpol)
+        rho = jnp.asarray([0.1, 0.5, 2.0])
+        tau_unif = 0.3 * (3 * np.pi ** 2) ** (2 / 3) * rho ** (5 / 3)
+        sig = jnp.zeros(3) + 1e-30
+        ex = scan_exchange(rho, sig, tau_unif)
+        assert float(jnp.abs(ex / lda_exchange(rho) - 1).max()) < 1e-5
+        rs = (3 / (4 * np.pi * rho)) ** (1 / 3)
+        ec = scan_correlation(rho, sig, tau_unif)
+        assert float(jnp.abs(
+            ec / (rho * _pw92_ec_unpol(rs)) - 1).max()) < 1e-5
+
+    def test_spin_unpolarized_consistency(self):
+        from deepchem_tpu.dft.functionals import (scan_exchange,
+                                                  scan_correlation,
+                                                  scan_xc_spin)
+        rho = jnp.asarray([0.2, 1.0])
+        sig = jnp.asarray([0.05, 0.4])
+        tau = jnp.asarray([0.3, 2.0])
+        e_cs = scan_exchange(rho, sig, tau) + scan_correlation(rho, sig,
+                                                               tau)
+        e_sp = scan_xc_spin(rho / 2, rho / 2, sig / 4, sig / 4, sig / 4,
+                            tau / 2, tau / 2)
+        assert float(jnp.abs(e_sp / e_cs - 1).max()) < 1e-5
+
+    def test_h2_scan_binding_order(self):
+        """H2 total energies: SCAN binds more than PBE more than LDA in
+        this basis (and all land near the literature ballpark)."""
+        from deepchem_tpu.dft.scf import DFTSystem, KohnShamSCF
+        h2 = DFTSystem(['H', 'H'], [[0, 0, 0], [0, 0, 1.4]],
+                       units='bohr', n_radial=30)
+        es = {xc: float(KohnShamSCF(xc, iterations=60).run(h2).energy())
+              for xc in ('lda', 'pbe', 'scan')}
+        assert es['scan'] < es['pbe'] < es['lda']
+        assert -1.25 < es['scan'] < -1.05
+
+    def test_scan_open_shell_h_atom(self):
+        from deepchem_tpu.dft.scf import DFTSystem, run_unrestricted
+        h = DFTSystem(['H'], np.zeros((1, 3)), units='bohr',
+                      n_radial=30)
+        e = run_unrestricted(h, 'scan')
+        assert -0.52 < e < -0.43          # exact -0.5; STO-3G basis
+
+
+class TestEntryTypes:
+    def test_ae_reference_formula(self):
+        """Explicit-system 'ae' uses sum(n_i E_i) - 2 E_0 (reference
+        _EntryIE.get_val); LDA overbinds LiH as expected."""
+        from deepchem_tpu.dft.scf import DFTEntry
+        ae = DFTEntry('ae', 0.0919, [
+            {'moldesc': 'Li 1.5070 0 0; H -1.5070 0 0'},
+            {'moldesc': 'Li 0 0 0', 'spin': 1},
+            {'moldesc': 'H 0 0 0', 'spin': 1}],
+            n_radial=20, grid_level=0)
+        v = ae.compute('lda', iterations=50)
+        assert 0.05 < v < 0.25
+
+    def test_ie_entry(self):
+        from deepchem_tpu.dft.scf import DFTEntry
+        ie = DFTEntry('ie', 0.534, [
+            {'moldesc': 'N 0 0 0', 'spin': 3},
+            {'moldesc': 'N 0 0 0', 'charge': 1, 'spin': 2}],
+            n_radial=20, grid_level=0)
+        v = ie.compute('lda', iterations=60)
+        assert 0.3 < v < 0.7              # true 0.534 (NIST)
+
+    def test_dm_and_dens_entries(self):
+        from deepchem_tpu.dft.scf import DFTEntry
+        dm = DFTEntry('dm', np.zeros((2, 2)),
+                      [{'moldesc': 'H 0 0 0; H 0 0 1.4'}], n_radial=16)
+        D = dm.compute('lda', iterations=40)
+        S = dm.get_systems()[0].S
+        assert abs(float(np.einsum('ij,ij->', D, S)) - 2.0) < 1e-3
+        dn = DFTEntry('dens', np.zeros(4),
+                      [{'moldesc': 'H 0 0 0; H 0 0 1.4'}], n_radial=16)
+        rho = dn.compute('lda', iterations=40)
+        w = dn.get_systems()[0].grid_weights
+        assert abs(float((rho * w).sum()) - 2.0) < 0.05
+
+    def test_yaml_loader_reference_format(self, tmp_path):
+        """The reference's test_dftxcdata.yaml record format (spin,
+        charge, basis keys) loads into DFTEntry objects."""
+        from deepchem_tpu.data.loaders import DFTYamlLoader
+        y = tmp_path / 'e.yaml'
+        y.write_text(
+            "- e_type: 'ae'\n"
+            "  true_val: '0.09194410469'\n"
+            "  systems: [{'moldesc': 'Li 1.5070 0 0; H -1.5070 0 0'},\n"
+            "    {'moldesc': 'Li 0 0 0', 'spin': 1},\n"
+            "    {'moldesc': 'H 0 0 0', 'spin': 1}]\n"
+            "- e_type: 'ie'\n"
+            "  true_val: '0.53411947056'\n"
+            "  systems: [{'moldesc': 'N 0 0 0', 'spin': 3},\n"
+            "    {'moldesc': 'N 0 0 0', 'charge': 1, 'spin': 2}]\n")
+        ds = DFTYamlLoader(n_radial=16, grid_level=0).create_dataset(
+            str(y))
+        assert len(ds) == 2
+        assert ds.X[0].e_type == 'ae' and ds.X[0].spins == [0, 1, 1]
+        assert ds.X[1].system_descs[1]['charge'] == 1
+
+
+class TestFitEntries:
+    def test_trains_through_scf_mixed_types(self):
+        """XCModel.fit_entries: gradient flows through every SCF
+        iteration for ae (open-shell atoms!) + total-energy entries."""
+        from deepchem_tpu.dft.scf import DFTEntry
+        from deepchem_tpu.dft.xcmodel import XCModel
+        ae = DFTEntry('ae', 0.0919, [
+            {'moldesc': 'Li 1.5070 0 0; H -1.5070 0 0'},
+            {'moldesc': 'Li 0 0 0', 'spin': 1},
+            {'moldesc': 'H 0 0 0', 'spin': 1}],
+            n_radial=12, grid_level=0)
+        e = DFTEntry('e', -1.17,
+                     [{'moldesc': 'H 0 0 0; H 0 0 1.4'}],
+                     n_radial=12, grid_level=0)
+        m = XCModel('lda_x')
+        losses = m.fit_entries([ae, e], nb_epoch=25, iterations=12,
+                               learning_rate=1e-3)
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        preds = m.predict_entries([ae, e])
+        assert np.isfinite(preds[0]) and np.isfinite(preds[1])
+
+    def test_trains_on_density_profile(self):
+        """'dens' entries: fit the functional to reproduce a target
+        density profile (reference DensityProfile supervision)."""
+        from deepchem_tpu.dft.scf import DFTEntry, DFTSystem, KohnShamSCF
+        from deepchem_tpu.dft.xcmodel import XCModel
+        sys0 = DFTSystem(['H', 'H'], [[0, 0, 0], [0, 0, 1.4]],
+                         units='bohr', n_radial=12, grid_level=0)
+        target = np.asarray(
+            KohnShamSCF('lda', iterations=40).run(sys0).density())
+        dn = DFTEntry('dens', target,
+                      [{'moldesc': 'H 0 0 0; H 0 0 1.4'}],
+                      n_radial=12, grid_level=0)
+        m = XCModel('lda_x')
+        losses = m.fit_entries([dn], nb_epoch=20, iterations=12,
+                               learning_rate=3e-3)
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]

@@ -276,3 +276,54 @@ def test_loader_n_jobs_plumbed(tmp_path):
                        feature_field='smiles', n_jobs=1)
     ds2 = serial.create_dataset(str(path), str(tmp_path / 'out2'))
     np.testing.assert_array_equal(ds.X, ds2.X)
+
+
+# -- native transformer encoder -------------------------------------------
+
+def test_bert_encoder_forward_and_training():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from deepchem_tpu.models.bert_encoder import BertEncoderMLM, mlm_loss
+    rng = np.random.RandomState(0)
+    B, S, V = 8, 16, 40
+    m = BertEncoderMLM(vocab_size=V, hidden=32, layers=2, heads=4,
+                       intermediate=64, max_positions=S + 2)
+    ids = jnp.asarray(rng.randint(4, V, (B, S)), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), ids)
+    logits = m.apply(params, ids)
+    assert logits.shape == (B, S, V) and logits.dtype == jnp.float32
+    # padding mask changes masked positions' influence
+    mask = np.ones((B, S), np.float32)
+    mask[:, S // 2:] = 0.0
+    logits_m = m.apply(params, ids, attention_mask=jnp.asarray(mask))
+    assert not np.allclose(np.asarray(logits), np.asarray(logits_m))
+    # a few steps of MLM training reduce the loss
+    labels = ids
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        l, g = jax.value_and_grad(
+            lambda p: mlm_loss(m.apply(p, ids), labels))(p)
+        u, s = opt.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+    losses = []
+    for _ in range(30):
+        params, state, l = step(params, state)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.7
+
+
+def test_flash_and_xla_attention_agree_when_available():
+    import jax
+    import jax.numpy as jnp
+    from deepchem_tpu.models.bert_encoder import flash_or_xla_attention
+    if jax.devices()[0].platform == 'cpu':
+        pytest.skip('pallas flash kernel needs TPU')
+    q = jnp.asarray(np.random.RandomState(0).randn(2, 128, 4, 64),
+                    jnp.float32)
+    a = flash_or_xla_attention(q, q, q, None, use_flash=True)
+    b = flash_or_xla_attention(q, q, q, None, use_flash=False)
+    assert float(jnp.abs(a - b).max()) < 1e-3
