@@ -16,6 +16,7 @@ from deepchem_tpu.molnet.load_function import (
     load_mp_metallicity, load_toxcast, load_pcba, load_nci, load_ppb,
     load_sweetlead, load_chembl25, load_hopv, load_kaggle, load_factors,
     load_kinase, load_uv, load_zinc15, load_uspto, load_pdbbind,
+    load_membrane_permeability, load_flash_points,
     load_bbbc001, load_bbbc002, load_bbbc003, load_bbbc004,
     load_bbbc005, load_cell_counting, load_Platinum_Adsorption)
 
@@ -31,6 +32,7 @@ __all__ = [
     'load_toxcast', 'load_pcba', 'load_nci', 'load_ppb', 'load_sweetlead',
     'load_chembl25', 'load_hopv', 'load_kaggle', 'load_factors',
     'load_kinase', 'load_uv', 'load_zinc15', 'load_uspto', 'load_pdbbind',
+    'load_membrane_permeability', 'load_flash_points',
     'load_bbbc001', 'load_bbbc002', 'load_bbbc003', 'load_bbbc004',
     'load_bbbc005', 'load_cell_counting', 'load_Platinum_Adsorption',
     'simulate_single_motif_detection', 'simulate_motif_counting',

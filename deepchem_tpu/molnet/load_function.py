@@ -549,6 +549,97 @@ def load_pdbbind(featurizer='atomic', splitter='random', transformers=(),
     return ['-logKd/Ki'], (tr, va, te), []
 
 
+def _local_file(filename: str, data_dir: Optional[str]) -> Optional[str]:
+    from deepchem_tpu.utils.data_utils import get_data_dir
+    for d in (data_dir or get_data_dir(), '/root/reference/datasets'):
+        path = os.path.join(d, filename)
+        if os.path.exists(path):
+            return path
+    try:
+        return download_url(DEEPCHEM_S3 + filename,
+                            data_dir or get_data_dir(), filename)
+    except Exception:
+        return None
+
+
+def load_membrane_permeability(featurizer=None, splitter='random',
+                               transformers=None, reload: bool = True,
+                               data_dir=None, save_dir=None, **kwargs):
+    """RRCK membrane permeability (LogP) from the shipped SDF
+    (reference datasets/membrane_permeability.sdf; the reference
+    exercises it as an SDFLoader fixture)."""
+    import deepchem_tpu.feat as feat
+    from deepchem_tpu.trans import NormalizationTransformer
+    path = _local_file('membrane_permeability.sdf', data_dir)
+    if path is None:
+        raise FileNotFoundError('membrane_permeability.sdf not found')
+    if featurizer is None or featurizer == 'graphconv':
+        featurizer = feat.ConvMolFeaturizer()
+    elif featurizer == 'ECFP':
+        featurizer = feat.CircularFingerprint(size=1024)
+    loader = _SDFCSVLoader(tasks=['LogP(RRCK)'], featurizer=featurizer)
+    ds = loader.create_dataset(path)
+    from deepchem_tpu.molnet.loader import splitters as _spl
+    spl = _spl[splitter] if isinstance(splitter, str) else splitter
+    tr, va, te = spl.train_valid_test_split(ds)
+    trans = [NormalizationTransformer(transform_y=True, dataset=tr)]
+    tr = trans[0].transform(tr)
+    va = trans[0].transform(va)
+    te = trans[0].transform(te)
+    return ['LogP(RRCK)'], (tr, va, te), trans
+
+
+def load_flash_points(featurizer='ECFP', splitter='random',
+                      transformers=None, reload: bool = True,
+                      data_dir=None, save_dir=None, **kwargs):
+    """Binary-mixture flash points (deg C) from the shipped
+    flash_points.csv.gz: each sample is two components with molar
+    fractions; features are the fraction-weighted sum of the component
+    fingerprints (a standard mixture representation)."""
+    import gzip as _gzip
+    import csv as _csv
+    import deepchem_tpu.feat as feat
+    from deepchem_tpu.data import NumpyDataset
+    from deepchem_tpu.trans import NormalizationTransformer
+    path = _local_file('flash_points.csv.gz', data_dir)
+    if path is None:
+        raise FileNotFoundError('flash_points.csv.gz not found')
+    rows = []
+    with _gzip.open(path, 'rt') as f:
+        for r in _csv.DictReader(f):
+            rows.append(r)
+    fper = feat.CircularFingerprint(size=1024)
+    uniq = sorted({r['smiles_1'] for r in rows} |
+                  {r['smiles_2'] for r in rows if r['smiles_2'] not in
+                   ('0', '', None)})
+    fps = dict(zip(uniq, fper.featurize(uniq)))
+    X, y, ids = [], [], []
+    for r in rows:
+        f1 = fps.get(r['smiles_1'])
+        if not isinstance(f1, np.ndarray) or f1.size == 0:
+            continue
+        x = float(r['fraction_1']) * f1
+        s2 = r['smiles_2']
+        if s2 not in ('0', '', None):
+            f2 = fps.get(s2)
+            if not isinstance(f2, np.ndarray) or f2.size == 0:
+                continue
+            x = x + float(r['fraction_2']) * f2
+        X.append(x)
+        y.append(float(r['FP (°C)']))
+        ids.append(f"{r['smiles_1']}|{s2}")
+    ds = NumpyDataset(np.stack(X), np.asarray(y).reshape(-1, 1),
+                      ids=np.asarray(ids))
+    from deepchem_tpu.molnet.loader import splitters as _spl
+    spl = _spl[splitter] if isinstance(splitter, str) else splitter
+    tr, va, te = spl.train_valid_test_split(ds)
+    trans = [NormalizationTransformer(transform_y=True, dataset=tr)]
+    tr = trans[0].transform(tr)
+    va = trans[0].transform(va)
+    te = trans[0].transform(te)
+    return ['flash_point'], (tr, va, te), trans
+
+
 def _image_dataset_stub(name: str, filename: str):
     def load_fn(*args, data_dir: Optional[str] = None, **kwargs):
         from deepchem_tpu.utils.data_utils import get_data_dir

@@ -1,0 +1,128 @@
+"""Serving + DistributedTrainer coverage (VERDICT r2 item 6: 'whole
+subsystems hang on one or two tests — serving, trainer/fsdp').
+
+Multi-device cases run on the conftest's virtual CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from deepchem_tpu.data import NumpyDataset
+
+
+def _dataset(n=64, f=12, t=2, seed=0):
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, f).astype(np.float32)
+    y = (X[:, :t] > 0).astype(np.float32)
+    return NumpyDataset(X, y)
+
+
+def _model(tmp, **kw):
+    from deepchem_tpu.models import MultitaskClassifier
+    kw.setdefault('batch_size', 16)
+    kw.setdefault('layer_sizes', [16])
+    return MultitaskClassifier(n_tasks=2, n_features=12,
+                               model_dir=str(tmp), **kw)
+
+
+# -- serving ---------------------------------------------------------------
+
+def test_export_roundtrip_file(tmp_path):
+    from deepchem_tpu.serving import export_model, load_exported
+    ds = _dataset()
+    m = _model(tmp_path / 'm')
+    m.fit(ds, nb_epoch=2, checkpoint_interval=0)
+    path = str(tmp_path / 'exported.dc')
+    export_model(m, [ds.X[:16]], path)
+    assert os.path.exists(path)
+    ex = load_exported(path)
+    out = ex(ds.X[:16])
+    ref = m.predict(NumpyDataset(ds.X[:16], None, None))
+    np.testing.assert_allclose(np.asarray(out[0]), ref, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_inference_server_pads_ragged_batches(tmp_path):
+    """InferenceServer serves request sizes != export batch size by
+    padding to the compiled shape and trimming."""
+    from deepchem_tpu.serving import (InferenceServer, export_model,
+                                      load_exported)
+    ds = _dataset()
+    m = _model(tmp_path / 'm')
+    m.fit(ds, nb_epoch=2, checkpoint_interval=0)
+    path = str(tmp_path / 'exported.dc')
+    export_model(m, [ds.X[:16]], path)
+    srv = InferenceServer(load_exported(path))
+    for n in (1, 7, 16, 23, 64):
+        out = srv.predict(ds.X[:n])
+        assert len(out) == n
+        ref = m.predict(NumpyDataset(ds.X[:n], None, None))
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_exported_model_runs_without_source_module(tmp_path):
+    """The exported blob is self-contained (StableHLO + weights): a
+    fresh loader process needs no model class."""
+    from deepchem_tpu.serving import export_model, load_exported
+    ds = _dataset()
+    m = _model(tmp_path / 'm')
+    m.fit(ds, nb_epoch=1, checkpoint_interval=0)
+    path = str(tmp_path / 'e.dc')
+    export_model(m, [ds.X[:16]], path)
+    ex = load_exported(path)
+    assert ex.batch_size == 16
+    out = ex(ds.X[:16])
+    assert np.isfinite(np.asarray(out[0])).all()
+
+
+# -- DistributedTrainer ----------------------------------------------------
+
+@pytest.mark.skipif(len(jax.devices()) < 2,
+                    reason='needs multi-device mesh')
+def test_trainer_ddp_multi_device(tmp_path):
+    from deepchem_tpu.models.trainer import DistributedTrainer
+    ds = _dataset(n=96)
+    m = _model(tmp_path, batch_size=16)
+    trainer = DistributedTrainer(max_epochs=12,
+                                 distributed_strategy='ddp')
+    trainer.fit(m, ds)
+    from deepchem_tpu.metrics import Metric, roc_auc_score
+    s = m.evaluate(ds, [Metric(roc_auc_score, np.mean)])
+    assert s['roc_auc_score'] > 0.8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2,
+                    reason='needs multi-device mesh')
+def test_trainer_fsdp_shards_opt_state(tmp_path):
+    """'fsdp' strategy: optimizer state sharded over the mesh, training
+    still converges, params stay replicated for predict()."""
+    from deepchem_tpu.models.trainer import DistributedTrainer
+    ds = _dataset(n=96, seed=3)
+    # large enough first-layer kernel (12x8192) to cross the trainer's
+    # shard threshold; build first so fsdp sees the optimizer state
+    m = _model(tmp_path, batch_size=16, layer_sizes=[8192])
+    m.fit(ds, nb_epoch=1, checkpoint_interval=0)
+    trainer = DistributedTrainer(max_epochs=12,
+                                 distributed_strategy='fsdp')
+    trainer.fit(m, ds)
+    # at least one optimizer-state leaf is actually sharded
+    shardings = [getattr(x, 'sharding', None)
+                 for x in jax.tree.leaves(m.opt_state)
+                 if hasattr(x, 'sharding')]
+    assert any(s is not None and not s.is_fully_replicated
+               for s in shardings)
+    from deepchem_tpu.metrics import Metric, roc_auc_score
+    s = m.evaluate(ds, [Metric(roc_auc_score, np.mean)])
+    assert s['roc_auc_score'] > 0.8
+
+
+def test_trainer_single_device_fallback(tmp_path):
+    from deepchem_tpu.models.trainer import DistributedTrainer
+    ds = _dataset(n=48, seed=5)
+    m = _model(tmp_path)
+    DistributedTrainer(max_epochs=5).fit(m, ds)
+    assert m.get_global_step() > 0
