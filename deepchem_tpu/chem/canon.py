@@ -149,6 +149,17 @@ def mol_to_smiles(mol: Molecule, canonical: bool = True) -> str:
     centers are broken by input index, so a single write can depend on
     the input atom order; re-canonicalizing until stable (taking the
     lexicographic minimum on a 2-cycle) removes that dependence.
+    
+
+    Examples
+    --------
+    >>> from deepchem_tpu.chem import mol_from_smiles, mol_to_smiles
+    >>> mol_to_smiles(mol_from_smiles('OCC'))      # canonical form
+    'CCO'
+    >>> s1 = mol_to_smiles(mol_from_smiles('c1ccccc1C'))
+    >>> s2 = mol_to_smiles(mol_from_smiles('Cc1ccccc1'))
+    >>> s1 == s2                                   # order-invariant
+    True
     """
     out = _mol_to_smiles_once(mol, canonical)
     if not canonical or not any(ch in out for ch in '@/\\'):

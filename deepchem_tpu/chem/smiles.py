@@ -132,6 +132,22 @@ def mol_from_smiles(smiles: str,
     Mirrors RDKit's ``MolFromSmiles`` None-on-error contract which the
     reference featurizer loop relies on to drop bad datapoints (reference
     deepchem/feat/base_classes.py:254ff).
+
+    Examples
+    --------
+    >>> from deepchem_tpu.chem import mol_from_smiles
+    >>> mol = mol_from_smiles('CCO')
+    >>> mol.num_atoms, mol.num_bonds
+    (3, 2)
+    >>> [a.symbol for a in mol.atoms]
+    ['C', 'C', 'O']
+    >>> mol.atoms[2].total_hs        # perceived implicit hydrogens
+    1
+    >>> mol_from_smiles('not a smiles') is None
+    True
+    >>> benzene = mol_from_smiles('C1=CC=CC=C1')   # kekule input
+    >>> all(a.is_aromatic for a in benzene.atoms)  # Hueckel perception
+    True
     """
     try:
         return _parse(smiles)

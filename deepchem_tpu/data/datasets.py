@@ -306,7 +306,22 @@ class Dataset:
 
 
 class NumpyDataset(Dataset):
-    """In-memory dataset (reference datasets.py:746)."""
+    """In-memory dataset (reference datasets.py:746).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from deepchem_tpu.data import NumpyDataset
+    >>> ds = NumpyDataset(np.ones((4, 3)), np.zeros((4, 2)))
+    >>> len(ds), ds.X.shape, ds.y.shape, ds.w.shape
+    (4, (4, 3), (4, 2), (4, 2))
+    >>> sum(len(Xb) for (Xb, yb, wb, ids) in
+    ...     ds.iterbatches(batch_size=3, pad_batches=True))
+    6
+    >>> ds2 = NumpyDataset.from_dataframe(ds.to_dataframe())
+    >>> bool(np.allclose(ds2.X, ds.X))
+    True
+    """
 
     def __init__(self, X, y=None, w=None, ids=None, n_tasks: int = 1) -> None:
         n = len(X)

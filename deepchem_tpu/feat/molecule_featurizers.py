@@ -32,7 +32,18 @@ logger = logging.getLogger(__name__)
 
 
 class CircularFingerprint(MolecularFeaturizer):
-    """ECFP (Morgan) fingerprints (reference circular_fingerprint.py)."""
+    """ECFP (Morgan) fingerprints (reference circular_fingerprint.py).
+
+    Examples
+    --------
+    >>> from deepchem_tpu.feat import CircularFingerprint
+    >>> fp = CircularFingerprint(size=1024)
+    >>> X = fp.featurize(['CCO', 'c1ccccc1'])
+    >>> X.shape
+    (2, 1024)
+    >>> bool(set(X.ravel()) <= {0.0, 1.0})
+    True
+    """
 
     def __init__(self, radius: int = 2, size: int = 2048, chiral: bool = False,
                  bonds: bool = True, features: bool = False,
@@ -200,7 +211,15 @@ class RDKitDescriptors(MolecularFeaturizer):
 class ConvMolFeaturizer(MolecularFeaturizer):
     """GraphConv featurizer: 75-dim atoms, COO edges (reference
     feat/graph_features.py:698 emits degree-bucketed ConvMol; here one COO
-    GraphData serves the same model via segment ops — TPU-first redesign)."""
+    GraphData serves the same model via segment ops — TPU-first redesign).
+
+    Examples
+    --------
+    >>> from deepchem_tpu.feat import ConvMolFeaturizer
+    >>> g = ConvMolFeaturizer().featurize(['CCO'])[0]
+    >>> g.node_features.shape, g.edge_index.shape
+    ((3, 75), (2, 4))
+    """
 
     name = ['conv_mol']
 

@@ -18,7 +18,16 @@ logger = logging.getLogger(__name__)
 
 def to_one_hot(y: np.ndarray, n_classes: int = 2) -> np.ndarray:
     """(N,) or (N,1) labels -> (N, n_classes) one-hot (reference
-    metric.py:371)."""
+    metric.py:371).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> to_one_hot(np.array([0, 1, 1]))
+    array([[1., 0.],
+           [0., 1.],
+           [0., 1.]])
+    """
     y = np.asarray(y)
     if y.ndim == 2 and y.shape[1] == 1:
         y = y[:, 0]

@@ -94,7 +94,25 @@ class _MultitaskClassifierModule(nn.Module):
 
 
 class MultitaskClassifier(JaxModel):
-    """ECFP MLP classifier — the 'tf' baseline (reference fcnet.py:21)."""
+    """ECFP MLP classifier — the 'tf' baseline (reference fcnet.py:21).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from deepchem_tpu.data import NumpyDataset
+    >>> from deepchem_tpu.models import MultitaskClassifier
+    >>> rng = np.random.RandomState(0)
+    >>> X = rng.randn(40, 8).astype(np.float32)
+    >>> ds = NumpyDataset(X, (X[:, :1] > 0).astype(np.float32))
+    >>> model = MultitaskClassifier(n_tasks=1, n_features=8,
+    ...                             layer_sizes=[8], batch_size=10)
+    >>> loss = model.fit(ds, nb_epoch=12, checkpoint_interval=0)
+    >>> probs = model.predict(ds)
+    >>> probs.shape                    # (N, tasks, classes)
+    (40, 1, 2)
+    >>> bool(np.allclose(probs.sum(axis=-1), 1.0, atol=1e-5))
+    True
+    """
 
     def __init__(self, n_tasks: int, n_features: int,
                  layer_sizes: Sequence[int] = (1000,),

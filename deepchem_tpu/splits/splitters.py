@@ -106,7 +106,19 @@ def _validate_fracs(frac_train, frac_valid, frac_test):
 
 
 class RandomSplitter(Splitter):
-    """(reference splitters.py:328)"""
+    """(reference splitters.py:328)
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from deepchem_tpu.data import NumpyDataset
+    >>> from deepchem_tpu.splits import RandomSplitter
+    >>> ds = NumpyDataset(np.arange(20).reshape(-1, 1))
+    >>> tr, va, te = RandomSplitter().train_valid_test_split(
+    ...     ds, seed=0)
+    >>> len(tr), len(va), len(te)
+    (16, 2, 2)
+    """
 
     def split(self, dataset, frac_train=0.8, frac_valid=0.1, frac_test=0.1,
               seed=None, log_every_n=None):

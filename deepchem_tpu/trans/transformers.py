@@ -102,7 +102,22 @@ class MinMaxTransformer(Transformer):
 
 
 class NormalizationTransformer(Transformer):
-    """Z-score normalization (reference transformers.py:426)."""
+    """Z-score normalization (reference transformers.py:426).
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> from deepchem_tpu.data import NumpyDataset
+    >>> from deepchem_tpu.trans import NormalizationTransformer
+    >>> ds = NumpyDataset(np.ones((10, 2)),
+    ...                   np.arange(10, dtype=float).reshape(-1, 1))
+    >>> t = NormalizationTransformer(transform_y=True, dataset=ds)
+    >>> tds = t.transform(ds)
+    >>> bool(abs(tds.y.mean()) < 1e-8)
+    True
+    >>> bool(np.allclose(t.untransform(tds.y), ds.y))
+    True
+    """
 
     def __init__(self, transform_X: bool = False, transform_y: bool = False,
                  transform_w: bool = False,
