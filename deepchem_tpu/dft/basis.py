@@ -85,7 +85,29 @@ SIX31G = {
           ('SP', (0.3581513930,), (1.0,), (1.0,))],
 }
 
-BASIS_SETS = {'sto-3g': STO3G, '6-31g': SIX31G}
+def _with_polarization(base: dict, d_exp: float = 0.8,
+                       h_p_exp: float = None) -> dict:
+    """Pople polarization: one uncontracted d shell (exponent 0.8,
+    Hariharan & Pople 1973) on heavy atoms; 6-31G** adds a p shell
+    (exponent 1.1) on hydrogen."""
+    out = {}
+    for sym, shells in base.items():
+        shells = list(shells)
+        if sym == 'H':
+            if h_p_exp is not None:
+                shells = shells + [('P', [h_p_exp], [1.0])]
+        elif sym != 'He':
+            shells = shells + [('D', [d_exp], [1.0])]
+        out[sym] = shells
+    return out
+
+
+SIX31GS = _with_polarization(SIX31G)
+SIX31GSS = _with_polarization(SIX31G, h_p_exp=1.1)
+
+BASIS_SETS = {'sto-3g': STO3G, '6-31g': SIX31G,
+              '6-31g*': SIX31GS, '6-31g(d)': SIX31GS,
+              '6-31g**': SIX31GSS, '6-31g(d,p)': SIX31GSS}
 
 ATOMIC_NUMBER = {'H': 1, 'He': 2, 'Li': 3, 'Be': 4, 'B': 5, 'C': 6,
                  'N': 7, 'O': 8, 'F': 9}
@@ -172,6 +194,23 @@ def build_basis(symbols: Sequence[str], coords: np.ndarray,
                     cpn = cp * np.array([primitive_norm(a, lmn)
                                          for a in exps])
                     bf = BasisFunction(coords[ia], lmn, exps, cpn, ia)
+                    bf.normalize()
+                    basis.append(bf)
+            elif kind == 'P':
+                cp = np.asarray(shell[2])
+                for lmn in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
+                    cpn = cp * np.array([primitive_norm(a, lmn)
+                                         for a in exps])
+                    bf = BasisFunction(coords[ia], lmn, exps, cpn, ia)
+                    bf.normalize()
+                    basis.append(bf)
+            elif kind == 'D':
+                cd = np.asarray(shell[2])
+                for lmn in ((2, 0, 0), (0, 2, 0), (0, 0, 2),
+                            (1, 1, 0), (1, 0, 1), (0, 1, 1)):
+                    cdn = cd * np.array([primitive_norm(a, lmn)
+                                        for a in exps])
+                    bf = BasisFunction(coords[ia], lmn, exps, cdn, ia)
                     bf.normalize()
                     basis.append(bf)
             else:

@@ -306,3 +306,32 @@ class TestFitEntries:
                                learning_rate=3e-3)
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestPolarizedBases:
+    """d/p polarization shells (6-31G*/6-31G**): the McMurchie-Davidson
+    integrals are general in angular momentum, so the check is against
+    LITERATURE Hartree-Fock energies for H2O at the standard geometry
+    (Szabo-Ostlund-class values)."""
+
+    GEOM = (['O', 'H', 'H'],
+            [[0, 0, 0.1173], [0, 0.7572, -0.4692],
+             [0, -0.7572, -0.4692]])
+
+    @pytest.mark.parametrize('basis,nao,e_lit', [
+        ('sto-3g', 7, -74.9630),
+        ('6-31g', 13, -75.9840),
+        ('6-31g*', 19, -76.0107),
+        ('6-31g**', 25, -76.0236),
+    ])
+    def test_h2o_hf_literature(self, basis, nao, e_lit):
+        from deepchem_tpu.dft.scf import DFTSystem, KohnShamSCF
+        jax.config.update('jax_enable_x64', True)
+        try:
+            s = DFTSystem(*self.GEOM, units='angstrom', n_radial=40,
+                          grid_level=1, basis=basis)
+            assert s.S.shape[0] == nao
+            E = float(KohnShamSCF('hf', iterations=80).run(s).energy())
+            assert abs(E - e_lit) < 2e-3, f'{basis}: {E} vs {e_lit}'
+        finally:
+            jax.config.update('jax_enable_x64', False)
