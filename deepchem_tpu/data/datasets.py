@@ -748,16 +748,24 @@ class DiskDataset(Dataset):
         return DiskDataset.create_dataset(gen(), data_dir=select_dir,
                                           tasks=self.tasks)
 
-    def merge(self, datasets: Sequence[Dataset],
+    @staticmethod
+    def merge(datasets: Sequence[Dataset],
               merge_dir: Optional[str] = None) -> 'DiskDataset':
+        """Merge the given datasets into one (STATIC, matching the
+        reference's DiskDataset.merge contract, datasets.py:1977)."""
+        datasets = list(datasets)
+        if not datasets:
+            raise ValueError('need at least one dataset')
+
         def gen():
-            for ds in [self] + list(datasets):
+            for ds in datasets:
                 if isinstance(ds, DiskDataset):
                     yield from ds.itershards()
                 else:
                     yield ds.X, ds.y, ds.w, ds.ids
+        tasks = getattr(datasets[0], 'tasks', None)
         return DiskDataset.create_dataset(gen(), data_dir=merge_dir,
-                                          tasks=self.tasks)
+                                          tasks=tasks)
 
     def reshard(self, shard_size: int) -> None:
         """Rewrite with a new shard size in place (reference

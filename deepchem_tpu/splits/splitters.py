@@ -88,7 +88,7 @@ class Splitter:
             train_parts = [cv_datasets[i] for i in range(k) if i != fold]
             first = train_parts[0]
             if isinstance(first, DiskDataset):
-                train = first.merge(train_parts[1:],
+                train = DiskDataset.merge(train_parts,
                                     merge_dir=directories[2 * fold + 1])
             else:
                 from deepchem_tpu.data import NumpyDataset

@@ -106,7 +106,7 @@ def test_disk_dataset_iterbatches_all_rows():
 def test_disk_dataset_merge():
     a = DiskDataset.from_numpy(np.ones((5, 2)), np.ones(5))
     b = DiskDataset.from_numpy(np.zeros((3, 2)), np.zeros(3))
-    m = a.merge([b])
+    m = DiskDataset.merge([a, b])
     assert len(m) == 8
 
 
