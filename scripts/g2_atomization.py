@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 import jax
 
+# force CPU even when the ambient sitecustomize pre-imported jax with
+# the tunneled TPU platform (conftest.py recipe) — this is a host-side
+# x64 quantum-chemistry script, not a TPU workload
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
 import numpy as np
