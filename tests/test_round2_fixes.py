@@ -64,18 +64,19 @@ def test_fit_on_device_cache_invalidation(tmp_path):
                             dropouts=0.0, batch_size=8)
     m.fit_on_device(ds, nb_epoch=1)
     first_cache = m._fit_data_cache
-    assert first_cache[0] is ds
+    assert first_cache['dataset'] is ds
     # unchanged dataset -> cache reused
     m.fit_on_device(ds, nb_epoch=1)
     assert m._fit_data_cache is first_cache
     # in-place mutation bumps _version -> cache rebuilt
     X2, y2, w2, ids2 = ds.get_shard(0)
     ds.set_shard(0, X2, np.ones_like(y2), w2, ids2)
-    assert ds._version > first_cache[1]
+    assert ds._version > first_cache['version']
     m.fit_on_device(ds, nb_epoch=1)
     assert m._fit_data_cache is not first_cache
     # the rebuilt cache holds the mutated labels
-    assert float(np.max(np.asarray(m._fit_data_cache[4][0]))) == 1.0
+    assert float(np.max(np.asarray(
+        m._fit_data_cache['host_lab'][0]))) == 1.0
 
 
 def test_cdf_untransform_uses_training_quantiles():
