@@ -16,9 +16,19 @@ GroverFunctionalGroupPredictor:202, losses.py GroverPretrainLoss:765), and
 the dual-branch finetune head (grover.py GroverFinetune:126).
 
 TPU design notes:
-- The reference's padded neighbor-list aggregation (a2b/a2a with a ghost
-  slot 0) is kept — it is already the TPU-friendly layout: static-shape
-  dense gathers + sums on the MXU-adjacent VPU, no scatters.
+- Two batch layouts share the same flax modules/params (equivalence
+  pinned in tests/test_grover_packed.py):
+  * ``packed=True`` (default): dense per-molecule layout — molecule i
+    owns atom slots [i*A, (i+1)*A) and directed-bond slots [i*E,
+    (i+1)*E), and every neighbor aggregation is a batched 0/1
+    incidence MATMUL on the MXU (see _p_agg); the reverse bond of 2j
+    is 2j+1, so rev() is a free pair-flip.  Measured 2.15x the flat
+    layout's training throughput at GROVER-large pretrain scale
+    (scripts/bench_grover_mfu.py).
+  * ``packed=False``: the reference's flat padded neighbor-list
+    aggregation (a2b/a2a with a ghost slot 0) — static-shape gathers,
+    kept as the oracle and for degree-bounded memory at extreme graph
+    sizes.
 - Ghost/padding rows are explicitly re-masked after every affine transform
   so bias terms cannot leak into neighbor sums (the reference relies on
   bias=False to keep the ghost row zero).
@@ -32,7 +42,7 @@ TPU design notes:
 from __future__ import annotations
 
 import collections
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -276,6 +286,7 @@ class _GroverMPN(nn.Module):
     input_layer: str = 'none'      # 'fc' | 'none'
     dropout: float = 0.0
     bias: bool = False
+    packed: bool = False           # dense per-molecule incidences
 
     @nn.compact
     def __call__(self, messages, a2nei, b2a, b2revb, mask,
@@ -286,18 +297,21 @@ class _GroverMPN(nn.Module):
                          name='W_i')(messages))
         messages = messages * mask[:, None]
         W_h = nn.Dense(self.hidden, use_bias=self.bias, name='W_h')
-        if not self.atom_messages:
+        if not self.atom_messages and not self.packed:
             # dst(b): the one atom whose incoming list holds bond b —
             # makes the neighbor-sum backward a gather (see _nei_sum_bonds)
             rev_dst = jnp.take(b2a, b2revb)
         for _ in range(self.depth - 1):
-            if self.atom_messages:
-                nei_message = _nei_sum_sym(messages, a2nei)
+            if self.packed:
+                if self.atom_messages:
+                    messages = _p_agg(messages, a2nei)
+                else:
+                    messages = _p_agg(_p_agg(messages, a2nei), b2a) \
+                        - _p_rev(messages)
+            elif self.atom_messages:
+                messages = _nei_sum_sym(messages, a2nei)
             else:
                 nei_message = _nei_sum_bonds(messages, a2nei, rev_dst)
-            if self.atom_messages:
-                messages = nei_message
-            else:
                 # directed update: sum over incoming bonds of the source
                 # atom, minus the reverse bond's own message
                 # (grover_layers.py:463-470)
@@ -361,6 +375,54 @@ def _nei_sum_bonds_g_bwd(res, g):
 _nei_sum_bonds_g.defvjp(_nei_sum_bonds_g_fwd, _nei_sum_bonds_g_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Packed (dense per-molecule) aggregation: every neighbor sum is a batched
+# incidence MATMUL instead of a slot-unrolled gather.  Nodes live at
+# flat index b*A + a (uniform per-molecule padding), so all dense/
+# attention/norm code is unchanged; only the aggregation ops reshape to
+# (B, A, H), einsum against a dense 0/1 incidence, and reshape back.
+# The reverse directed bond of 2i is 2i+1 (featurizer pair order), so
+# rev() is a free pair-flip.  On TPU this moves the encoder's bandwidth
+# hog from XLA gathers (~8x off HBM speed-of-light, measured) onto the
+# MXU; backward passes are the transposed einsums, so no custom VJPs.
+# ---------------------------------------------------------------------------
+
+def _p_agg(x: jnp.ndarray, inc: jnp.ndarray) -> jnp.ndarray:
+    """out[.., b*I + i, :] = sum_j inc[b, i, j] * x[.., b*J + j, :].
+
+    inc (B, I, J) is any 0/1 incidence: atom adjacency (A, A), incoming
+    -bond incidence (A, E), or source-atom one-hot (E, A).  Handles
+    (N, H) and grouped (G, N, H) operands."""
+    B, I, J = inc.shape
+    inc = inc.astype(x.dtype)
+    if x.ndim == 2:
+        y = jnp.einsum('bij,bjh->bih', inc, x.reshape(B, J, -1))
+        return y.reshape(B * I, x.shape[-1])
+    G = x.shape[0]
+    y = jnp.einsum('bij,gbjh->gbih', inc, x.reshape(G, B, J, -1))
+    return y.reshape(G, B * I, x.shape[-1])
+
+
+def _p_rev(x: jnp.ndarray) -> jnp.ndarray:
+    """Reverse-bond pick: directed bonds are stored in (fwd, rev) pairs,
+    so rev(2i) = 2i+1 — a static pair-flip, no gather at all."""
+    if x.ndim == 2:
+        n, h = x.shape
+        return x.reshape(n // 2, 2, h)[:, ::-1].reshape(n, h)
+    g, n, h = x.shape
+    return x.reshape(g, n // 2, 2, h)[:, :, ::-1].reshape(g, n, h)
+
+
+def _p_mean_readout(x: jnp.ndarray, mask: jnp.ndarray,
+                    num_graphs: int) -> jnp.ndarray:
+    """Masked mean over each molecule's slot block — the packed
+    equivalent of graph_pool(..., 'mean'), scatter-free."""
+    B = num_graphs
+    xr = x.reshape(B, -1, x.shape[-1])
+    m = mask.reshape(B, -1, 1).astype(x.dtype)
+    return (xr * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+
+
 class _GroverGroupedMPN(nn.Module):
     """All of an MT block's per-head q/k/v MPN encoders fused into one
     grouped computation (semantically identical to 3*num_heads
@@ -380,6 +442,11 @@ class _GroverGroupedMPN(nn.Module):
     atom_messages: bool
     dropout: float = 0.0
     bias: bool = False
+    #: dense per-molecule layout: a2nei is the (B, A, A) adjacency
+    #: (atom messages) or (B, A, E) incoming-bond incidence (bond
+    #: messages); b2a is the (B, E, A) source-atom one-hot; b2revb is
+    #: ignored (pair-flip).  See the _p_agg section.
+    packed: bool = False
 
     @nn.compact
     def __call__(self, f, a2nei, b2a, b2revb, mask, training: bool = False):
@@ -410,24 +477,33 @@ class _GroverGroupedMPN(nn.Module):
             return nn.relu(y)
 
         msg0 = f * mask[:, None]
-        if not self.atom_messages:
-            rev_dst = jnp.take(b2a, b2revb)
-            nei = _nei_sum_bonds(msg0, a2nei, rev_dst)
-            shared = jnp.take(nei, b2a, axis=0) \
-                - jnp.take(msg0, b2revb, axis=0)
+        if self.packed:
+            if self.atom_messages:
+                def aggregate(x):
+                    return _p_agg(x, a2nei)
+            else:
+                def aggregate(x):
+                    return _p_agg(_p_agg(x, a2nei), b2a) - _p_rev(x)
+        elif self.atom_messages:
+            def aggregate(x):
+                return (_nei_sum_sym if x.ndim == 2
+                        else _nei_sum_sym_g)(x, a2nei)
         else:
-            shared = _nei_sum_sym(msg0, a2nei)
-        x = matmul(shared)                               # (G, N, H)
+            rev_dst = jnp.take(b2a, b2revb)
+
+            def aggregate(x):
+                if x.ndim == 2:
+                    nei = _nei_sum_bonds(x, a2nei, rev_dst)
+                    return jnp.take(nei, b2a, axis=0) \
+                        - jnp.take(x, b2revb, axis=0)
+                nei = _nei_sum_bonds_g(x, a2nei, rev_dst)
+                return jnp.take(nei, b2a, axis=1) \
+                    - jnp.take(x, b2revb, axis=1)
+        x = matmul(aggregate(msg0))                      # (G, N, H)
         x = drop(x, deterministic=not training)
         x = x * mask[None, :, None]
         for _ in range(self.depth - 2):
-            if self.atom_messages:
-                agg = _nei_sum_sym_g(x, a2nei)
-            else:
-                nei = _nei_sum_bonds_g(x, a2nei, rev_dst)
-                agg = jnp.take(nei, b2a, axis=1) \
-                    - jnp.take(x, b2revb, axis=1)
-            x = matmul(agg)
+            x = matmul(aggregate(x))
             x = drop(x, deterministic=not training)
             x = x * mask[None, :, None]
         return x
@@ -513,6 +589,8 @@ class _GroverMTBlock(nn.Module):
     bias: bool = False
     res_connection: bool = True
     transform_input: bool = False   # static: first block projects features
+    packed: bool = False
+    remat_qkv: bool = True
 
     @nn.compact
     def __call__(self, f, a2nei, b2a, b2revb, mask, training: bool = False):
@@ -526,10 +604,11 @@ class _GroverMTBlock(nn.Module):
         # iterations), rematerialized so the per-depth neighbor gathers
         # are recomputed in backward instead of saved (40 GB -> fits at
         # pretrain scale).  training is static (dropout determinism).
-        MPN = nn.remat(_GroverGroupedMPN, static_argnums=(6,))
+        MPN = (nn.remat(_GroverGroupedMPN, static_argnums=(6,))
+               if self.remat_qkv else _GroverGroupedMPN)
         nh = self.num_heads
         qkv = MPN(3 * nh, self.hidden, self.depth, self.atom_messages,
-                  self.dropout, self.bias,
+                  self.dropout, self.bias, packed=self.packed,
                   name='qkv_mpn')(f, a2nei, b2a, b2revb, mask, training)
         # (3*nh, N, H) -> three (N, nh, H)
         q = qkv[:nh].transpose(1, 0, 2)
@@ -577,6 +656,18 @@ class GroverTransEncoder(nn.Module):
     dropout: float = 0.0
     bias: bool = False
     res_connection: bool = True
+    #: packed=True swaps the flat index tables for dense per-molecule
+    #: incidences: a2b -> (B, A, E) incoming-bond incidence, b2a ->
+    #: (B, E, A) source-atom one-hot, a2a -> (B, A, A) adjacency,
+    #: b2revb -> ignored (bonds stored in (fwd, rev) pairs)
+    packed: bool = False
+    #: 'auto' | 'both' | 'qkv' | 'block' | 'none' — which remat levels
+    #: to apply.  'auto': double remat at large flat scale (the gather
+    #: recompute that motivated it is cheap to redo), single qkv-level
+    #: remat at large packed scale (matmul recompute is not; measured
+    #: in scripts/bench_grover_mfu.py), nothing at small scale where
+    #: remat costs 35% step time for no memory need.
+    remat: str = 'auto'
 
     @nn.compact
     def __call__(self, f_atoms, f_bonds, a2b, b2a, b2revb, a2a,
@@ -584,12 +675,28 @@ class GroverTransEncoder(nn.Module):
         node_h, edge_h = f_atoms, f_bonds
         # block-level remat on top of the qkv_mpn-level one: only block
         # inputs are saved for backward, everything else recomputes.
-        # Worth it only when activations are large (measured: at
-        # 64 mols x hidden 128 it costs 35% step time for nothing; at
-        # 256 mols x hidden 1024 it is the difference between OOM and
-        # fitting) — shapes are static under jit, so this is a compile
-        # -time decision.
-        if f_atoms.shape[0] * self.hidden >= 2 ** 22:
+        # Shapes are static under jit, so this is a compile-time
+        # decision (see the ``remat`` field).
+        mode = self.remat
+        if mode == 'auto':
+            size = f_atoms.shape[0] * self.hidden
+            if size < 2 ** 22:
+                # small scale: qkv-level only; measured faster than no
+                # remat here (35.4 vs 39.8 ms/step at base scale —
+                # less live memory schedules better)
+                mode = 'qkv'
+            elif self.packed:
+                # packed pretrain scale: no remat fits HBM up to the
+                # 256-mol x hidden-1024 benchmark scale and is 25%
+                # faster than qkv-remat (no matmul recompute); keep the
+                # single-level fallback beyond that (measured in
+                # scripts/bench_grover_mfu.py packed-remat)
+                mode = 'none' if size < 2 ** 23 else 'qkv'
+            else:
+                mode = 'both'      # flat: gather recompute is cheap
+        remat_block = mode in ('both', 'block')
+        remat_qkv = mode in ('both', 'qkv')
+        if remat_block:
             _GroverMTBlock = nn.remat(globals()['_GroverMTBlock'],
                                       static_argnums=(6,))
         else:
@@ -599,14 +706,16 @@ class GroverTransEncoder(nn.Module):
                 self.hidden, self.num_heads, self.depth,
                 atom_messages=True, dropout=self.dropout, bias=self.bias,
                 res_connection=self.res_connection,
-                transform_input=(i == 0),
+                transform_input=(i == 0), packed=self.packed,
+                remat_qkv=remat_qkv,
                 name=f'node_block{i}')(node_h, a2a, b2a, b2revb, nmask,
                                        training)
             edge_h = _GroverMTBlock(
                 self.hidden, self.num_heads, self.depth,
                 atom_messages=False, dropout=self.dropout, bias=self.bias,
                 res_connection=self.res_connection,
-                transform_input=(i == 0),
+                transform_input=(i == 0), packed=self.packed,
+                remat_qkv=remat_qkv,
                 name=f'edge_block{i}')(edge_h, a2b, b2a, b2revb, emask,
                                        training)
 
@@ -616,14 +725,19 @@ class GroverTransEncoder(nn.Module):
                 nn.LayerNorm(name=f'{name}_norm')(x))
 
         # --- to-atom outputs (grover_layers.py:858-869)
-        aa = jnp.concatenate([f_atoms, _nei_sum_sym(node_h, a2a)], axis=1)
+        if self.packed:
+            nei_atoms = _p_agg(node_h, a2a)
+            nei_bonds = _p_agg(edge_h, a2b)
+        else:
+            nei_atoms = _nei_sum_sym(node_h, a2a)
+            rev_dst = jnp.take(b2a, b2revb)
+            nei_bonds = _nei_sum_bonds(edge_h, a2b, rev_dst)
+        aa = jnp.concatenate([f_atoms, nei_atoms], axis=1)
         atom_from_atom = sublayer(
             _PositionwiseFFN(self.hidden * 4, self.hidden, self.dropout,
                              name='ffn_atom_from_atom')(aa, training),
             'atom_from_atom') * nmask[:, None]
-        rev_dst = jnp.take(b2a, b2revb)
-        ab = jnp.concatenate(
-            [f_atoms, _nei_sum_bonds(edge_h, a2b, rev_dst)], axis=1)
+        ab = jnp.concatenate([f_atoms, nei_bonds], axis=1)
         atom_from_bond = sublayer(
             _PositionwiseFFN(self.hidden * 4, self.hidden, self.dropout,
                              name='ffn_atom_from_bond')(ab, training),
@@ -632,19 +746,28 @@ class GroverTransEncoder(nn.Module):
         # --- to-bond outputs (grover_layers.py:870-886)
         # atom -> bond: neighbors are the bond's source atom plus that
         # atom's neighbors, minus the atom at the reverse end
-        atom_list_for_bond = jnp.concatenate(
-            [b2a[:, None], jnp.take(a2a, b2a, axis=0)], axis=1)
-        agg = _nei_sum(node_h, atom_list_for_bond) \
-            - jnp.take(node_h, jnp.take(b2a, b2revb), axis=0)
+        if self.packed:
+            # pick at src of the self+neighborhood sum; the atom at the
+            # reverse end is this bond's dst = transpose(a2b) pick
+            agg = _p_agg(node_h + _p_agg(node_h, a2a), b2a) \
+                - _p_agg(node_h, a2b.transpose(0, 2, 1))
+        else:
+            atom_list_for_bond = jnp.concatenate(
+                [b2a[:, None], jnp.take(a2a, b2a, axis=0)], axis=1)
+            agg = _nei_sum(node_h, atom_list_for_bond) \
+                - jnp.take(node_h, jnp.take(b2a, b2revb), axis=0)
         ba = jnp.concatenate([f_bonds, agg], axis=1)
         bond_from_atom = sublayer(
             _PositionwiseFFN(self.hidden * 4, self.hidden, self.dropout,
                              name='ffn_bond_from_atom')(ba, training),
             'bond_from_atom') * emask[:, None]
         # bond -> bond: incoming bonds of the source atom minus reverse
-        bond_list_for_bond = jnp.take(a2b, b2a, axis=0)
-        agg2 = _nei_sum(edge_h, bond_list_for_bond) \
-            - jnp.take(edge_h, b2revb, axis=0)
+        if self.packed:
+            agg2 = _p_agg(_p_agg(edge_h, a2b), b2a) - _p_rev(edge_h)
+        else:
+            bond_list_for_bond = jnp.take(a2b, b2a, axis=0)
+            agg2 = _nei_sum(edge_h, bond_list_for_bond) \
+                - jnp.take(edge_h, b2revb, axis=0)
         bb = jnp.concatenate([f_bonds, agg2], axis=1)
         bond_from_bond = sublayer(
             _PositionwiseFFN(self.hidden * 4, self.hidden, self.dropout,
@@ -667,6 +790,8 @@ class _GroverPretrainModule(nn.Module):
     bond_vocab_size: int
     n_fg: int
     num_graphs: int
+    packed: bool = False
+    remat: str = 'auto'
 
     @nn.compact
     def __call__(self, f_atoms, f_bonds, a2b, b2a, b2revb, a2a, gidx,
@@ -674,6 +799,7 @@ class _GroverPretrainModule(nn.Module):
         emb = GroverTransEncoder(
             self.hidden, self.node_fdim, self.edge_fdim, self.depth,
             self.num_mt_block, self.num_heads, self.dropout,
+            packed=self.packed, remat=self.remat,
             name='encoder')(f_atoms, f_bonds, a2b, b2a, b2revb, a2a,
                             nmask, emask, training)
         atom_from_atom, atom_from_bond, bond_from_atom, bond_from_bond = emb
@@ -690,17 +816,22 @@ class _GroverPretrainModule(nn.Module):
         # every directed bond pairs with its b2revb partner)
         def bond_vocab(emb_b, name):
             fwd = nn.Dense(self.bond_vocab_size, name=f'{name}_fwd')(emb_b)
+            rev_emb = (_p_rev(emb_b) if self.packed
+                       else jnp.take(emb_b, b2revb, axis=0))
             rev = nn.Dense(self.bond_vocab_size, name=f'{name}_rev')(
-                jnp.take(emb_b, b2revb, axis=0))
+                rev_emb)
             return jax.nn.log_softmax(fwd + rev, axis=-1)
         bv_atom = bond_vocab(bond_from_atom, 'bv_head_atom')
         bv_bond = bond_vocab(bond_from_bond, 'bv_head_bond')
 
         # functional-group predictors over mean readouts of all four
         def fg(emb_x, idx, mask, name):
-            g = graph_pool(emb_x, idx, self.num_graphs, mask, 'mean')
+            if self.packed:
+                g = _p_mean_readout(emb_x, mask, self.num_graphs)
+            else:
+                g = graph_pool(emb_x, idx, self.num_graphs, mask, 'mean')
             return nn.Dense(self.n_fg, name=name)(g)
-        egidx = jnp.take(gidx, b2a)   # graph id of each directed bond
+        egidx = None if self.packed else jnp.take(gidx, b2a)
         fg_aa = fg(atom_from_atom, gidx, nmask, 'fg_head_atom_from_atom')
         fg_ab = fg(atom_from_bond, gidx, nmask, 'fg_head_atom_from_bond')
         fg_ba = fg(bond_from_atom, egidx, emask, 'fg_head_bond_from_atom')
@@ -724,6 +855,8 @@ class _GroverFinetuneModule(nn.Module):
     n_classes: int
     num_graphs: int
     ffn_hidden: int = 128
+    packed: bool = False
+    remat: str = 'auto'
 
     @nn.compact
     def __call__(self, f_atoms, f_bonds, a2b, b2a, b2revb, a2a, gidx,
@@ -731,13 +864,20 @@ class _GroverFinetuneModule(nn.Module):
         emb = GroverTransEncoder(
             self.hidden, self.node_fdim, self.edge_fdim, self.depth,
             self.num_mt_block, self.num_heads, self.dropout,
+            packed=self.packed, remat=self.remat,
             name='encoder')(f_atoms, f_bonds, a2b, b2a, b2revb, a2a,
                             nmask, emask, training)
         atom_from_atom, atom_from_bond = emb[0], emb[1]
-        g_atom = graph_pool(atom_from_atom, gidx, self.num_graphs, nmask,
-                            'mean')
-        g_bond = graph_pool(atom_from_bond, gidx, self.num_graphs, nmask,
-                            'mean')
+        if self.packed:
+            g_atom = _p_mean_readout(atom_from_atom, nmask,
+                                     self.num_graphs)
+            g_bond = _p_mean_readout(atom_from_bond, nmask,
+                                     self.num_graphs)
+        else:
+            g_atom = graph_pool(atom_from_atom, gidx, self.num_graphs,
+                                nmask, 'mean')
+            g_bond = graph_pool(atom_from_bond, gidx, self.num_graphs,
+                                nmask, 'mean')
         g_atom = jnp.concatenate([g_atom, addf], axis=1)
         g_bond = jnp.concatenate([g_bond, addf], axis=1)
         drop = nn.Dropout(self.dropout, deterministic=not training)
@@ -775,6 +915,9 @@ class GroverModel(GraphModel):
     #: static width of the padded incoming-neighbor lists (molecular
     #: graphs have max degree ~6; one static width avoids recompiles)
     max_neighbors = 8
+    #: per-molecule padding quanta for the packed dense layout
+    mol_node_quantum = 8
+    mol_edge_quantum = 16
 
     def __init__(self, node_fdim: int = 75, edge_fdim: int = 6,
                  hidden_size: int = 64, depth: int = 2,
@@ -786,7 +929,9 @@ class GroverModel(GraphModel):
                  atom_vocab: Optional[GroverAtomVocabularyBuilder] = None,
                  bond_vocab: Optional[GroverBondVocabularyBuilder] = None,
                  batch_size: int = 32, dist_coff: float = 0.1,
-                 num_layers: Optional[int] = None, **kwargs):
+                 num_layers: Optional[int] = None, packed: bool = True,
+                 **kwargs):
+        self.packed = packed
         self.n_tasks = n_tasks
         self.n_classes = n_classes
         self.task = task
@@ -805,7 +950,8 @@ class GroverModel(GraphModel):
         common = dict(hidden=hidden_size, node_fdim=node_fdim,
                       edge_fdim=edge_fdim, depth=depth,
                       num_mt_block=num_mt_block, num_heads=num_heads,
-                      dropout=dropout, num_graphs=batch_size)
+                      dropout=dropout, num_graphs=batch_size,
+                      packed=packed)
         if pretrain:
             module = _GroverPretrainModule(
                 atom_vocab_size=av, bond_vocab_size=bv,
@@ -893,8 +1039,65 @@ class GroverModel(GraphModel):
     load_components = _MM.load_components
 
     # -- grover batch assembly (reference utils/grover.py BatchGroverGraph,
-    # rebuilt with a ghost slot 0 and static neighbor-list width) ---------
+    # rebuilt two ways: a flat ghost-slot layout with static neighbor
+    # lists, and the packed dense per-molecule layout where every
+    # aggregation is an incidence matmul; see the _p_agg section) --------
     def _graph_inputs(self, X_b) -> List[np.ndarray]:
+        if self.packed:
+            return self._graph_inputs_packed(X_b)
+        return self._graph_inputs_flat(X_b)
+
+    def _graph_inputs_packed(self, X_b) -> List[np.ndarray]:
+        graphs = list(X_b)
+        B = self.batch_size
+        if self._fixed_caps is not None:
+            A, E = self._fixed_caps
+        else:
+            A, E = self._packed_caps(
+                max((g.num_nodes for g in graphs), default=1),
+                max((g.num_edges for g in graphs), default=0))
+        nf, ef = self.node_fdim, self.edge_fdim
+        f_atoms = np.zeros((B * A, nf), np.float32)
+        f_bonds = np.zeros((B * E, nf + ef), np.float32)
+        adj = np.zeros((B, A, A), np.float32)
+        inc = np.zeros((B, A, E), np.float32)
+        src_oh = np.zeros((B, E, A), np.float32)
+        gidx = np.repeat(np.arange(B, dtype=np.int32), A)
+        nmask = np.zeros(B * A, np.float32)
+        emask = np.zeros(B * E, np.float32)
+        addf = np.zeros((B, max(self.features_dim, 1)), np.float32)
+        for i, g in enumerate(graphs):
+            n, e = g.num_nodes, g.num_edges
+            f_atoms[i * A:i * A + n] = g.node_features[:, :nf]
+            nmask[i * A:i * A + n] = 1.0
+            if e:
+                s = g.edge_index[0]
+                d = g.edge_index[1]
+                efeat = (g.edge_features[:, :ef]
+                         if g.edge_features is not None
+                         else np.zeros((e, ef), np.float32))
+                f_bonds[i * E:i * E + e, :nf] = g.node_features[s, :nf]
+                f_bonds[i * E:i * E + e, nf:] = efeat
+                adj[i, d, s] = 1.0
+                inc[i, d, np.arange(e)] = 1.0
+                src_oh[i, np.arange(e), s] = 1.0
+                emask[i * E:i * E + e] = 1.0
+            af = getattr(g, 'additional_features', None)
+            if af is not None and self.features_dim:
+                addf[i, :len(af)] = af[:self.features_dim]
+        # b2revb slot unused when packed (bonds are (fwd, rev) pairs)
+        dummy = np.zeros(1, np.int32)
+        return [f_atoms, f_bonds, inc, src_oh, dummy, adj, gidx, nmask,
+                emask, addf]
+
+    def _packed_caps(self, max_nodes: int, max_edges: int
+                     ) -> Tuple[int, int]:
+        """Per-molecule (atom, directed-bond) caps rounded to quanta —
+        the edge cap stays even so rev() can pair-flip."""
+        return bucket_caps(max(max_nodes, 1), max(max_edges, 1),
+                           self.mol_node_quantum, self.mol_edge_quantum)
+
+    def _graph_inputs_flat(self, X_b) -> List[np.ndarray]:
         graphs = list(X_b)
         n_nodes = sum(g.num_nodes for g in graphs) + 1
         n_edges = sum(g.num_edges for g in graphs) + 1
@@ -957,13 +1160,22 @@ class GroverModel(GraphModel):
         for (X_b, _, _, _) in dataset.iterbatches(
                 batch_size=self.batch_size, deterministic=True,
                 pad_batches=False):
-            max_nodes = max(max_nodes,
-                            sum(g.num_nodes for g in X_b) + 1)
-            max_edges = max(max_edges,
-                            sum(g.num_edges for g in X_b) + 1)
-        self._fixed_caps = bucket_caps(max_nodes, max_edges,
-                                       self.node_quantum,
-                                       self.edge_quantum)
+            if self.packed:     # per-molecule caps, not per-batch sums
+                max_nodes = max(max_nodes,
+                                max(g.num_nodes for g in X_b))
+                max_edges = max(max_edges,
+                                max(g.num_edges for g in X_b))
+            else:
+                max_nodes = max(max_nodes,
+                                sum(g.num_nodes for g in X_b) + 1)
+                max_edges = max(max_edges,
+                                sum(g.num_edges for g in X_b) + 1)
+        if self.packed:
+            self._fixed_caps = self._packed_caps(max_nodes, max_edges)
+        else:
+            self._fixed_caps = bucket_caps(max_nodes, max_edges,
+                                           self.node_quantum,
+                                           self.edge_quantum)
         try:
             out = []
             for batch in self.default_generator(
@@ -1008,17 +1220,23 @@ class GroverModel(GraphModel):
                 bv = np.zeros(edge_cap, dtype=np.int32)
                 fg = np.zeros((self.batch_size, len(_FG_CHECKS)),
                               dtype=np.float32)
+                if self.packed:     # labels at each molecule's slot base
+                    A = node_cap // self.batch_size
+                    E = edge_cap // self.batch_size
                 pos_n, pos_e = 1, 1
                 for i, g in enumerate(X_b):
                     n, e = g.num_nodes, g.num_edges
+                    if self.packed:
+                        pos_n, pos_e = i * A, i * E
                     if getattr(g, 'atom_vocab_label', None) is not None:
                         av[pos_n:pos_n + n] = g.atom_vocab_label
                     if getattr(g, 'bond_vocab_label', None) is not None:
                         bv[pos_e:pos_e + e] = g.bond_vocab_label
                     if getattr(g, 'fg_label', None) is not None:
                         fg[i] = g.fg_label
-                    pos_n += n
-                    pos_e += e
+                    if not self.packed:
+                        pos_n += n
+                        pos_e += e
                 yield (inputs, [av, bv, fg, inputs[7], inputs[8]],
                        [np.ones(1, np.float32)])
 

@@ -48,7 +48,47 @@ def make_batch(batch=64, nodes_per=24, nf=75, ef=6, max_nb=8,
             addf]
 
 
-def run_config(name, batch, hidden, heads, blocks, depth, n_scan=20):
+def make_packed_batch(batch=64, nodes_per=24, nf=75, ef=6,
+                      dtype=np.float32):
+    """Dense per-molecule layout at the same scale as make_batch: each
+    molecule a random connected chain + extra ring-closure bonds, so the
+    incidences have molecular degree statistics."""
+    A = nodes_per
+    E = 2 * nodes_per            # directed-bond cap (pairs)
+    B = batch
+    rng = np.random.RandomState(0)
+    f_atoms = rng.rand(B * A, nf).astype(dtype)
+    f_bonds = np.zeros((B * E, nf + ef), dtype)
+    adj = np.zeros((B, A, A), np.float32)
+    inc = np.zeros((B, A, E), np.float32)
+    src_oh = np.zeros((B, E, A), np.float32)
+    nmask = np.ones(B * A, dtype)
+    emask = np.zeros(B * E, dtype)
+    for b in range(B):
+        und = [(i, i + 1) for i in range(A - 1)]
+        while len(und) < E // 2:
+            i, j = rng.randint(0, A, 2)
+            if i != j:
+                und.append((i, j))
+        e = 0
+        for (i, j) in und:
+            for (s, d) in ((i, j), (j, i)):
+                adj[b, d, s] = 1.0
+                inc[b, d, e] = 1.0
+                src_oh[b, e, s] = 1.0
+                f_bonds[b * E + e, :nf] = f_atoms[b * A + s]
+                f_bonds[b * E + e, nf:] = rng.rand(ef)
+                emask[b * E + e] = 1.0
+                e += 1
+    gidx = np.repeat(np.arange(B, dtype=np.int32), A)
+    dummy = np.zeros(1, np.int32)
+    addf = np.zeros((batch, 1), dtype)
+    return [f_atoms, f_bonds, inc, src_oh, dummy, adj, gidx, nmask,
+            emask, addf]
+
+
+def run_config(name, batch, hidden, heads, blocks, depth, n_scan=20,
+               packed=False, arms=('f32', 'bf16'), remat='auto'):
     import jax
     import jax.numpy as jnp
     import optax
@@ -59,9 +99,10 @@ def run_config(name, batch, hidden, heads, blocks, depth, n_scan=20):
         hidden=hidden, node_fdim=75, edge_fdim=6, depth=depth,
         num_mt_block=blocks, num_heads=heads, dropout=0.0,
         atom_vocab_size=600, bond_vocab_size=60, n_fg=10,
-        num_graphs=batch)
-    for label in ('f32', 'bf16'):
-        inputs = [jnp.asarray(a) for a in make_batch(batch)]
+        num_graphs=batch, packed=packed, remat=remat)
+    make = make_packed_batch if packed else make_batch
+    for label in arms:
+        inputs = [jnp.asarray(a) for a in make(batch)]
         params = module.init(jax.random.PRNGKey(0), *inputs,
                              training=False)
         if label == 'bf16':
@@ -127,9 +168,32 @@ def main():
     if which in ('base', 'all'):
         run_config('base', batch=64, hidden=128, heads=4, blocks=2,
                    depth=3, n_scan=50)
+    if which == 'base-remat':
+        for remat in ('none', 'qkv'):
+            run_config(f'base/{remat}', batch=64, hidden=128, heads=4,
+                       blocks=2, depth=3, n_scan=50, arms=('f32',),
+                       remat=remat)
     if which in ('large', 'all'):
         run_config('large', batch=256, hidden=1024, heads=8, blocks=2,
                    depth=3, n_scan=10)
+    if which in ('packed', 'all'):
+        run_config('large-packed', batch=256, hidden=1024, heads=8,
+                   blocks=2, depth=3, n_scan=10, packed=True,
+                   arms=('bf16',))
+    if which.startswith('packed-remat'):
+        parts = which.split(':')
+        sel = parts[1].split(',') if len(parts) > 1 \
+            else ('qkv', 'none', 'block', 'both')
+        batch = int(parts[2]) if len(parts) > 2 else 256
+        for remat in sel:
+            try:
+                run_config(f'packed-{batch}/{remat}', batch=batch,
+                           hidden=1024, heads=8, blocks=2, depth=3,
+                           n_scan=10, packed=True, arms=('bf16',),
+                           remat=remat)
+            except Exception as e:
+                print(f'packed-{batch}/{remat}: failed '
+                      f'({type(e).__name__}: {str(e)[:200]})')
 
 
 if __name__ == '__main__':
