@@ -55,6 +55,11 @@ class Evaluator:
     def output_predictions(self, y_preds: np.ndarray, csv_out: str) -> None:
         mol_ids = self.dataset.ids
         n_tasks = len(self.dataset.get_task_names())
+        y_preds = np.asarray(y_preds)
+        if y_preds.ndim == 3:
+            # classification (N, tasks, classes): write the probability
+            # of the positive/last class per task
+            y_preds = y_preds[:, :, -1]
         y_preds = np.reshape(y_preds, (len(y_preds), n_tasks))
         with open(csv_out, 'w') as f:
             writer = csv.writer(f)
