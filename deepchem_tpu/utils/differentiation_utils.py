@@ -53,14 +53,48 @@ class LinearOperator:
         return self.mm(jnp.eye(n))
 
     def __matmul__(self, x):
+        if isinstance(x, LinearOperator):
+            return self.matmul(x)
         return self.mv(x) if x.ndim == 1 else self.mm(x)
 
+    def matmul(self, other: 'LinearOperator') -> 'LinearOperator':
+        """Operator composition A @ B (reference linop.py
+        MatmulLinearOperator)."""
+        if self.shape[1] != other.shape[0]:
+            raise ValueError(
+                f'shape mismatch {self.shape} @ {other.shape}')
+        return LinearOperator(
+            lambda x: self.mv(other.mv(x)),
+            (self.shape[0], other.shape[1]),
+            mv_t=(lambda x: other.rmv(self.rmv(x)))
+            if self._mv_t and other._mv_t else None)
+
+    @property
+    def H(self) -> 'LinearOperator':
+        """Adjoint operator (reference linop.py AdjointLinearOperator)."""
+        if self.is_hermitian:
+            return self
+        if self._mv_t is None:
+            raise ValueError('transpose mv not provided')
+        return LinearOperator(self._mv_t,
+                              (self.shape[1], self.shape[0]),
+                              mv_t=self._mv)
+
     def __add__(self, other: 'LinearOperator') -> 'LinearOperator':
+        if self.shape != other.shape:
+            raise ValueError(
+                f'shape mismatch {self.shape} + {other.shape}')
         return LinearOperator(
             lambda x: self.mv(x) + other.mv(x), self.shape,
             mv_t=(lambda x: self.rmv(x) + other.rmv(x))
             if self._mv_t and other._mv_t else None,
             is_hermitian=self.is_hermitian and other.is_hermitian)
+
+    def __sub__(self, other: 'LinearOperator') -> 'LinearOperator':
+        return self + (-1.0) * other
+
+    def __neg__(self) -> 'LinearOperator':
+        return (-1.0) * self
 
     def __mul__(self, c) -> 'LinearOperator':
         return LinearOperator(lambda x: c * self.mv(x), self.shape,
@@ -90,19 +124,61 @@ def solve(A: LinearOperator, b: jnp.ndarray,
 
 
 def symeig(A: LinearOperator, neig: Optional[int] = None,
-           mode: str = 'lowest') -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Eigendecomposition of a Hermitian operator (reference symeig.py;
-    xitorch implements degenerate-safe backward — jnp.linalg.eigh is
-    natively differentiable for distinct eigenvalues)."""
+           mode: str = 'lowest',
+           degen_tol: Optional[float] = None
+           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Eigendecomposition of a Hermitian operator (reference symeig.py).
+
+    With ``degen_tol`` set, the backward pass uses the degenerate-safe
+    rule of the reference (symeig.py:742 ``degen_atol``/``degen_rtol``
+    handling): eigenvector-rotation terms inside a degenerate cluster
+    (|lam_j - lam_i| <= degen_tol) are projected out, so gradients of
+    functions that are invariant under rotations within the degenerate
+    subspace stay finite where plain ``jnp.linalg.eigh`` backward
+    divides by zero."""
     mat = A.fullmatrix() if isinstance(A, LinearOperator) else \
         jnp.asarray(A)
-    evals, evecs = jnp.linalg.eigh(mat)
+    if degen_tol is None:
+        evals, evecs = jnp.linalg.eigh(mat)
+    else:
+        evals, evecs = _symeig_degen(mat, degen_tol)
     if neig is not None:
         if mode == 'lowest':
             evals, evecs = evals[:neig], evecs[:, :neig]
         else:
             evals, evecs = evals[-neig:], evecs[:, -neig:]
     return evals, evecs
+
+
+@jax.custom_vjp
+def _symeig_degen(mat: jnp.ndarray, degen_tol: float):
+    return jnp.linalg.eigh(mat)
+
+
+def _symeig_degen_fwd(mat, degen_tol):
+    evals, evecs = jnp.linalg.eigh(mat)
+    return (evals, evecs), (evals, evecs, degen_tol)
+
+
+def _symeig_degen_bwd(res, cotangents):
+    evals, evecs, degen_tol = res
+    g_evals, g_evecs = cotangents
+    # standard eigh backward with the degenerate pairs masked out of the
+    # eigenvector-rotation term: F_ij = 1/(lam_j - lam_i) off the
+    # degenerate clusters, 0 inside them (reference symeig.py degenerate
+    # handling).
+    diff = evals[None, :] - evals[:, None]
+    safe = jnp.abs(diff) > degen_tol
+    F = jnp.where(safe, 1.0 / jnp.where(safe, diff, 1.0), 0.0)
+    inner = evecs.T @ g_evecs
+    gA = evecs @ (jnp.diag(g_evals) + F * inner) @ evecs.T
+    # symmetrize: the input is Hermitian, so the cotangent lives on the
+    # symmetric subspace
+    gA = 0.5 * (gA + gA.T)
+    return gA, None
+
+
+_symeig_degen.defvjp(_symeig_degen_fwd, _symeig_degen_bwd)
 
 
 def cg_solve(mv: Callable, b: jnp.ndarray, tol: float = 1e-8,
