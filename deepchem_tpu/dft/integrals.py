@@ -164,7 +164,48 @@ def _contract2(fn, b1: BasisFunction, b2: BasisFunction, *extra) -> float:
     return val
 
 
+def _pack_basis(basis: List[BasisFunction]):
+    """Flatten a basis into the ctypes layout intor.cpp consumes."""
+    import ctypes
+    n = len(basis)
+    lmn = np.zeros(3 * n, dtype=np.int32)
+    centers = np.zeros(3 * n, dtype=np.float64)
+    off = np.zeros(n + 1, dtype=np.int32)
+    exps: List[float] = []
+    coefs: List[float] = []
+    for i, bf in enumerate(basis):
+        lmn[3 * i:3 * i + 3] = bf.lmn
+        centers[3 * i:3 * i + 3] = bf.center
+        exps.extend(float(a) for a in bf.exps)
+        coefs.extend(float(c) for c in bf.coefs)
+        off[i + 1] = len(exps)
+    from deepchem_tpu.native import _ptr
+    e = np.asarray(exps, dtype=np.float64)
+    c = np.asarray(coefs, dtype=np.float64)
+    args = (n, _ptr(lmn, ctypes.c_int32), _ptr(centers, ctypes.c_double),
+            _ptr(off, ctypes.c_int32), _ptr(e, ctypes.c_double),
+            _ptr(c, ctypes.c_double))
+    # keep the arrays alive alongside the pointers
+    return args, (lmn, centers, off, e, c)
+
+
+def _native_1e(basis: List[BasisFunction], which: str):
+    from deepchem_tpu.native import get_intor_lib, _ptr
+    import ctypes
+    lib = get_intor_lib()
+    if lib is None:
+        return None
+    args, keep = _pack_basis(basis)
+    n = len(basis)
+    out = np.zeros((n, n), dtype=np.float64)
+    getattr(lib, which)(*args, _ptr(out, ctypes.c_double))
+    return out
+
+
 def overlap_matrix(basis: List[BasisFunction]) -> np.ndarray:
+    out = _native_1e(basis, 'intor_overlap')
+    if out is not None:
+        return out
     n = len(basis)
     S = np.zeros((n, n))
     for i in range(n):
@@ -175,6 +216,9 @@ def overlap_matrix(basis: List[BasisFunction]) -> np.ndarray:
 
 
 def kinetic_matrix(basis: List[BasisFunction]) -> np.ndarray:
+    out = _native_1e(basis, 'intor_kinetic')
+    if out is not None:
+        return out
     n = len(basis)
     T = np.zeros((n, n))
     for i in range(n):
@@ -188,6 +232,18 @@ def nuclear_matrix(basis: List[BasisFunction], charges: Sequence[int],
                    coords: np.ndarray) -> np.ndarray:
     n = len(basis)
     coords = np.asarray(coords, dtype=np.float64)
+    from deepchem_tpu.native import get_intor_lib, _ptr
+    import ctypes
+    lib = get_intor_lib()
+    if lib is not None:
+        args, keep = _pack_basis(basis)
+        Z = np.asarray(charges, dtype=np.float64)
+        ac = np.ascontiguousarray(coords, dtype=np.float64)
+        out = np.zeros((n, n), dtype=np.float64)
+        lib.intor_nuclear(*args, len(Z), _ptr(Z, ctypes.c_double),
+                          _ptr(ac, ctypes.c_double),
+                          _ptr(out, ctypes.c_double))
+        return out
     V = np.zeros((n, n))
     for i in range(n):
         for j in range(i, n):
@@ -201,6 +257,14 @@ def nuclear_matrix(basis: List[BasisFunction], charges: Sequence[int],
 def eri_tensor(basis: List[BasisFunction]) -> np.ndarray:
     """Full (ij|kl) tensor with 8-fold permutational symmetry."""
     n = len(basis)
+    from deepchem_tpu.native import get_intor_lib, _ptr
+    import ctypes
+    lib = get_intor_lib()
+    if lib is not None:
+        args, keep = _pack_basis(basis)
+        out = np.zeros((n, n, n, n), dtype=np.float64)
+        lib.intor_eri(*args, _ptr(out, ctypes.c_double))
+        return out
     eri = np.zeros((n, n, n, n))
 
     def contracted(i, j, k, l):
@@ -238,6 +302,18 @@ def ao_values(basis: List[BasisFunction],
     """
     pts = np.asarray(points, dtype=np.float64)
     G, n = len(pts), len(basis)
+    from deepchem_tpu.native import get_intor_lib, _ptr
+    import ctypes
+    lib = get_intor_lib()
+    if lib is not None:
+        args, keep = _pack_basis(basis)
+        pc = np.ascontiguousarray(pts)
+        phi = np.zeros((G, n), dtype=np.float64)
+        dphi = np.zeros((G, 3, n), dtype=np.float64)
+        lib.intor_ao_values(*args, G, _ptr(pc, ctypes.c_double),
+                            _ptr(phi, ctypes.c_double),
+                            _ptr(dphi, ctypes.c_double))
+        return phi, dphi
     phi = np.zeros((G, n))
     dphi = np.zeros((G, 3, n))
     for j, bf in enumerate(basis):

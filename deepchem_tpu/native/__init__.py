@@ -74,6 +74,57 @@ def _ptr(arr: np.ndarray, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+# ------------------------------------------------------------------
+# intor: the McMurchie-Davidson molecular-integral engine (intor.cpp),
+# a second .so built on demand (the DFT stack is optional; keeping it
+# separate means chem users never pay its compile time).
+_INTOR_SRC = os.path.join(_DIR, 'intor.cpp')
+_INTOR_SO = os.path.join(_DIR, '_intor.so')
+_intor_lib: Optional[ctypes.CDLL] = None
+_intor_tried = False
+
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_F64P = ctypes.POINTER(ctypes.c_double)
+
+
+def get_intor_lib() -> Optional[ctypes.CDLL]:
+    """The native integral engine, building on first use; None when the
+    toolchain is unavailable (callers fall back to the Python path)."""
+    global _intor_lib, _intor_tried
+    if _intor_lib is not None or _intor_tried:
+        return _intor_lib
+    _intor_tried = True
+    if not os.path.exists(_INTOR_SO) or \
+            os.path.getmtime(_INTOR_SO) < os.path.getmtime(_INTOR_SRC):
+        cmd = ['g++', '-O3', '-shared', '-fPIC', '-o', _INTOR_SO,
+               _INTOR_SRC]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True,
+                           timeout=180)
+        except Exception as e:
+            logger.info('native intor build failed (%s); using '
+                        'pure-Python integrals', e)
+            return None
+    try:
+        lib = ctypes.CDLL(_INTOR_SO)
+    except OSError as e:
+        logger.info('native intor load failed (%s)', e)
+        return None
+    base = [ctypes.c_int, _I32P, _F64P, _I32P, _F64P, _F64P]
+    for name, extra in (('intor_overlap', [_F64P]),
+                        ('intor_kinetic', [_F64P]),
+                        ('intor_nuclear',
+                         [ctypes.c_int, _F64P, _F64P, _F64P]),
+                        ('intor_eri', [_F64P]),
+                        ('intor_ao_values',
+                         [ctypes.c_int, _F64P, _F64P, _F64P])):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = base + extra
+    _intor_lib = lib
+    return _intor_lib
+
+
 def morgan_fold_native(invs: np.ndarray, bond_a1: np.ndarray,
                        bond_a2: np.ndarray, order_code: np.ndarray,
                        radius: int, n_bits: int,

@@ -335,3 +335,107 @@ class TestPolarizedBases:
             assert abs(E - e_lit) < 2e-3, f'{basis}: {E} vs {e_lit}'
         finally:
             jax.config.update('jax_enable_x64', False)
+
+
+class TestNativeIntor:
+    """The C++ McMurchie-Davidson engine (native/intor.cpp) must agree
+    with the pure-Python integrals (dft/integrals.py) to machine
+    precision — the Python path stays as the correctness oracle."""
+
+    def _python_path(self):
+        import deepchem_tpu.native as nat
+        return (nat._intor_lib, nat._intor_tried)
+
+    def _force_python(self):
+        import deepchem_tpu.native as nat
+        nat._intor_lib, nat._intor_tried = None, True
+
+    def _restore(self, saved):
+        import deepchem_tpu.native as nat
+        nat._intor_lib, nat._intor_tried = saved
+
+    def test_native_matches_python_sp_shells(self):
+        from deepchem_tpu.dft import integrals as I
+        from deepchem_tpu.dft.basis import build_basis
+        from deepchem_tpu.native import get_intor_lib
+        if get_intor_lib() is None:
+            pytest.skip('no native toolchain')
+        coords = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 3.015]])
+        basis = build_basis(['Li', 'H'], coords, basis='sto-3g')
+        native = (I.overlap_matrix(basis), I.kinetic_matrix(basis),
+                  I.nuclear_matrix(basis, [3, 1], coords),
+                  I.eri_tensor(basis))
+        saved = self._python_path()
+        self._force_python()
+        try:
+            python = (I.overlap_matrix(basis), I.kinetic_matrix(basis),
+                      I.nuclear_matrix(basis, [3, 1], coords),
+                      I.eri_tensor(basis))
+        finally:
+            self._restore(saved)
+        for a, b in zip(native, python):
+            np.testing.assert_allclose(a, b, atol=1e-12)
+
+    def test_native_matches_python_d_shells(self):
+        """Hand-built basis with s/p/d functions on two centers covers
+        every angular-momentum branch of the C++ recursions."""
+        from deepchem_tpu.dft import integrals as I
+        from deepchem_tpu.dft.basis import BasisFunction, primitive_norm
+        from deepchem_tpu.native import get_intor_lib
+        if get_intor_lib() is None:
+            pytest.skip('no native toolchain')
+        A = np.array([0.0, 0.0, 0.0])
+        B = np.array([0.3, -0.4, 1.1])
+        basis = []
+        for center, lmn, exps in [
+                (A, (0, 0, 0), (1.3, 0.4)),
+                (A, (2, 0, 0), (0.9,)),
+                (A, (1, 1, 0), (0.9,)),
+                (B, (1, 0, 0), (0.7, 0.2)),
+                (B, (0, 1, 1), (0.5,))]:
+            exps = np.asarray(exps)
+            coefs = np.array([primitive_norm(a, lmn) for a in exps])
+            bf = BasisFunction(center, lmn, exps, coefs)
+            bf.normalize()
+            basis.append(bf)
+        charges, coords = [2, 1], np.stack([A, B])
+        native = (I.overlap_matrix(basis), I.kinetic_matrix(basis),
+                  I.nuclear_matrix(basis, charges, coords),
+                  I.eri_tensor(basis))
+        pts = np.random.RandomState(0).randn(20, 3)
+        nphi, ndphi = I.ao_values(basis, pts)
+        saved = self._python_path()
+        self._force_python()
+        try:
+            python = (I.overlap_matrix(basis), I.kinetic_matrix(basis),
+                      I.nuclear_matrix(basis, charges, coords),
+                      I.eri_tensor(basis))
+            pphi, pdphi = I.ao_values(basis, pts)
+        finally:
+            self._restore(saved)
+        for a, b in zip(native, python):
+            np.testing.assert_allclose(a, b, atol=1e-12)
+        np.testing.assert_allclose(nphi, pphi, atol=1e-12)
+        np.testing.assert_allclose(ndphi, pdphi, atol=1e-12)
+
+    def test_boys_large_x_branch(self):
+        """Distant centers push the Boys function into the asymptotic
+        branch; energies must stay consistent with the Python oracle."""
+        from deepchem_tpu.dft import integrals as I
+        from deepchem_tpu.dft.basis import build_basis
+        from deepchem_tpu.native import get_intor_lib
+        if get_intor_lib() is None:
+            pytest.skip('no native toolchain')
+        coords = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 14.0]])
+        basis = build_basis(['H', 'H'], coords, basis='sto-3g')
+        native = I.nuclear_matrix(basis, [1, 1], coords), \
+            I.eri_tensor(basis)
+        saved = self._python_path()
+        self._force_python()
+        try:
+            python = I.nuclear_matrix(basis, [1, 1], coords), \
+                I.eri_tensor(basis)
+        finally:
+            self._restore(saved)
+        for a, b in zip(native, python):
+            np.testing.assert_allclose(a, b, atol=1e-12)
