@@ -10,10 +10,13 @@ from deepchem_tpu.dft.scf import (DFTSystem, KSCalc, KohnShamSCF, XCNNSCF,
                                   scf_loop, scf_loop_unrestricted,
                                   run_unrestricted, DFTEntry,
                                   parse_moldesc)
+from deepchem_tpu.dft.gradients import (scf_gradient, optimize_geometry,
+                                        ao_hessian)
 
 __all__ = ['lda_exchange', 'lda_correlation_vwn', 'pbe_exchange',
            'pbe_correlation', 'lda_xc', 'pbe_xc', 'NNLDA', 'NNPBE',
            'HybridXC', 'XCModel', 'STO3G', 'BasisFunction', 'build_basis',
            'nuclear_repulsion', 'molecular_grid', 'DFTSystem', 'KSCalc',
            'KohnShamSCF', 'XCNNSCF', 'scf_loop', 'scf_loop_unrestricted',
-           'run_unrestricted', 'DFTEntry', 'parse_moldesc']
+           'run_unrestricted', 'DFTEntry', 'parse_moldesc',
+           'scf_gradient', 'optimize_geometry', 'ao_hessian']

@@ -1,0 +1,303 @@
+"""Analytic nuclear gradients and geometry optimization for the in-repo
+SCF (HF and every KS functional the stack supports).
+
+The reference's DQC port differentiates through torch integrals; here
+the heavy derivative integrals run in the native C++ engine
+(native/intor.cpp ``intor_grad_rhf``: bra-shifted McMurchie-Davidson
+integrals, Hellmann-Feynman nuclear term, translational-invariance
+two-electron contraction), and the exchange-correlation quadrature term
+is EXACT by construction: Exc is re-expressed as a jnp function of the
+nuclear coordinates — grid points riding their owning atom, Becke
+fuzzy-cell weights, AO values/gradients with coordinate-dependent
+centers — and differentiated with ``jax.grad``.  No functional-specific
+chain rules and no weight-derivative neglect anywhere: LDA, GGA,
+hybrids and meta-GGAs all ride the same autodiff path, and every
+gradient matches central finite differences to ~1e-9 Ha/bohr
+(tests/test_dft_scf.py TestAnalyticGradients).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from deepchem_tpu.dft import integrals as ints
+from deepchem_tpu.dft.integrals import _pack_basis
+from deepchem_tpu.dft.scf import (DFTSystem, KohnShamSCF, _exc_energy,
+                                  eigh_safe)
+
+#: symmetric (axis, axis) -> packed 6-component hessian index
+_HESS_IDX = {(0, 0): 0, (0, 1): 1, (0, 2): 2, (1, 0): 1, (1, 1): 3,
+             (1, 2): 4, (2, 0): 2, (2, 1): 4, (2, 2): 5}
+
+
+def ao_hessian(basis, points: np.ndarray) -> np.ndarray:
+    """AO second derivatives on grid points, [G, 6, nbf] packed as
+    (xx, xy, xz, yy, yz, zz).  Native engine with a vectorized numpy
+    fallback (same closed-form Gaussian derivatives)."""
+    from deepchem_tpu.native import get_intor_lib, _ptr
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    G, n = len(pts), len(basis)
+    lib = get_intor_lib()
+    if lib is not None:
+        args, keep = _pack_basis(basis)
+        out = np.zeros((G, 6, n), dtype=np.float64)
+        lib.intor_ao_hessian(*args, G, _ptr(pts, ctypes.c_double),
+                             _ptr(out, ctypes.c_double))
+        return out
+    out = np.zeros((G, 6, n))
+    pairs = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+    for j, bf in enumerate(basis):
+        d = pts - bf.center[None, :]
+        r2 = np.einsum('ga,ga->g', d, d)
+        pw = bf.lmn
+
+        def poly(dec):
+            e = [pw[x] - dec[x] for x in range(3)]
+            if min(e) < 0:
+                return np.zeros(G)
+            return d[:, 0] ** e[0] * d[:, 1] ** e[1] * d[:, 2] ** e[2]
+
+        P0 = poly((0, 0, 0))
+        for a, c in zip(bf.exps, bf.coefs):
+            g = c * np.exp(-a * r2)
+            for c6, (x, y) in enumerate(pairs):
+                dx = [0, 0, 0]
+                dx[x] += 1
+                dy = [0, 0, 0]
+                dy[y] += 1
+                dxy = [0, 0, 0]
+                dxy[x] += 1
+                dxy[y] += 1
+                Px = pw[x] * poly(dx)
+                Py = pw[y] * poly(dy)
+                if x == y:
+                    Ppp = pw[x] * (pw[x] - 1) * poly(dxy)
+                    val = (Ppp - 2 * a * P0 - 4 * a * d[:, x] * Px
+                           + 4 * a * a * d[:, x] ** 2 * P0)
+                else:
+                    Ppp = pw[x] * pw[y] * poly(dxy)
+                    val = (Ppp - 2 * a * d[:, x] * Py
+                           - 2 * a * d[:, y] * Px
+                           + 4 * a * a * d[:, x] * d[:, y] * P0)
+                out[:, c6, j] += val * g
+    return out
+
+
+def _atom_of(system: DFTSystem) -> np.ndarray:
+    return np.asarray([bf.atom_index for bf in system.basis],
+                      dtype=np.int32)
+
+
+def _nuclear_repulsion_grad(charges, coords: np.ndarray) -> np.ndarray:
+    coords = np.asarray(coords, dtype=np.float64)
+    g = np.zeros_like(coords)
+    for i in range(len(charges)):
+        for j in range(len(charges)):
+            if i == j:
+                continue
+            rij = coords[i] - coords[j]
+            r = np.linalg.norm(rij)
+            g[i] -= charges[i] * charges[j] * rij / r ** 3
+    return g
+
+
+def scf_gradient(system: DFTSystem, xc='hf', iterations: int = 80,
+                 mixing: float = 0.5,
+                 calc=None) -> Tuple[float, np.ndarray]:
+    """Total energy and its analytic nuclear gradient [natom, 3]
+    (Hartree, Hartree/bohr) for a restricted closed-shell SCF."""
+    solver = KohnShamSCF(xc, iterations=iterations, mixing=mixing)
+    if calc is None:
+        calc = solver.run(system)
+    D = np.asarray(calc.D, dtype=np.float64)
+    H = system.T + system.V
+    eri = system.eri
+    # rebuild the converged Fock matrix to get C, eps -> W
+    J = np.einsum('ijkl,kl->ij', eri, D)
+    F = H + J
+    if solver.hf_exchange:
+        K = np.einsum('ikjl,kl->ij', eri, D)
+        F = F - 0.5 * solver.hf_exchange * K
+    phi = jnp.asarray(system.phi)
+    dphi = jnp.asarray(system.dphi)
+    w = jnp.asarray(system.grid_weights)
+    if solver.exc_fn is not None:
+        Vxc = jax.grad(_exc_energy)(jnp.asarray(D), phi, dphi, w,
+                                    solver.exc_fn, solver.use_sigma,
+                                    solver.use_tau)
+        F = F + 0.5 * (np.asarray(Vxc) + np.asarray(Vxc).T)
+    Sih = system.S_invsqrt
+    mo_e, Cp = np.linalg.eigh(Sih.T @ F @ Sih)
+    C = Sih @ Cp
+    n_occ = system.n_elec // 2
+    occ = C[:, :n_occ]
+    W = 2.0 * (occ * mo_e[:n_occ][None, :]) @ occ.T
+
+    # native integral-derivative terms (core + HF + overlap + 2e)
+    from deepchem_tpu.native import get_intor_lib, _ptr
+    lib = get_intor_lib()
+    if lib is None:
+        raise RuntimeError(
+            'analytic gradients need the native integral engine '
+            '(g++ toolchain); none available')
+    args, keep = _pack_basis(system.basis)
+    natom = len(system.symbols)
+    atom_of = _atom_of(system)
+    Z = np.asarray(system.charges, dtype=np.float64)
+    ac = np.ascontiguousarray(system.coords, dtype=np.float64)
+    Dc = np.ascontiguousarray(D)
+    Wc = np.ascontiguousarray(W)
+    grad = np.zeros(natom * 3, dtype=np.float64)
+    lib.intor_grad_rhf(*args, _ptr(atom_of, ctypes.c_int32), natom,
+                       _ptr(Z, ctypes.c_double),
+                       _ptr(ac, ctypes.c_double),
+                       _ptr(Dc, ctypes.c_double),
+                       _ptr(Wc, ctypes.c_double),
+                       float(solver.hf_exchange),
+                       _ptr(grad, ctypes.c_double))
+    grad = grad.reshape(natom, 3)
+    grad += _nuclear_repulsion_grad(system.charges, system.coords)
+
+    # XC quadrature term: EXACT via jax.grad of Exc(coords) with the
+    # whole quadrature — atom-centered grid points, Becke fuzzy-cell
+    # weights, AO values and AO gradients — re-expressed as a jnp
+    # function of the nuclear coordinates.  No functional-specific
+    # chain rules and no weight-derivative neglect: LDA, GGA, hybrids
+    # and meta-GGAs all differentiate uniformly.
+    if solver.exc_fn is not None:
+        exc_of_coords = _exc_coordinate_fn(system, solver, D)
+        gxc = jax.grad(exc_of_coords)(jnp.asarray(system.coords))
+        grad += np.asarray(gxc)
+    return float(calc.energy()), grad
+
+
+def _exc_coordinate_fn(system: DFTSystem, solver, D: np.ndarray):
+    """coords[natom, 3] (bohr, jnp) -> Exc, fully differentiable:
+    grid points ride their owning atom, Becke weights see every atom,
+    AOs are evaluated in jnp with centers taken from coords."""
+    from deepchem_tpu.dft.grid import (_angular_grid, _radial_gc,
+                                       _RADIAL_SCALE)
+    import math as _math
+
+    Djnp = jnp.asarray(D)
+    exc_fn, use_sigma, use_tau = (solver.exc_fn, solver.use_sigma,
+                                  solver.use_tau)
+    # fixed atom-local offsets + base weights (host numpy, once)
+    n_radial, level = system.grid_params
+    ang_pts, ang_wts = _angular_grid(level)
+    offs, wts0, owner = [], [], []
+    for ia, sym in enumerate(system.symbols):
+        rm = _RADIAL_SCALE.get(sym, 1.3)
+        r, wr = _radial_gc(n_radial, rm)
+        off = (r[:, None, None] * ang_pts[None, :, :]).reshape(-1, 3)
+        w0 = (wr[:, None] * (4.0 * _math.pi * ang_wts[None, :])
+              ).reshape(-1)
+        offs.append(off)
+        wts0.append(w0)
+        owner.append(np.full(len(off), ia))
+    offs = jnp.asarray(np.stack(offs))          # [natom, Ga, 3]
+    wts0 = jnp.asarray(np.concatenate(wts0))    # [G]
+    owner = np.concatenate(owner)               # [G]
+    owner_oh = jnp.asarray(
+        np.eye(len(system.symbols))[owner])     # [G, natom]
+    bf_static = [(bf.atom_index, bf.lmn, jnp.asarray(bf.exps),
+                  jnp.asarray(bf.coefs)) for bf in system.basis]
+    natom = len(system.symbols)
+
+    def becke(pts, coords):
+        if natom == 1:
+            return jnp.ones(pts.shape[0])
+        d = jnp.linalg.norm(pts[:, None, :] - coords[None, :, :],
+                            axis=-1)
+        P = jnp.ones((pts.shape[0], natom))
+        for i in range(natom):
+            for j in range(natom):
+                if i == j:
+                    continue
+                Rij = jnp.linalg.norm(coords[i] - coords[j])
+                mu = (d[:, i] - d[:, j]) / Rij
+                f = mu
+                for _ in range(3):
+                    f = 1.5 * f - 0.5 * f ** 3
+                P = P.at[:, i].multiply(0.5 * (1.0 - f))
+        tot = jnp.maximum(P.sum(axis=1), 1e-30)
+        return (P * owner_oh).sum(axis=1) / tot
+
+    def ao(pts, coords):
+        phis, dphis = [], []
+        for ia, lmn, exps, coefs in bf_static:
+            dvec = pts - coords[ia][None, :]
+            r2 = jnp.sum(dvec * dvec, axis=1)
+            l, m, nn_ = lmn
+            poly = dvec[:, 0] ** l * dvec[:, 1] ** m * dvec[:, 2] ** nn_
+            g = jnp.sum(coefs[None, :]
+                        * jnp.exp(-exps[None, :] * r2[:, None]), axis=1)
+            ag = jnp.sum(exps[None, :] * coefs[None, :]
+                         * jnp.exp(-exps[None, :] * r2[:, None]), axis=1)
+            phis.append(poly * g)
+            dax = []
+            for ax, pw in enumerate(lmn):
+                dp = -2.0 * dvec[:, ax] * poly * ag
+                if pw > 0:
+                    lower = list(lmn)
+                    lower[ax] -= 1
+                    lp = (dvec[:, 0] ** lower[0] * dvec[:, 1] ** lower[1]
+                          * dvec[:, 2] ** lower[2])
+                    dp = dp + pw * lp * g
+                dax.append(dp)
+            dphis.append(jnp.stack(dax, axis=0))   # [3, G]
+        phi = jnp.stack(phis, axis=1)              # [G, n]
+        dphi = jnp.stack(dphis, axis=2)            # [3, G, n] -> [G,3,n]
+        return phi, jnp.transpose(dphi, (1, 0, 2))
+
+    def exc(coords):
+        pts = (coords[:, None, :] + offs).reshape(-1, 3)
+        w = wts0 * becke(pts, coords)
+        phi, dphi = ao(pts, coords)
+        return _exc_energy(Djnp, phi, dphi, w, exc_fn, use_sigma,
+                           use_tau)
+
+    return exc
+
+
+def optimize_geometry(symbols, coords, xc='hf', basis: str = 'sto-3g',
+                      units: str = 'angstrom', max_steps: int = 60,
+                      tol: float = 3e-4, iterations: int = 80,
+                      n_radial: int = 50, grid_level: int = 2,
+                      verbose: bool = False):
+    """Minimize the SCF energy over nuclear coordinates with BFGS on
+    the analytic gradient.  Returns (energy, coords_bohr, n_steps).
+
+    tol is the gradient-norm (max |dE/dx|, Ha/bohr) convergence
+    threshold.
+    """
+    from scipy.optimize import minimize
+
+    coords = np.asarray(coords, dtype=np.float64)
+    if units == 'angstrom':
+        from deepchem_tpu.dft.scf import ANGSTROM_TO_BOHR
+        coords = coords * ANGSTROM_TO_BOHR
+    elif units != 'bohr':
+        raise ValueError(units)
+    state = {'n': 0}
+
+    def efun(x):
+        state['n'] += 1
+        sys_ = DFTSystem(symbols, x.reshape(-1, 3), units='bohr',
+                         basis=basis, n_radial=n_radial,
+                         grid_level=grid_level)
+        e, g = scf_gradient(sys_, xc=xc, iterations=iterations)
+        if verbose:
+            print(f'  step {state["n"]}: E = {e:.8f}  '
+                  f'|g|max = {np.abs(g).max():.2e}')
+        return e, g.ravel()
+
+    res = minimize(efun, coords.ravel(), jac=True, method='BFGS',
+                   options={'gtol': tol, 'maxiter': max_steps})
+    return float(res.fun), res.x.reshape(-1, 3), state['n']

@@ -191,6 +191,7 @@ class DFTSystem:
         self.V = ints.nuclear_matrix(self.basis, self.charges, coords)
         self.eri = ints.eri_tensor(self.basis)
         self.e_nuc = nuclear_repulsion(self.charges, coords)
+        self.grid_params = (n_radial, grid_level)
         pts, wts = molecular_grid(self.symbols, coords,
                                   n_radial=n_radial, level=grid_level)
         self.grid_points = pts

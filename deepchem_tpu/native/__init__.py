@@ -117,7 +117,12 @@ def get_intor_lib() -> Optional[ctypes.CDLL]:
                          [ctypes.c_int, _F64P, _F64P, _F64P]),
                         ('intor_eri', [_F64P]),
                         ('intor_ao_values',
-                         [ctypes.c_int, _F64P, _F64P, _F64P])):
+                         [ctypes.c_int, _F64P, _F64P, _F64P]),
+                        ('intor_ao_hessian',
+                         [ctypes.c_int, _F64P, _F64P]),
+                        ('intor_grad_rhf',
+                         [_I32P, ctypes.c_int, _F64P, _F64P, _F64P,
+                          _F64P, ctypes.c_double, _F64P])):
         fn = getattr(lib, name)
         fn.restype = None
         fn.argtypes = base + extra

@@ -436,3 +436,312 @@ void intor_ao_values(int nbf, const int32_t* lmn, const double* centers,
 }
 
 }  // extern "C"
+
+// ===================================================================
+// Analytic nuclear gradients (RHF / RKS skeleton terms).
+//
+// d/dA of a contracted Gaussian phi(l) = sum_k c_k G(l, a_k) along one
+// axis is the synthetic contraction 2 a_k c_k G(l+1) - l c_k G(l-1) —
+// so every derivative integral reduces to ordinary MD integrals over
+// shifted functions, evaluated with the machinery above.
+
+namespace {
+
+// pair expansion of (d phi_i / d(center_i axis), phi_j): merged
+// plus/minus synthetic primitives (eri_pair is linear in the pair list).
+PairExp make_pair_dbra(const BF& bi, const BF& bj, int axis) {
+  BF plus = bi, minus = bi;
+  int lmn[3] = {bi.l, bi.m, bi.n};
+  // plus: l_axis + 1, coefs 2 a c
+  (axis == 0 ? plus.l : axis == 1 ? plus.m : plus.n) += 1;
+  for (Prim& p : plus.prims) p.c *= 2.0 * p.a;
+  PairExp pe = make_pair(plus, bj);
+  if (lmn[axis] > 0) {
+    (axis == 0 ? minus.l : axis == 1 ? minus.m : minus.n) -= 1;
+    for (Prim& p : minus.prims) p.c *= -double(lmn[axis]);
+    PairExp m = make_pair(minus, bj);
+    // merge: pad the lower-order E tables into the plus-sized layout
+    int nu = pe.umax + 1, nv = pe.vmax + 1;
+    int mu = m.umax + 1, mv = m.vmax + 1;
+    for (const PrimPair& pp : m.pps) {
+      PrimPair q;
+      q.p = pp.p;
+      q.P[0] = pp.P[0]; q.P[1] = pp.P[1]; q.P[2] = pp.P[2];
+      q.E.assign((size_t)(pe.tmax + 1) * nu * nv, 0.0);
+      for (int t = 0; t <= m.tmax; ++t)
+        for (int u = 0; u <= m.umax; ++u)
+          for (int v = 0; v <= m.vmax; ++v)
+            q.E[((size_t)t * nu + u) * nv + v] =
+                pp.E[((size_t)t * mu + u) * mv + v];
+      pe.pps.push_back(std::move(q));
+    }
+  }
+  return pe;
+}
+
+// 1e derivative primitives: dX(d phi_i / dA_axis, phi_j)
+double d1e_bra(double (*prim)(double, int, int, int, const double*,
+                              double, int, int, int, const double*),
+               const BF& bi, const BF& bj, int axis) {
+  int l1[3] = {bi.l, bi.m, bi.n};
+  int lp[3] = {l1[0], l1[1], l1[2]};
+  lp[axis] += 1;
+  double val = 0.0;
+  for (const Prim& pa : bi.prims)
+    for (const Prim& pb : bj.prims) {
+      double v = 2.0 * pa.a *
+          prim(pa.a, lp[0], lp[1], lp[2], bi.A, pb.a, bj.l, bj.m, bj.n,
+               bj.A);
+      if (l1[axis] > 0) {
+        int lm[3] = {l1[0], l1[1], l1[2]};
+        lm[axis] -= 1;
+        v -= l1[axis] *
+            prim(pa.a, lm[0], lm[1], lm[2], bi.A, pb.a, bj.l, bj.m,
+                 bj.n, bj.A);
+      }
+      val += pa.c * pb.c * v;
+    }
+  return val;
+}
+
+double d1e_nuc_bra(const BF& bi, const BF& bj, int axis, int natom,
+                   const double* Z, const double* atom_coords) {
+  int l1[3] = {bi.l, bi.m, bi.n};
+  int lp[3] = {l1[0], l1[1], l1[2]};
+  lp[axis] += 1;
+  double val = 0.0;
+  for (int a = 0; a < natom; ++a) {
+    double va = 0.0;
+    for (const Prim& pa : bi.prims)
+      for (const Prim& pb : bj.prims) {
+        double v = 2.0 * pa.a *
+            nuclear_prim(pa.a, lp[0], lp[1], lp[2], bi.A, pb.a, bj.l,
+                         bj.m, bj.n, bj.A, atom_coords + 3 * a);
+        if (l1[axis] > 0) {
+          int lm[3] = {l1[0], l1[1], l1[2]};
+          lm[axis] -= 1;
+          v -= l1[axis] *
+              nuclear_prim(pa.a, lm[0], lm[1], lm[2], bi.A, pb.a, bj.l,
+                           bj.m, bj.n, bj.A, atom_coords + 3 * a);
+        }
+        va += pa.c * pb.c * v;
+      }
+    val -= Z[a] * va;
+  }
+  return val;
+}
+
+// Hellmann-Feynman: d V_ij / d C (operator center) for one nucleus.
+// R_{tuv} are the PC-derivatives of R_000, so d/dC_x = -R_{t+1,u,v}.
+void nuclear_prim_dC(double a, int l1, int m1, int n1, const double* A,
+                     double b, int l2, int m2, int n2, const double* B,
+                     const double* C, double* out3) {
+  double p = a + b;
+  double P[3], PC[3];
+  for (int x = 0; x < 3; ++x) {
+    P[x] = (a * A[x] + b * B[x]) / p;
+    PC[x] = P[x] - C[x];
+  }
+  double RPC2 = PC[0] * PC[0] + PC[1] * PC[1] + PC[2] * PC[2];
+  int tmax = l1 + l2, umax = m1 + m2, vmax = n1 + n2;
+  RTable R;
+  hermite_R(tmax + 1, umax + 1, vmax + 1, p, PC, RPC2, &R);
+  double gx = 0.0, gy = 0.0, gz = 0.0;
+  for (int t = 0; t <= tmax; ++t) {
+    double Ex = Ecoef(l1, l2, t, A[0] - B[0], a, b);
+    if (Ex == 0.0) continue;
+    for (int u = 0; u <= umax; ++u) {
+      double Ey = Ecoef(m1, m2, u, A[1] - B[1], a, b);
+      if (Ey == 0.0) continue;
+      for (int v = 0; v <= vmax; ++v) {
+        double Ez = Ecoef(n1, n2, v, A[2] - B[2], a, b);
+        if (Ez == 0.0) continue;
+        double e3 = Ex * Ey * Ez;
+        gx -= e3 * R.at(t + 1, u, v);
+        gy -= e3 * R.at(t, u + 1, v);
+        gz -= e3 * R.at(t, u, v + 1);
+      }
+    }
+  }
+  double pref = 2.0 * PI / p;
+  out3[0] = pref * gx; out3[1] = pref * gy; out3[2] = pref * gz;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Analytic gradient of the SCF energy terms that live in AO integrals:
+//   core:     2 sum_{ij} D_ij (dT + dV_basis)(di, j)   (bra derivative)
+//   HF force: sum_{ij} D_ij dV/dC_a
+//   overlap: -2 sum_{ij} W_ij dS(di, j)
+//   2e:       sum over unique quartets of P-contracted dERI
+// with P_ijkl = 0.5 D_ij D_kl - 0.25 cx D_ik D_jl (restricted closed
+// shell).  XC quadrature and nuclear-repulsion terms are assembled on
+// the Python side.  grad has natom*3 doubles, overwritten.
+void intor_grad_rhf(int nbf, const int32_t* lmn, const double* centers,
+                    const int32_t* off, const double* exps,
+                    const double* coefs, const int32_t* atom_of,
+                    int natom, const double* Z,
+                    const double* atom_coords, const double* D,
+                    const double* W, double cx, double* grad) {
+  auto bfs = unpack(nbf, lmn, centers, off, exps, coefs);
+  std::memset(grad, 0, sizeof(double) * (size_t)natom * 3);
+  size_t n = nbf;
+  // ---- one-electron terms
+  for (int i = 0; i < nbf; ++i) {
+    int ai = atom_of[i];
+    for (int j = 0; j < nbf; ++j) {
+      double d = D[(size_t)i * n + j], w = W[(size_t)i * n + j];
+      if (std::fabs(d) < 1e-14 && std::fabs(w) < 1e-14) continue;
+      for (int ax = 0; ax < 3; ++ax) {
+        double dT = d1e_bra(kinetic_prim, bfs[i], bfs[j], ax);
+        double dV = d1e_nuc_bra(bfs[i], bfs[j], ax, natom, Z,
+                                atom_coords);
+        double dS = d1e_bra(overlap_prim, bfs[i], bfs[j], ax);
+        grad[ai * 3 + ax] += 2.0 * d * (dT + dV) - 2.0 * w * dS;
+      }
+    }
+  }
+  // ---- Hellmann-Feynman (operator-center) term
+  for (int c = 0; c < natom; ++c) {
+    double acc[3] = {0.0, 0.0, 0.0};
+    for (int i = 0; i < nbf; ++i)
+      for (int j = i; j < nbf; ++j) {
+        double d = D[(size_t)i * n + j];
+        if (std::fabs(d) < 1e-14) continue;
+        double mult = (i == j) ? 1.0 : 2.0;
+        double o3[3];
+        double sum3[3] = {0.0, 0.0, 0.0};
+        for (const Prim& pa : bfs[i].prims)
+          for (const Prim& pb : bfs[j].prims) {
+            nuclear_prim_dC(pa.a, bfs[i].l, bfs[i].m, bfs[i].n,
+                            bfs[i].A, pb.a, bfs[j].l, bfs[j].m,
+                            bfs[j].n, bfs[j].A, atom_coords + 3 * c,
+                            o3);
+            double cc = pa.c * pb.c;
+            sum3[0] += cc * o3[0]; sum3[1] += cc * o3[1];
+            sum3[2] += cc * o3[2];
+          }
+        for (int ax = 0; ax < 3; ++ax)
+          acc[ax] += mult * d * sum3[ax];
+      }
+    for (int ax = 0; ax < 3; ++ax)
+      grad[c * 3 + ax] -= Z[c] * acc[ax];
+  }
+  // ---- two-electron term
+  int npair = nbf * (nbf + 1) / 2;
+  std::vector<PairExp> pairs(npair);
+  auto pidx = [&](int i, int j) { return i * (i + 1) / 2 + j; };
+  for (int i = 0; i < nbf; ++i)
+    for (int j = 0; j <= i; ++j)
+      pairs[pidx(i, j)] = make_pair(bfs[i], bfs[j]);
+  std::vector<double> Q(npair);
+  for (int ij = 0; ij < npair; ++ij)
+    Q[ij] = std::sqrt(std::fabs(eri_pair(pairs[ij], pairs[ij])));
+  const double tau = 1e-12;
+  auto Pcoef = [&](int a, int b, int c, int d_) {
+    return 0.5 * D[(size_t)a * n + b] * D[(size_t)c * n + d_] -
+           0.25 * cx * D[(size_t)a * n + c] * D[(size_t)b * n + d_];
+  };
+  for (int i = 0; i < nbf; ++i)
+    for (int j = 0; j <= i; ++j) {
+      int ij = pidx(i, j);
+      for (int k = 0; k <= i; ++k)
+        for (int l = 0; l <= k; ++l) {
+          int kl = pidx(k, l);
+          if (kl > ij) continue;
+          if (Q[ij] * Q[kl] < tau) continue;
+          // sum P over the DISTINCT members of the 8-fold orbit
+          int perms[8][4] = {{i, j, k, l}, {j, i, k, l}, {i, j, l, k},
+                             {j, i, l, k}, {k, l, i, j}, {l, k, i, j},
+                             {k, l, j, i}, {l, k, j, i}};
+          double pfac = 0.0;
+          for (int p = 0; p < 8; ++p) {
+            bool dup = false;
+            for (int q = 0; q < p && !dup; ++q)
+              dup = perms[p][0] == perms[q][0] &&
+                    perms[p][1] == perms[q][1] &&
+                    perms[p][2] == perms[q][2] &&
+                    perms[p][3] == perms[q][3];
+            if (!dup)
+              pfac += Pcoef(perms[p][0], perms[p][1], perms[p][2],
+                            perms[p][3]);
+          }
+          if (std::fabs(pfac) < 1e-14) continue;
+          int at[4] = {atom_of[i], atom_of[j], atom_of[k], atom_of[l]};
+          for (int ax = 0; ax < 3; ++ax) {
+            double di = eri_pair(make_pair_dbra(bfs[i], bfs[j], ax),
+                                 pairs[kl]);
+            double dj = eri_pair(make_pair_dbra(bfs[j], bfs[i], ax),
+                                 pairs[kl]);
+            double dk = eri_pair(make_pair_dbra(bfs[k], bfs[l], ax),
+                                 pairs[ij]);
+            double dl = -(di + dj + dk);  // translational invariance
+            grad[at[0] * 3 + ax] += pfac * di;
+            grad[at[1] * 3 + ax] += pfac * dj;
+            grad[at[2] * 3 + ax] += pfac * dk;
+            grad[at[3] * 3 + ax] += pfac * dl;
+          }
+        }
+    }
+}
+
+// AO second derivatives on grid points for GGA/meta-GGA gradient
+// terms: hess [G, 6, nbf] in (xx, xy, xz, yy, yz, zz) order.
+void intor_ao_hessian(int nbf, const int32_t* lmn, const double* centers,
+                      const int32_t* off, const double* exps,
+                      const double* coefs, int G, const double* pts,
+                      double* hess) {
+  auto bfs = unpack(nbf, lmn, centers, off, exps, coefs);
+  std::memset(hess, 0, sizeof(double) * (size_t)G * 6 * nbf);
+  int pairs[6][2] = {{0, 0}, {0, 1}, {0, 2}, {1, 1}, {1, 2}, {2, 2}};
+  for (int j = 0; j < nbf; ++j) {
+    const BF& b = bfs[j];
+    int pw[3] = {b.l, b.m, b.n};
+    for (int g = 0; g < G; ++g) {
+      double d[3] = {pts[3 * g] - b.A[0], pts[3 * g + 1] - b.A[1],
+                     pts[3 * g + 2] - b.A[2]};
+      double r2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2];
+      // polynomial with per-axis decrements: P(dec_x, dec_y, dec_z)
+      auto P = [&](int dx, int dy, int dz) -> double {
+        int e[3] = {pw[0] - dx, pw[1] - dy, pw[2] - dz};
+        double v = 1.0;
+        for (int x = 0; x < 3; ++x) {
+          if (e[x] < 0) return 0.0;
+          for (int q = 0; q < e[x]; ++q) v *= d[x];
+        }
+        return v;
+      };
+      for (const Prim& p : b.prims) {
+        double gv = p.c * std::exp(-p.a * r2);
+        double a = p.a;
+        for (int c6 = 0; c6 < 6; ++c6) {
+          int x = pairs[c6][0], y = pairs[c6][1];
+          int dex[3] = {0, 0, 0}, dey[3] = {0, 0, 0}, dexy[3] = {0, 0, 0};
+          dex[x] = 1; dey[y] = 1; dexy[x] += 1; dexy[y] += 1;
+          double lx = pw[x], ly = pw[y];
+          // second derivative of the polynomial part
+          double Ppp;
+          if (x == y)
+            Ppp = lx * (lx - 1) * P(dexy[0], dexy[1], dexy[2]);
+          else
+            Ppp = lx * ly * P(dexy[0], dexy[1], dexy[2]);
+          double Px = lx * P(dex[0], dex[1], dex[2]);
+          double Py = ly * P(dey[0], dey[1], dey[2]);
+          double P0 = P(0, 0, 0);
+          double val;
+          if (x == y)
+            val = Ppp - 2.0 * a * P0 - 4.0 * a * d[x] * Px +
+                  4.0 * a * a * d[x] * d[x] * P0;
+          else
+            val = Ppp - 2.0 * a * d[x] * Py - 2.0 * a * d[y] * Px +
+                  4.0 * a * a * d[x] * d[y] * P0;
+          hess[((size_t)g * 6 + c6) * nbf + j] += val * gv;
+        }
+      }
+    }
+  }
+}
+
+}  // extern "C"

@@ -117,4 +117,4 @@ def main(basis: str = '6-31g') -> None:
 
 
 if __name__ == '__main__':
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else '6-31g')

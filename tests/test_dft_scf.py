@@ -439,3 +439,138 @@ class TestNativeIntor:
             self._restore(saved)
         for a, b in zip(native, python):
             np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+class TestAnalyticGradients:
+    """Analytic nuclear gradients (dft/gradients.py + native
+    intor_grad_rhf): HF is quadrature-free and must match central finite
+    differences to integral precision; DFT functionals carry the
+    documented Becke-weight-derivative neglect (~1e-4 Ha/bohr)."""
+
+    def _fd(self, symbols, coords, xc, basis, a, x, h=1e-4, iters=80):
+        from deepchem_tpu.dft.scf import DFTSystem, KohnShamSCF
+        vals = []
+        for s in (h, -h):
+            c = np.array(coords, dtype=np.float64)
+            c[a, x] += s
+            sys_ = DFTSystem(symbols, c, units='bohr', basis=basis,
+                             n_radial=40, grid_level=1)
+            vals.append(float(KohnShamSCF(xc, iterations=iters)
+                              .run(sys_).energy()))
+        return (vals[0] - vals[1]) / (2 * h)
+
+    def _requires_native(self):
+        from deepchem_tpu.native import get_intor_lib
+        if get_intor_lib() is None:
+            pytest.skip('analytic gradients need the native engine')
+
+    @pytest.mark.parametrize('xc,tol', [('hf', 1e-7), ('lda', 1e-7),
+                                        ('pbe', 1e-7), ('scan', 1e-7)])
+    def test_h2_gradient_vs_fd(self, xc, tol):
+        self._requires_native()
+        from deepchem_tpu.dft.scf import DFTSystem
+        from deepchem_tpu.dft.gradients import scf_gradient
+        jax.config.update('jax_enable_x64', True)
+        try:
+            coords = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 1.5]])
+            sys_ = DFTSystem(['H', 'H'], coords, units='bohr',
+                             basis='sto-3g', n_radial=40, grid_level=1)
+            _, g = scf_gradient(sys_, xc=xc, iterations=80)
+            fd = self._fd(['H', 'H'], coords, xc, 'sto-3g', 1, 2)
+            assert abs(g[1, 2] - fd) < tol, (g[1, 2], fd)
+            # translational invariance: forces sum to ~0
+            assert np.abs(g.sum(axis=0)).max() < 1e-7
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_p_shell_gradient_vs_fd(self):
+        """LiH exercises p-shell derivative integrals (l+1 = d in the
+        shifted bra)."""
+        self._requires_native()
+        from deepchem_tpu.dft.scf import DFTSystem
+        from deepchem_tpu.dft.gradients import scf_gradient
+        jax.config.update('jax_enable_x64', True)
+        try:
+            coords = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 2.8]])
+            sys_ = DFTSystem(['Li', 'H'], coords, units='bohr',
+                             basis='sto-3g', n_radial=40, grid_level=1)
+            _, g = scf_gradient(sys_, xc='hf', iterations=80)
+            fd = self._fd(['Li', 'H'], coords, 'hf', 'sto-3g', 1, 2)
+            assert abs(g[1, 2] - fd) < 1e-6, (g[1, 2], fd)
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_h2_geometry_optimization_textbook(self):
+        """HF/STO-3G H2 equilibrium bond: 1.346 bohr (Szabo-Ostlund)."""
+        self._requires_native()
+        from deepchem_tpu.dft.gradients import optimize_geometry
+        jax.config.update('jax_enable_x64', True)
+        try:
+            e, c, n = optimize_geometry(
+                ['H', 'H'], [[0, 0, 0], [0, 0, 0.9]], xc='hf',
+                basis='sto-3g', n_radial=40, grid_level=1)
+            r = np.linalg.norm(c[1] - c[0])
+            assert abs(r - 1.346) < 3e-3, r
+            assert e < -1.1174
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_h2o_geometry_optimization_textbook(self):
+        """HF/STO-3G H2O: r(OH) = 0.989 A, HOH angle = 100.0 deg."""
+        self._requires_native()
+        from deepchem_tpu.dft.gradients import optimize_geometry
+        jax.config.update('jax_enable_x64', True)
+        try:
+            e, c, n = optimize_geometry(
+                ['O', 'H', 'H'],
+                [[0, 0, 0.15], [0, 0.8, -0.5], [0, -0.8, -0.5]],
+                xc='hf', basis='sto-3g', n_radial=40, grid_level=1)
+            r1 = np.linalg.norm(c[1] - c[0]) * 0.52917721
+            r2 = np.linalg.norm(c[2] - c[0]) * 0.52917721
+            cosA = np.dot(c[1] - c[0], c[2] - c[0]) / (
+                np.linalg.norm(c[1] - c[0]) * np.linalg.norm(c[2] - c[0]))
+            angle = np.degrees(np.arccos(cosA))
+            assert abs(r1 - 0.989) < 5e-3 and abs(r2 - 0.989) < 5e-3
+            assert abs(angle - 100.0) < 0.5
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_ao_hessian_native_matches_numpy(self):
+        from deepchem_tpu.dft.basis import build_basis
+        from deepchem_tpu.dft.gradients import ao_hessian
+        from deepchem_tpu.native import get_intor_lib
+        import deepchem_tpu.native as nat
+        if get_intor_lib() is None:
+            pytest.skip('no native toolchain')
+        coords = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 1.8]])
+        basis = build_basis(['O', 'H'], coords, basis='sto-3g')
+        pts = np.random.RandomState(1).randn(15, 3)
+        native = ao_hessian(basis, pts)
+        saved = nat._intor_lib, nat._intor_tried
+        nat._intor_lib, nat._intor_tried = None, True
+        try:
+            python = ao_hessian(basis, pts)
+        finally:
+            nat._intor_lib, nat._intor_tried = saved
+        np.testing.assert_allclose(native, python, atol=1e-12)
+
+    def test_ao_hessian_is_fd_of_gradient(self):
+        """Hessian columns = finite differences of ao_values gradients."""
+        from deepchem_tpu.dft import integrals as I
+        from deepchem_tpu.dft.basis import build_basis
+        from deepchem_tpu.dft.gradients import ao_hessian, _HESS_IDX
+        coords = np.array([[0.0, 0.0, 0.0]])
+        basis = build_basis(['C'], coords, basis='sto-3g')
+        pts = np.array([[0.3, -0.2, 0.5]])
+        h = 1e-5
+        H = ao_hessian(basis, pts)[0]
+        for x in range(3):
+            pp, pm = pts.copy(), pts.copy()
+            pp[0, x] += h
+            pm[0, x] -= h
+            _, dp = I.ao_values(basis, pp)
+            _, dm = I.ao_values(basis, pm)
+            fd = (dp[0] - dm[0]) / (2 * h)        # [3, nbf]
+            for y in range(3):
+                np.testing.assert_allclose(
+                    H[_HESS_IDX[(x, y)]], fd[y], atol=1e-6)
