@@ -12,6 +12,9 @@ from deepchem_tpu.dft.scf import (DFTSystem, KSCalc, KohnShamSCF, XCNNSCF,
                                   parse_moldesc)
 from deepchem_tpu.dft.gradients import (scf_gradient, optimize_geometry,
                                         ao_hessian)
+from deepchem_tpu.dft.posthf import (mp2_energy, fci_2e_energy,
+                                     dipole_moment, mulliken_charges,
+                                     energy_in_field, polarizability)
 
 __all__ = ['lda_exchange', 'lda_correlation_vwn', 'pbe_exchange',
            'pbe_correlation', 'lda_xc', 'pbe_xc', 'NNLDA', 'NNPBE',
@@ -19,4 +22,6 @@ __all__ = ['lda_exchange', 'lda_correlation_vwn', 'pbe_exchange',
            'nuclear_repulsion', 'molecular_grid', 'DFTSystem', 'KSCalc',
            'KohnShamSCF', 'XCNNSCF', 'scf_loop', 'scf_loop_unrestricted',
            'run_unrestricted', 'DFTEntry', 'parse_moldesc',
-           'scf_gradient', 'optimize_geometry', 'ao_hessian']
+           'scf_gradient', 'optimize_geometry', 'ao_hessian',
+           'mp2_energy', 'fci_2e_energy', 'dipole_moment',
+           'mulliken_charges', 'energy_in_field', 'polarizability']

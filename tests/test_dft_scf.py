@@ -574,3 +574,117 @@ class TestAnalyticGradients:
             for y in range(3):
                 np.testing.assert_allclose(
                     H[_HESS_IDX[(x, y)]], fd[y], atol=1e-6)
+
+
+class TestPostHF:
+    """MP2 / 2-electron FCI / electric properties (dft/posthf.py),
+    validated against closed forms, the exact 2e FCI oracle, and
+    independent finite-field routes."""
+
+    def _h2(self):
+        from deepchem_tpu.dft.scf import DFTSystem
+        return DFTSystem(['H', 'H'], [[0, 0, 0], [0, 0, 1.4]],
+                         units='bohr', n_radial=12, grid_level=0)
+
+    def test_mp2_closed_form_h2(self):
+        """Minimal-basis H2 has ONE double excitation: E2 = K^2 /
+        (2 (e_g - e_u)) with K = (gu|gu) — MP2 must equal it exactly."""
+        from deepchem_tpu.dft.scf import KohnShamSCF
+        from deepchem_tpu.dft.posthf import mp2_energy, _mo_coeffs
+        jax.config.update('jax_enable_x64', True)
+        try:
+            sys_ = self._h2()
+            calc = KohnShamSCF('hf', iterations=100).run(sys_)
+            _, corr = mp2_energy(sys_, calc)
+            C, mo_e = _mo_coeffs(sys_, calc)
+            eri_mo = np.einsum('pi,qa,rj,sb,pqrs->iajb', C, C, C, C,
+                               sys_.eri, optimize=True)
+            K = eri_mo[0, 1, 0, 1]
+            closed = K * K / (2.0 * (mo_e[0] - mo_e[1]))
+            assert abs(corr - closed) < 1e-12
+            assert corr < 0
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_fci_h2_literature_and_bounds(self):
+        """H2/STO-3G FCI at R = 1.4 bohr is the Szabo-Ostlund textbook
+        value -1.13728 Ha; FCI lower-bounds MP2 which lower-bounds HF."""
+        from deepchem_tpu.dft.scf import KohnShamSCF
+        from deepchem_tpu.dft.posthf import mp2_energy, fci_2e_energy
+        jax.config.update('jax_enable_x64', True)
+        try:
+            sys_ = self._h2()
+            calc = KohnShamSCF('hf', iterations=100).run(sys_)
+            e_hf = float(calc.energy())
+            e_mp2, _ = mp2_energy(sys_, calc)
+            e_fci = fci_2e_energy(sys_, calc)
+            assert abs(e_fci - (-1.137276)) < 2e-5
+            assert e_hf > e_mp2 > e_fci - 1e-12
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_h2o_dipole_two_routes(self):
+        """Dipole via Tr(D mu) must equal -dE/dF (finite field), and the
+        magnitude must sit at the known HF/STO-3G value ~1.71-1.73 D."""
+        from deepchem_tpu.dft.scf import DFTSystem
+        from deepchem_tpu.dft.posthf import (dipole_moment,
+                                             energy_in_field)
+        jax.config.update('jax_enable_x64', True)
+        try:
+            sys_ = DFTSystem(
+                ['O', 'H', 'H'],
+                [[0, 0, 0.1173], [0, 0.7572, -0.4692],
+                 [0, -0.7572, -0.4692]], units='angstrom',
+                n_radial=12, grid_level=0)
+            mu = dipole_moment(sys_, xc='hf', iterations=100)
+            h = 2e-3
+            ep = energy_in_field(sys_, [0, 0, h], iterations=120)
+            em = energy_in_field(sys_, [0, 0, -h], iterations=120)
+            mu_ff = -(ep - em) / (2 * h)
+            assert abs(mu[2] - mu_ff) < 1e-4
+            debye = abs(mu[2]) * 2.5417464
+            assert 1.65 < debye < 1.80
+            # symmetry: x/y components vanish
+            assert abs(mu[0]) < 1e-8 and abs(mu[1]) < 1e-8
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_mulliken_charges(self):
+        from deepchem_tpu.dft.scf import DFTSystem
+        from deepchem_tpu.dft.posthf import mulliken_charges
+        jax.config.update('jax_enable_x64', True)
+        try:
+            sys_ = DFTSystem(
+                ['O', 'H', 'H'],
+                [[0, 0, 0.1173], [0, 0.7572, -0.4692],
+                 [0, -0.7572, -0.4692]], units='angstrom',
+                n_radial=12, grid_level=0)
+            q = mulliken_charges(sys_, xc='hf', iterations=100)
+            assert abs(q.sum()) < 1e-10          # neutral molecule
+            assert q[0] < -0.2                   # O pulls density
+            assert q[1] > 0 and q[2] > 0
+            np.testing.assert_allclose(q[1], q[2], atol=1e-8)
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_h2_polarizability(self):
+        """Symmetry structure: alpha diagonal in the bond frame with
+        alpha_zz > alpha_xx = alpha_yy > 0 (H2 along z).  STO-3G has no
+        p functions so its perpendicular response is exactly zero — the
+        test runs in 6-31G** where the H p shells make it physical."""
+        from deepchem_tpu.dft.scf import DFTSystem
+        from deepchem_tpu.dft.posthf import polarizability
+        jax.config.update('jax_enable_x64', True)
+        try:
+            a0 = polarizability(self._h2(), xc='hf')
+            assert a0[2, 2] > 0 and abs(a0[0, 0]) < 1e-8  # minimal basis
+            sys_ = DFTSystem(['H', 'H'], [[0, 0, 0], [0, 0, 1.4]],
+                             units='bohr', basis='6-31g**',
+                             n_radial=12, grid_level=0)
+            a = polarizability(sys_, xc='hf')
+            assert a[2, 2] > a[0, 0] > 0
+            np.testing.assert_allclose(a[0, 0], a[1, 1], atol=1e-6)
+            off = a - np.diag(np.diag(a))
+            assert np.abs(off).max() < 1e-6
+        finally:
+            jax.config.update('jax_enable_x64', False)
