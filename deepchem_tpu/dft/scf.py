@@ -112,16 +112,53 @@ def _eigh_safe_bwd(res, cotangents):
 eigh_safe.defvjp(_eigh_safe_fwd, _eigh_safe_bwd)
 
 
+def _diis_fock(Fbuf, Ebuf, idx, window):
+    """Pulay DIIS extrapolation over a static ring buffer (jit/scan
+    safe, differentiable: the coefficient solve is jnp.linalg.solve on
+    the Lagrange-augmented B matrix; empty slots are masked by unit
+    diagonal rows so their coefficients are exactly zero)."""
+    valid = jnp.arange(window) < jnp.minimum(idx + 1, window)
+    B = jnp.einsum('aij,bij->ab', Ebuf, Ebuf)
+    vv = valid[:, None] & valid[None, :]
+    # scale-normalize B (the DIIS coefficients are invariant to a
+    # uniform scaling of B) and ridge at the dtype's precision so the
+    # augmented solve stays conditioned in f32 as well as f64
+    Bmax = jnp.maximum(jnp.max(jnp.abs(jnp.where(vv, B, 0.0))),
+                       jnp.asarray(1e-30, Fbuf.dtype))
+    B = B / Bmax
+    eps = 1e-12 if Fbuf.dtype == jnp.float64 else 1e-5
+    A = jnp.zeros((window + 1, window + 1), dtype=Fbuf.dtype)
+    A = A.at[:window, :window].set(
+        jnp.where(vv, B, 0.0)
+        + jnp.diag(jnp.where(valid, eps, 1.0)))
+    ones = jnp.where(valid, 1.0, 0.0)
+    A = A.at[:window, window].set(ones)
+    A = A.at[window, :window].set(ones)
+    rhs = jnp.zeros(window + 1, dtype=Fbuf.dtype).at[window].set(1.0)
+    # the extrapolation COEFFICIENTS are a solver detail: at the fixed
+    # point the energy is stationary in them (F_diis -> F), so their
+    # parameter sensitivity is second-order — stop_gradient keeps the
+    # backward pass on the well-conditioned Fbuf path (the near-singular
+    # converged B matrix otherwise NaNs the solve backward in f32)
+    c = jax.lax.stop_gradient(jnp.linalg.solve(A, rhs)[:window])
+    return jnp.einsum('a,aij->ij', c, Fbuf)
+
+
 def scf_loop(H, S_invsqrt, eri, n_occ: int,
              exc_fn: Optional[Callable] = None,
              phi=None, dphi=None, weights=None,
              use_sigma: bool = False, hf_exchange: float = 0.0,
              iterations: int = 50, mixing: float = 0.5,
-             use_tau: bool = False):
+             use_tau: bool = False, diis: bool = True,
+             diis_window: int = 6, diis_start: int = 2):
     """Fixed-iteration restricted SCF; returns (E_electronic, D, mo_e).
 
     exc_fn=None with hf_exchange=1.0 is Hartree-Fock; exc_fn set with
-    hf_exchange=0.0 is pure Kohn-Sham.  All inputs jnp arrays.
+    hf_exchange=0.0 is pure Kohn-Sham.  All inputs jnp arrays.  DIIS
+    (Pulay commutator extrapolation over a ``diis_window`` ring buffer,
+    engaged after ``diis_start`` plain-mixing iterations) is on by
+    default; the whole accelerator lives inside the lax.scan with
+    static shapes and stays differentiable end to end.
     """
     n = H.shape[0]
 
@@ -143,23 +180,43 @@ def scf_loop(H, S_invsqrt, eri, n_occ: int,
         E = jnp.einsum('ij,ij->', D, H) + E2 + Exc
         return F, E
 
-    def density(F):
-        Fp = S_invsqrt.T @ F @ S_invsqrt
+    def density_p(Fp):
         mo_e, Cp = eigh_safe(Fp)
         C = S_invsqrt @ Cp
         occ = C[:, :n_occ]
         return 2.0 * occ @ occ.T, mo_e
 
-    def step(carry, _):
-        D, _ = carry
+    W = int(diis_window)
+    S_sqrt = jnp.linalg.inv(S_invsqrt) if diis else None
+
+    def step(carry, idx):
+        D, _, Fbuf, Ebuf = carry
         F, E = fock(D)
-        D_new, mo_e = density(F)
-        D = mixing * D_new + (1.0 - mixing) * D
-        return (D, mo_e), E
+        Fp = S_invsqrt.T @ F @ S_invsqrt
+        if diis:
+            # commutator error in the orthonormal basis
+            Dp = S_sqrt @ D @ S_sqrt.T
+            err = Fp @ Dp - Dp @ Fp
+            slot = idx % W
+            Fbuf = Fbuf.at[slot].set(Fp)
+            Ebuf = Ebuf.at[slot].set(err)
+            F_diis = _diis_fock(Fbuf, Ebuf, idx, W)
+            use_diis = idx >= diis_start
+            Fp_use = jnp.where(use_diis, F_diis, Fp)
+            D_new, mo_e = density_p(Fp_use)
+            mix = jnp.where(use_diis, 1.0, mixing)
+        else:
+            D_new, mo_e = density_p(Fp)
+            mix = mixing
+        D = mix * D_new + (1.0 - mix) * D
+        return (D, mo_e, Fbuf, Ebuf), E
 
     D0 = jnp.zeros((n, n), dtype=H.dtype)
-    (D, mo_e), Es = jax.lax.scan(step, (D0, jnp.zeros(n, dtype=H.dtype)),
-                                 None, length=iterations)
+    Fbuf0 = jnp.zeros((W, n, n), dtype=H.dtype)
+    Ebuf0 = jnp.zeros((W, n, n), dtype=H.dtype)
+    (D, mo_e, _, _), Es = jax.lax.scan(
+        step, (D0, jnp.zeros(n, dtype=H.dtype), Fbuf0, Ebuf0),
+        jnp.arange(iterations))
     _, E_final = fock(D)
     return E_final, D, mo_e
 
@@ -427,7 +484,8 @@ def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
                           hf_exchange: float = 0.0,
                           iterations: int = 50, mixing: float = 0.5,
                           spin_polarized_xc: bool = False,
-                          use_tau: bool = False):
+                          use_tau: bool = False, diis: bool = True,
+                          diis_window: int = 6, diis_start: int = 4):
     """Unrestricted (spin-polarized occupations) SCF for open-shell
     systems — atomization-energy references need isolated atoms.
 
@@ -435,6 +493,8 @@ def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
     spin-density form exc(rho_a, rho_b[, sigmas]) with independent
     Vxc_a/Vxc_b = dExc/dDa, dExc/dDb (the reference's libxc spin
     interface); otherwise the total-density approximation is used.
+    UHF-style DIIS (one coefficient set over the stacked alpha/beta
+    Fock and commutator-error buffers) is on by default.
     Returns (E_electronic, (Da, Db), (mo_a, mo_b))."""
     n = H.shape[0]
 
@@ -475,19 +535,52 @@ def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
         occ = C[:, :nocc] if nocc > 0 else C[:, :1] * 0.0
         return occ @ occ.T, mo_e
 
-    def step(carry, _):
-        Da, Db = carry
+    W = int(diis_window)
+    S_sqrt = jnp.linalg.inv(S_invsqrt) if diis else None
+
+    def step(carry, idx):
+        Da, Db, Fbuf, Ebuf = carry
         Fa, Fb, E = fock(Da, Db)
-        Da_new, _ = density(Fa, n_alpha)
-        Db_new, _ = density(Fb, n_beta)
-        Da = mixing * Da_new + (1.0 - mixing) * Da
-        Db = mixing * Db_new + (1.0 - mixing) * Db
-        return (Da, Db), E
+        if diis:
+            Fpa = S_invsqrt.T @ Fa @ S_invsqrt
+            Fpb = S_invsqrt.T @ Fb @ S_invsqrt
+            Dpa = S_sqrt @ Da @ S_sqrt.T
+            Dpb = S_sqrt @ Db @ S_sqrt.T
+            err = jnp.stack([Fpa @ Dpa - Dpa @ Fpa,
+                             Fpb @ Dpb - Dpb @ Fpb])
+            slot = idx % W
+            Fbuf = Fbuf.at[slot].set(jnp.stack([Fpa, Fpb]))
+            Ebuf = Ebuf.at[slot].set(err)
+            Fd = _diis_fock(
+                Fbuf.reshape(W, -1, n), Ebuf.reshape(W, -1, n), idx, W
+            ).reshape(2, n, n)
+            use_diis = idx >= diis_start
+            Fpa_use = jnp.where(use_diis, Fd[0], Fpa)
+            Fpb_use = jnp.where(use_diis, Fd[1], Fpb)
+            mo_ea, Cpa = eigh_safe(Fpa_use)
+            mo_eb, Cpb = eigh_safe(Fpb_use)
+            Ca = S_invsqrt @ Cpa
+            Cb = S_invsqrt @ Cpb
+            occa = Ca[:, :n_alpha] if n_alpha > 0 else Ca[:, :1] * 0.0
+            occb = Cb[:, :n_beta] if n_beta > 0 else Cb[:, :1] * 0.0
+            Da_new = occa @ occa.T
+            Db_new = occb @ occb.T
+            mix = jnp.where(use_diis, 1.0, mixing)
+        else:
+            Da_new, _ = density(Fa, n_alpha)
+            Db_new, _ = density(Fb, n_beta)
+            mix = mixing
+        Da = mix * Da_new + (1.0 - mix) * Da
+        Db = mix * Db_new + (1.0 - mix) * Db
+        return (Da, Db, Fbuf, Ebuf), E
 
     # break spin symmetry slightly so alpha != beta solutions can emerge
     D0a = jnp.eye(n, dtype=H.dtype) * (n_alpha / max(n, 1)) * 0.1
     D0b = jnp.zeros((n, n), dtype=H.dtype)
-    (Da, Db), _ = jax.lax.scan(step, (D0a, D0b), None, length=iterations)
+    Fbuf0 = jnp.zeros((W, 2, n, n), dtype=H.dtype)
+    Ebuf0 = jnp.zeros((W, 2, n, n), dtype=H.dtype)
+    (Da, Db, _, _), _ = jax.lax.scan(step, (D0a, D0b, Fbuf0, Ebuf0),
+                                     jnp.arange(iterations))
     Fa, Fb, E_final = fock(Da, Db)
     _, mo_a = density(Fa, n_alpha)
     _, mo_b = density(Fb, n_beta)

@@ -291,15 +291,18 @@ class TestFitEntries:
 
     def test_trains_on_density_profile(self):
         """'dens' entries: fit the functional to reproduce a target
-        density profile (reference DensityProfile supervision)."""
+        density profile (reference DensityProfile supervision).  LiH,
+        not H2: the minimal-basis H2 density is fixed by symmetry
+        (independent of the functional), so with DIIS convergence the
+        H2 loss starts at the floor and nothing can train."""
         from deepchem_tpu.dft.scf import DFTEntry, DFTSystem, KohnShamSCF
         from deepchem_tpu.dft.xcmodel import XCModel
-        sys0 = DFTSystem(['H', 'H'], [[0, 0, 0], [0, 0, 1.4]],
+        sys0 = DFTSystem(['Li', 'H'], [[0, 0, 0], [0, 0, 3.014]],
                          units='bohr', n_radial=12, grid_level=0)
         target = np.asarray(
             KohnShamSCF('lda', iterations=40).run(sys0).density())
         dn = DFTEntry('dens', target,
-                      [{'moldesc': 'H 0 0 0; H 0 0 1.4'}],
+                      [{'moldesc': 'Li 0 0 0; H 0 0 3.014'}],
                       n_radial=12, grid_level=0)
         m = XCModel('lda_x')
         losses = m.fit_entries([dn], nb_epoch=20, iterations=12,
@@ -688,3 +691,72 @@ class TestPostHF:
             assert np.abs(off).max() < 1e-6
         finally:
             jax.config.update('jax_enable_x64', False)
+
+
+class TestDIIS:
+    """Pulay DIIS inside the lax.scan (static ring buffer, stop-grad
+    coefficient solve): convergence acceleration without changing the
+    fixed point, restricted and unrestricted."""
+
+    def test_restricted_acceleration(self):
+        from deepchem_tpu.dft.scf import DFTSystem, scf_loop
+        jax.config.update('jax_enable_x64', True)
+        try:
+            s = DFTSystem(['O', 'H', 'H'],
+                          [[0, 0, 0.1173], [0, 0.7572, -0.4692],
+                           [0, -0.7572, -0.4692]], units='angstrom',
+                          n_radial=12, grid_level=0)
+            args = (jnp.asarray(s.T + s.V), jnp.asarray(s.S_invsqrt),
+                    jnp.asarray(s.eri), s.n_elec // 2)
+            kw = dict(hf_exchange=1.0, phi=jnp.asarray(s.phi),
+                      dphi=jnp.asarray(s.dphi),
+                      weights=jnp.asarray(s.grid_weights))
+            e15, _, _ = scf_loop(*args, iterations=15, diis=True, **kw)
+            e_ref, _, _ = scf_loop(*args, iterations=120, diis=False,
+                                   **kw)
+            e15_mix, _, _ = scf_loop(*args, iterations=15, diis=False,
+                                     **kw)
+            assert abs(float(e15) - float(e_ref)) < 1e-7
+            assert abs(float(e15_mix) - float(e_ref)) > 1e-5
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_unrestricted_acceleration(self):
+        from deepchem_tpu.dft.scf import DFTSystem, run_unrestricted
+        jax.config.update('jax_enable_x64', True)
+        try:
+            s = DFTSystem(['N'], np.zeros((1, 3)), units='bohr',
+                          n_radial=12, grid_level=0)
+            e30 = run_unrestricted(s, 'lda', iterations=30)
+            e200 = run_unrestricted(s, 'lda', iterations=200,
+                                    mixing=0.3)
+            assert abs(e30 - e200) < 1e-7
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_diis_differentiable_f32(self):
+        """Gradient of the converged energy w.r.t. a functional scale
+        parameter stays finite through DIIS in default f32 (the
+        round-3 NaN regression this guards: solve backward on the
+        near-singular converged B matrix)."""
+        from deepchem_tpu.dft.scf import DFTSystem, scf_loop
+        from deepchem_tpu.dft.functionals import lda_xc
+        s = DFTSystem(['H', 'H'], [[0, 0, 0], [0, 0, 1.4]],
+                      units='bohr', n_radial=12, grid_level=0)
+
+        def energy(scale):
+            E, _, _ = scf_loop(
+                jnp.asarray(s.T + s.V), jnp.asarray(s.S_invsqrt),
+                jnp.asarray(s.eri), 1,
+                exc_fn=lambda rho: scale * lda_xc(rho),
+                phi=jnp.asarray(s.phi), dphi=jnp.asarray(s.dphi),
+                weights=jnp.asarray(s.grid_weights), iterations=15)
+            return E
+
+        g = jax.grad(energy)(jnp.asarray(1.0, jnp.float32))
+        assert np.isfinite(float(g))
+        # FD cross-check (f32 -> loose)
+        h = 1e-2
+        fd = (float(energy(jnp.asarray(1.0 + h)))
+              - float(energy(jnp.asarray(1.0 - h)))) / (2 * h)
+        assert abs(float(g) - fd) < 5e-3 * max(1.0, abs(fd))
