@@ -11,7 +11,8 @@ from deepchem_tpu.dft.scf import (DFTSystem, KSCalc, KohnShamSCF, XCNNSCF,
                                   run_unrestricted, DFTEntry,
                                   parse_moldesc)
 from deepchem_tpu.dft.gradients import (scf_gradient, optimize_geometry,
-                                        ao_hessian)
+                                        ao_hessian, harmonic_frequencies,
+                                        hessian_numerical)
 from deepchem_tpu.dft.posthf import (mp2_energy, fci_2e_energy,
                                      dipole_moment, mulliken_charges,
                                      energy_in_field, polarizability)
@@ -24,4 +25,5 @@ __all__ = ['lda_exchange', 'lda_correlation_vwn', 'pbe_exchange',
            'run_unrestricted', 'DFTEntry', 'parse_moldesc',
            'scf_gradient', 'optimize_geometry', 'ao_hessian',
            'mp2_energy', 'fci_2e_energy', 'dipole_moment',
-           'mulliken_charges', 'energy_in_field', 'polarizability']
+           'mulliken_charges', 'energy_in_field', 'polarizability',
+           'harmonic_frequencies', 'hessian_numerical']

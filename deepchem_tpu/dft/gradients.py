@@ -301,3 +301,64 @@ def optimize_geometry(symbols, coords, xc='hf', basis: str = 'sto-3g',
     res = minimize(efun, coords.ravel(), jac=True, method='BFGS',
                    options={'gtol': tol, 'maxiter': max_steps})
     return float(res.fun), res.x.reshape(-1, 3), state['n']
+
+
+#: standard atomic masses (amu) for the elements the basis tables cover
+ATOMIC_MASS = {'H': 1.00782503, 'He': 4.00260325, 'Li': 7.01600343,
+               'Be': 9.01218306, 'B': 11.00930536, 'C': 12.0,
+               'N': 14.00307401, 'O': 15.99491462, 'F': 18.99840316}
+
+#: sqrt(Ha / (bohr^2 amu)) -> cm^-1 (CODATA constants folded)
+_WAVENUMBER = 5140.4871
+
+
+def hessian_numerical(symbols, coords, xc='hf', basis: str = 'sto-3g',
+                      h: float = 5e-3, iterations: int = 80,
+                      n_radial: int = 50, grid_level: int = 2
+                      ) -> np.ndarray:
+    """Seminumerical nuclear Hessian [3N, 3N] (Ha/bohr^2): central
+    finite differences of the ANALYTIC gradient — one gradient call per
+    displaced geometry (6N total), the standard frequencies route when
+    second analytic derivatives are not implemented."""
+    coords = np.asarray(coords, dtype=np.float64)
+    n = len(symbols)
+    H = np.zeros((3 * n, 3 * n))
+    for a in range(n):
+        for x in range(3):
+            gs = []
+            for s in (h, -h):
+                c = coords.copy()
+                c[a, x] += s
+                sys_ = DFTSystem(symbols, c, units='bohr', basis=basis,
+                                 n_radial=n_radial,
+                                 grid_level=grid_level)
+                _, g = scf_gradient(sys_, xc=xc, iterations=iterations)
+                gs.append(g.ravel())
+            H[3 * a + x] = (gs[0] - gs[1]) / (2.0 * h)
+    return 0.5 * (H + H.T)
+
+
+def harmonic_frequencies(symbols, coords, xc='hf',
+                         basis: str = 'sto-3g', units: str = 'bohr',
+                         h: float = 5e-3, iterations: int = 80,
+                         n_radial: int = 50, grid_level: int = 2):
+    """Harmonic vibrational analysis at a (presumed optimized)
+    geometry: mass-weighted Hessian, eigendecomposition, frequencies in
+    cm^-1.  Returns (freqs_cm1 [3N], modes [3N, 3N]) sorted ascending;
+    the 5/6 smallest magnitudes are the translation/rotation residuals
+    (near zero at a converged stationary point).  Imaginary frequencies
+    are returned as negative numbers (the standard convention)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    if units == 'angstrom':
+        from deepchem_tpu.dft.scf import ANGSTROM_TO_BOHR
+        coords = coords * ANGSTROM_TO_BOHR
+    elif units != 'bohr':
+        raise ValueError(units)
+    H = hessian_numerical(symbols, coords, xc=xc, basis=basis, h=h,
+                          iterations=iterations, n_radial=n_radial,
+                          grid_level=grid_level)
+    m = np.repeat([ATOMIC_MASS[s] for s in symbols], 3)
+    Hm = H / np.sqrt(np.outer(m, m))
+    w, V = np.linalg.eigh(Hm)
+    freqs = np.sign(w) * np.sqrt(np.abs(w)) * _WAVENUMBER
+    return freqs, V

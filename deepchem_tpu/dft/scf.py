@@ -485,7 +485,7 @@ def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
                           iterations: int = 50, mixing: float = 0.5,
                           spin_polarized_xc: bool = False,
                           use_tau: bool = False, diis: bool = True,
-                          diis_window: int = 6, diis_start: int = 4):
+                          diis_window: int = 6, diis_start: int = 8):
     """Unrestricted (spin-polarized occupations) SCF for open-shell
     systems — atomization-energy references need isolated atoms.
 
@@ -494,7 +494,12 @@ def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
     Vxc_a/Vxc_b = dExc/dDa, dExc/dDb (the reference's libxc spin
     interface); otherwise the total-density approximation is used.
     UHF-style DIIS (one coefficient set over the stacked alpha/beta
-    Fock and commutator-error buffers) is on by default.
+    Fock and commutator-error buffers) is on by default; it engages
+    only after ``diis_start`` plain-mixing iterations because DIIS
+    converges to ANY commutator-stationary point — engaged too early
+    on open shells it can lock onto an excited SCF solution (Li/SCAN
+    landed 1.28 Ha high with diis_start=4; >= 8 recovers the ground
+    state).
     Returns (E_electronic, (Da, Db), (mo_a, mo_b))."""
     n = H.shape[0]
 

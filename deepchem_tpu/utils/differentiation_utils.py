@@ -589,3 +589,61 @@ def rootfinder(fcn: Callable, x0: jnp.ndarray,
         return x - dx, None
     x, _ = jax.lax.scan(step, x0, None, length=maxiter)
     return x
+
+
+def anderson_acc(g: Callable, x0: jnp.ndarray, maxiter: int = 50,
+                 window: int = 5, beta: float = 1.0,
+                 ridge: Optional[float] = None) -> jnp.ndarray:
+    """Anderson-accelerated fixed-point solve x* = g(x*) (the
+    equilibrium-solver role of the reference's xitorch
+    ``equilibrium``; also the workhorse for deep-equilibrium-style
+    models).  Static-shape ring buffers inside a lax.scan — jits,
+    vmaps, and backprops (the mixing-coefficient least squares is
+    stop-gradiented as a solver detail; gradients flow through the
+    iterates, and at the fixed point the implicit-function sensitivity
+    is carried by the final g application).
+
+    For exact implicit-diff gradients of deep iterations, compose with
+    ``jax.lax.custom_root`` or use ``rootfinder`` on f(x) = g(x) - x;
+    this function's reverse pass differentiates through the (short)
+    unrolled iteration history.
+    """
+    x0 = jnp.asarray(x0, dtype=jnp.result_type(float))
+    n = x0.size
+    W = int(window)
+    if ridge is None:
+        # the bordered solve sees condition ~1/ridge: keep it inside
+        # the dtype's precision (exactly-converged buffers zero G)
+        ridge = 1e-10 if x0.dtype == jnp.float64 else 1e-4
+
+    def step(carry, idx):
+        x, Xbuf, Fbuf = carry
+        gx = g(x.reshape(x0.shape)).reshape(-1)
+        f = gx - x                       # residual
+        slot = idx % W
+        Xbuf = Xbuf.at[slot].set(x + beta * f)   # damped picard iterate
+        Fbuf = Fbuf.at[slot].set(f)
+        valid = jnp.arange(W) < jnp.minimum(idx + 1, W)
+        # least-squares mixing: minimize |sum_i c_i f_i|, sum c = 1
+        G = jnp.einsum('ai,bi->ab', Fbuf, Fbuf)
+        Gmax = jnp.maximum(jnp.max(jnp.abs(G)), 1e-30)
+        G = G / Gmax
+        vv = valid[:, None] & valid[None, :]
+        A = jnp.zeros((W + 1, W + 1), dtype=x.dtype)
+        A = A.at[:W, :W].set(jnp.where(vv, G, 0.0)
+                             + jnp.diag(jnp.where(valid, ridge, 1.0)))
+        ones = jnp.where(valid, 1.0, 0.0)
+        A = A.at[:W, W].set(ones)
+        A = A.at[W, :W].set(ones)
+        rhs = jnp.zeros(W + 1, dtype=x.dtype).at[W].set(1.0)
+        c = jax.lax.stop_gradient(jnp.linalg.solve(A, rhs)[:W])
+        x_new = jnp.einsum('a,ai->i', c, Xbuf)
+        # fall back to plain damped iteration on the very first step
+        x_new = jnp.where(idx < 1, x + beta * f, x_new)
+        return (x_new, Xbuf, Fbuf), jnp.linalg.norm(f)
+
+    Xbuf0 = jnp.zeros((W, n), dtype=x0.dtype)
+    Fbuf0 = jnp.zeros((W, n), dtype=x0.dtype)
+    (x, _, _), _ = jax.lax.scan(step, (x0.reshape(-1), Xbuf0, Fbuf0),
+                                jnp.arange(maxiter))
+    return x.reshape(x0.shape)

@@ -760,3 +760,73 @@ class TestDIIS:
         fd = (float(energy(jnp.asarray(1.0 + h)))
               - float(energy(jnp.asarray(1.0 - h)))) / (2 * h)
         assert abs(float(g) - fd) < 5e-3 * max(1.0, abs(fd))
+
+
+class TestFrequencies:
+    """Harmonic vibrational analysis: seminumerical Hessian from the
+    analytic gradients, cross-validated against an independent 1D
+    energy second difference and the classic HF/STO-3G literature
+    frequencies."""
+
+    def test_h2_frequency_two_routes(self):
+        from deepchem_tpu.dft.gradients import (optimize_geometry,
+                                                harmonic_frequencies)
+        from deepchem_tpu.dft.scf import DFTSystem, KohnShamSCF
+        from deepchem_tpu.native import get_intor_lib
+        if get_intor_lib() is None:
+            pytest.skip('needs native engine')
+        jax.config.update('jax_enable_x64', True)
+        try:
+            e, c, _ = optimize_geometry(
+                ['H', 'H'], [[0, 0, 0], [0, 0, 0.75]], xc='hf',
+                basis='sto-3g', tol=1e-6, n_radial=20, grid_level=0)
+            f, V = harmonic_frequencies(['H', 'H'], c, xc='hf',
+                                        basis='sto-3g', n_radial=20,
+                                        grid_level=0)
+            # 5 near-zero trans/rot residuals + one real stretch
+            assert np.abs(f[:5]).max() < 50.0
+            # independent route: 1D FD of E(r) with the reduced mass
+            r0 = np.linalg.norm(c[1] - c[0])
+            h = 1e-3
+
+            def E(r):
+                s = DFTSystem(['H', 'H'], [[0, 0, 0], [0, 0, r]],
+                              units='bohr', n_radial=20, grid_level=0)
+                return float(KohnShamSCF('hf', iterations=80)
+                             .run(s).energy())
+
+            k = (E(r0 + h) - 2 * E(r0) + E(r0 - h)) / h ** 2
+            mu = 1.00782503 / 2
+            f1d = np.sqrt(k / mu) * 5140.4871
+            assert abs(f[-1] - f1d) < 2.0, (f[-1], f1d)
+            # classic HF/STO-3G H2 harmonic stretch ~5481 cm^-1
+            assert abs(f[-1] - 5481.0) < 25.0
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_h2o_frequencies_literature(self):
+        """HF/STO-3G H2O harmonic frequencies: bend ~2170, symmetric
+        stretch ~4140, asymmetric stretch ~4391 cm^-1 (classic Pople
+        values); 6 trans/rot residuals near zero."""
+        from deepchem_tpu.dft.gradients import (optimize_geometry,
+                                                harmonic_frequencies)
+        from deepchem_tpu.native import get_intor_lib
+        if get_intor_lib() is None:
+            pytest.skip('needs native engine')
+        jax.config.update('jax_enable_x64', True)
+        try:
+            e, c, _ = optimize_geometry(
+                ['O', 'H', 'H'],
+                [[0, 0, 0.15], [0, 0.8, -0.5], [0, -0.8, -0.5]],
+                xc='hf', basis='sto-3g', tol=3e-5, n_radial=40,
+                grid_level=1)
+            f, V = harmonic_frequencies(['O', 'H', 'H'], c, xc='hf',
+                                        basis='sto-3g', n_radial=40,
+                                        grid_level=1)
+            assert np.abs(f[:6]).max() < 60.0
+            vib = f[6:]
+            assert abs(vib[0] - 2170.0) < 30.0
+            assert abs(vib[1] - 4140.0) < 40.0
+            assert abs(vib[2] - 4391.0) < 40.0
+        finally:
+            jax.config.update('jax_enable_x64', False)

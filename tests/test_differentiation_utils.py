@@ -290,3 +290,43 @@ def test_symeig_distinct_matches_eigh_gradient():
     g2s = 0.5 * (g2 + g2.T)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2s),
                                atol=1e-8)
+
+
+class TestAndersonAcceleration:
+    def test_dottie_fixed_point(self):
+        from deepchem_tpu.utils.differentiation_utils import anderson_acc
+        x = anderson_acc(jnp.cos, jnp.zeros(3), maxiter=25)
+        np.testing.assert_allclose(np.asarray(x), 0.7390851332, atol=1e-5)
+
+    def test_beats_picard_on_slow_contraction(self):
+        """Linear fixed point with spectral radius 0.97: plain Picard
+        at 40 steps is still ~3 off; Anderson is at 1e-3."""
+        from deepchem_tpu.utils.differentiation_utils import anderson_acc
+        rng = np.random.RandomState(0)
+        Q = np.linalg.qr(rng.randn(20, 20))[0]
+        A = Q @ np.diag(np.linspace(0.1, 0.97, 20)) @ Q.T
+        b = rng.randn(20)
+        xstar = np.linalg.solve(np.eye(20) - A, b)
+        g = lambda x: jnp.asarray(A) @ x + jnp.asarray(b)
+        xa = anderson_acc(g, jnp.zeros(20), maxiter=40)
+        xp = jnp.zeros(20)
+        for _ in range(40):
+            xp = g(xp)
+        err_a = float(jnp.abs(xa - xstar).max())
+        err_p = float(jnp.abs(xp - xstar).max())
+        assert err_a < 5e-3
+        assert err_p > 1.0
+
+    def test_gradient_flows(self):
+        from deepchem_tpu.utils.differentiation_utils import anderson_acc
+
+        def f(s):
+            return jnp.sum(anderson_acc(lambda x: jnp.tanh(s * x) + 0.5,
+                                        jnp.zeros(2), maxiter=30))
+
+        g = jax.grad(f)(jnp.asarray(0.5))
+        h = 1e-3
+        fd = (float(f(jnp.asarray(0.5 + h)))
+              - float(f(jnp.asarray(0.5 - h)))) / (2 * h)
+        assert np.isfinite(float(g))
+        assert abs(float(g) - fd) < 5e-3 * max(1.0, abs(fd))
