@@ -13,6 +13,8 @@ from deepchem_tpu.dft.scf import (DFTSystem, KSCalc, KohnShamSCF, XCNNSCF,
 from deepchem_tpu.dft.gradients import (scf_gradient, optimize_geometry,
                                         ao_hessian, harmonic_frequencies,
                                         hessian_numerical)
+from deepchem_tpu.dft.df import (even_tempered_aux, ri_fit, ri_tensors,
+                                 ri_j)
 from deepchem_tpu.dft.posthf import (mp2_energy, fci_2e_energy,
                                      dipole_moment, mulliken_charges,
                                      energy_in_field, polarizability)
@@ -26,4 +28,5 @@ __all__ = ['lda_exchange', 'lda_correlation_vwn', 'pbe_exchange',
            'scf_gradient', 'optimize_geometry', 'ao_hessian',
            'mp2_energy', 'fci_2e_energy', 'dipole_moment',
            'mulliken_charges', 'energy_in_field', 'polarizability',
-           'harmonic_frequencies', 'hessian_numerical']
+           'harmonic_frequencies', 'hessian_numerical',
+           'even_tempered_aux', 'ri_fit', 'ri_tensors', 'ri_j']

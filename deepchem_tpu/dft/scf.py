@@ -161,9 +161,19 @@ def scf_loop(H, S_invsqrt, eri, n_occ: int,
     static shapes and stays differentiable end to end.
     """
     n = H.shape[0]
+    ri = eri.ndim == 3          # whitened RI factors B_w [n, n, m]
+    if ri and hf_exchange:
+        raise ValueError('RI-J supports pure functionals only (no '
+                         'exact-exchange K with fitted integrals)')
+
+    def coulomb(D):
+        if ri:
+            c = jnp.einsum('klp,kl->p', eri, D)
+            return jnp.einsum('ijp,p->ij', eri, c)
+        return jnp.einsum('ijkl,kl->ij', eri, D)
 
     def fock(D):
-        J = jnp.einsum('ijkl,kl->ij', eri, D)
+        J = coulomb(D)
         F = H + J
         E2 = 0.5 * jnp.einsum('ij,ij->', D, J)
         if hf_exchange:
@@ -231,7 +241,8 @@ class DFTSystem:
     def __init__(self, symbols: Sequence[str], coords,
                  charge: int = 0, units: str = 'angstrom',
                  n_radial: int = 50, grid_level: int = 2,
-                 basis: str = 'sto-3g'):
+                 basis: str = 'sto-3g', density_fit: bool = False,
+                 aux_beta: float = 2.5):
         coords = np.asarray(coords, dtype=np.float64)
         if units == 'angstrom':
             coords = coords * ANGSTROM_TO_BOHR
@@ -246,7 +257,13 @@ class DFTSystem:
         self.S = ints.overlap_matrix(self.basis)
         self.T = ints.kinetic_matrix(self.basis)
         self.V = ints.nuclear_matrix(self.basis, self.charges, coords)
-        self.eri = ints.eri_tensor(self.basis)
+        self.density_fit = bool(density_fit)
+        if density_fit:
+            # RI-J: whitened 3-center factors instead of the n^4 tensor
+            from deepchem_tpu.dft.df import ri_fit
+            self.eri, self.aux_basis = ri_fit(self.basis, beta=aux_beta)
+        else:
+            self.eri = ints.eri_tensor(self.basis)
         self.e_nuc = nuclear_repulsion(self.charges, coords)
         self.grid_params = (n_radial, grid_level)
         pts, wts = molecular_grid(self.symbols, coords,
@@ -503,9 +520,17 @@ def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
     Returns (E_electronic, (Da, Db), (mo_a, mo_b))."""
     n = H.shape[0]
 
+    ri = eri.ndim == 3
+    if ri and hf_exchange:
+        raise ValueError('RI-J supports pure functionals only')
+
     def fock(Da, Db):
         D = Da + Db
-        J = jnp.einsum('ijkl,kl->ij', eri, D)
+        if ri:
+            c = jnp.einsum('klp,kl->p', eri, D)
+            J = jnp.einsum('ijp,p->ij', eri, c)
+        else:
+            J = jnp.einsum('ijkl,kl->ij', eri, D)
         Fa = H + J
         Fb = H + J
         E2 = 0.5 * jnp.einsum('ij,ij->', D, J)

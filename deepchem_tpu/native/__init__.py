@@ -122,10 +122,15 @@ def get_intor_lib() -> Optional[ctypes.CDLL]:
                          [ctypes.c_int, _F64P, _F64P]),
                         ('intor_grad_rhf',
                          [_I32P, ctypes.c_int, _F64P, _F64P, _F64P,
-                          _F64P, ctypes.c_double, _F64P])):
+                          _F64P, ctypes.c_double, _F64P]),
+                        ('intor_eri_3c',
+                         [ctypes.c_int, _I32P, _F64P, _I32P, _F64P,
+                          _F64P, _F64P])):
         fn = getattr(lib, name)
         fn.restype = None
         fn.argtypes = base + extra
+    lib.intor_eri_2c.restype = None
+    lib.intor_eri_2c.argtypes = base + [_F64P]  # aux basis + out
     _intor_lib = lib
     return _intor_lib
 

@@ -745,3 +745,65 @@ void intor_ao_hessian(int nbf, const int32_t* lmn, const double* centers,
 }
 
 }  // extern "C"
+
+// ===================================================================
+// Density-fitting (RI-J) integrals: 3-center (ij|P) and 2-center (P|Q)
+// Coulomb tensors over an auxiliary basis.  An auxiliary function
+// enters the MD machinery as a pair with a dummy zero-exponent s
+// primitive (exponent 0, coefficient 1): q = a*0/(a+0) = 0 makes the
+// pair expansion collapse to the single function's own Hermite table.
+
+extern "C" {
+
+void intor_eri_3c(int nbf, const int32_t* lmn, const double* centers,
+                  const int32_t* off, const double* exps,
+                  const double* coefs, int naux, const int32_t* lmn_p,
+                  const double* centers_p, const int32_t* off_p,
+                  const double* exps_p, const double* coefs_p,
+                  double* out /* [nbf, nbf, naux] */) {
+  auto bfs = unpack(nbf, lmn, centers, off, exps, coefs);
+  auto aux = unpack(naux, lmn_p, centers_p, off_p, exps_p, coefs_p);
+  // aux pair expansions: (P, dummy)
+  std::vector<PairExp> apairs(naux);
+  for (int p = 0; p < naux; ++p) {
+    BF dummy;
+    dummy.l = dummy.m = dummy.n = 0;
+    dummy.A[0] = aux[p].A[0]; dummy.A[1] = aux[p].A[1];
+    dummy.A[2] = aux[p].A[2];
+    dummy.prims.push_back({0.0, 1.0});
+    apairs[p] = make_pair(aux[p], dummy);
+  }
+  size_t n = nbf, m = naux;
+  for (int i = 0; i < nbf; ++i)
+    for (int j = 0; j <= i; ++j) {
+      PairExp pe = make_pair(bfs[i], bfs[j]);
+      for (int p = 0; p < naux; ++p) {
+        double v = eri_pair(pe, apairs[p]);
+        out[((size_t)i * n + j) * m + p] = v;
+        out[((size_t)j * n + i) * m + p] = v;
+      }
+    }
+}
+
+void intor_eri_2c(int naux, const int32_t* lmn_p,
+                  const double* centers_p, const int32_t* off_p,
+                  const double* exps_p, const double* coefs_p,
+                  double* out /* [naux, naux] */) {
+  auto aux = unpack(naux, lmn_p, centers_p, off_p, exps_p, coefs_p);
+  std::vector<PairExp> apairs(naux);
+  for (int p = 0; p < naux; ++p) {
+    BF dummy;
+    dummy.l = dummy.m = dummy.n = 0;
+    dummy.A[0] = aux[p].A[0]; dummy.A[1] = aux[p].A[1];
+    dummy.A[2] = aux[p].A[2];
+    dummy.prims.push_back({0.0, 1.0});
+    apairs[p] = make_pair(aux[p], dummy);
+  }
+  for (int p = 0; p < naux; ++p)
+    for (int q = p; q < naux; ++q) {
+      double v = eri_pair(apairs[p], apairs[q]);
+      out[(size_t)p * naux + q] = out[(size_t)q * naux + p] = v;
+    }
+}
+
+}  // extern "C"

@@ -830,3 +830,107 @@ class TestFrequencies:
             assert abs(vib[2] - 4391.0) < 40.0
         finally:
             jax.config.update('jax_enable_x64', False)
+
+
+class TestDensityFitting:
+    """RI-J density fitting (dft/df.py + native 3c/2c integrals):
+    reference utils/dft_utils/df parity, O(n^2 m) memory instead of
+    O(n^4)."""
+
+    def _needs_native(self):
+        from deepchem_tpu.native import get_intor_lib
+        if get_intor_lib() is None:
+            pytest.skip('needs native engine')
+
+    def test_3c_2c_vs_python_zero_exponent_oracle(self):
+        """(ij|P) and (P|Q) equal the Python _eri_prim evaluated with a
+        zero-exponent dummy fourth function."""
+        self._needs_native()
+        from deepchem_tpu.dft.basis import BasisFunction, primitive_norm
+        from deepchem_tpu.dft.df import ri_tensors
+        from deepchem_tpu.dft.integrals import _eri_prim
+        A = np.array([0., 0., 0.])
+        B = np.array([0., 0., 4.0])
+        C = np.array([2.5, 0., 2.0])
+
+        def bf(center, lmn, exps):
+            exps = np.asarray(exps, float)
+            c = np.array([primitive_norm(a, lmn) for a in exps])
+            b = BasisFunction(center, lmn, exps, c)
+            b.normalize()
+            return b
+
+        basis = [bf(A, (0, 0, 0), (1.2, 0.3)), bf(A, (1, 0, 0), (0.8,)),
+                 bf(B, (0, 0, 1), (0.6,))]
+        aux = [bf(C, (0, 0, 0), (0.9,)), bf(C, (2, 0, 0), (0.7,)),
+               bf(A, (1, 1, 1), (1.1,))]
+        B3, V2 = ri_tensors(basis, aux)
+
+        def eri3(bi, bj, bp):
+            val = 0.0
+            for a, ca in zip(bi.exps, bi.coefs):
+                for b, cb in zip(bj.exps, bj.coefs):
+                    for c, cc in zip(bp.exps, bp.coefs):
+                        val += ca * cb * cc * _eri_prim(
+                            a, bi.lmn, bi.center, b, bj.lmn, bj.center,
+                            c, bp.lmn, bp.center, 0.0, (0, 0, 0),
+                            bp.center)
+            return val
+
+        for i in range(3):
+            for j in range(3):
+                for p in range(3):
+                    assert abs(eri3(basis[i], basis[j], aux[p])
+                               - B3[i, j, p]) < 1e-12
+
+    def test_ri_scf_matches_exact(self):
+        """Full RI-J SCF close to the exact-ERI SCF on H2O (PBE).
+        Measured: 0.14 kcal/mol in 6-31G, 0.001 in 6-31G** (the
+        polarized orbital basis widens the auto-generated aux ladders);
+        benzene PBE/6-31G measures 0.33 kcal/mol at 30 MB vs the 152 MB
+        exact tensor."""
+        self._needs_native()
+        from deepchem_tpu.dft.scf import DFTSystem, KohnShamSCF
+        jax.config.update('jax_enable_x64', True)
+        try:
+            geom = (['O', 'H', 'H'],
+                    [[0, 0, 0.1173], [0, 0.7572, -0.4692],
+                     [0, -0.7572, -0.4692]])
+            s = DFTSystem(*geom, units='angstrom', basis='6-31g',
+                          n_radial=20, grid_level=0)
+            e_ex = float(KohnShamSCF('pbe', iterations=40)
+                         .run(s).energy())
+            s_ri = DFTSystem(*geom, units='angstrom', basis='6-31g',
+                             n_radial=20, grid_level=0,
+                             density_fit=True)
+            assert s_ri.eri.ndim == 3          # whitened factors
+            e_ri = float(KohnShamSCF('pbe', iterations=40)
+                         .run(s_ri).energy())
+            assert abs(e_ex - e_ri) * 627.5 < 0.25, \
+                (e_ex, e_ri, (e_ex - e_ri) * 627.5)
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_hybrid_with_ri_raises(self):
+        self._needs_native()
+        from deepchem_tpu.dft.scf import DFTSystem, KohnShamSCF
+        s = DFTSystem(['H', 'H'], [[0, 0, 0], [0, 0, 1.4]],
+                      units='bohr', n_radial=12, grid_level=0,
+                      density_fit=True)
+        with pytest.raises(ValueError, match='RI-J'):
+            KohnShamSCF('hf', iterations=10).run(s)
+
+    def test_j_energy_error_second_order(self):
+        """Coulomb-metric fitting: the J-energy error must be tiny and
+        NEGATIVE-semidefinite-ish (fitted self-repulsion <= exact)."""
+        self._needs_native()
+        from deepchem_tpu.dft.scf import DFTSystem, KohnShamSCF
+        from deepchem_tpu.dft.df import ri_fit, ri_j, exact_j
+        s = DFTSystem(['Li', 'H'], [[0, 0, 0], [0, 0, 3.015]],
+                      units='bohr', n_radial=12, grid_level=0)
+        calc = KohnShamSCF('lda', iterations=40).run(s)
+        D = np.asarray(calc.D, dtype=np.float64)
+        Bw, aux = ri_fit(s.basis)
+        dE = 0.5 * float(np.sum(D * (exact_j(s.eri, D) - ri_j(Bw, D))))
+        assert dE >= -1e-10          # variational from below
+        assert dE < 1e-4
