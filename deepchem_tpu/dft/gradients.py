@@ -177,18 +177,14 @@ def scf_gradient(system: DFTSystem, xc='hf', iterations: int = 80,
     return float(calc.energy()), grad
 
 
-def _exc_coordinate_fn(system: DFTSystem, solver, D: np.ndarray):
-    """coords[natom, 3] (bohr, jnp) -> Exc, fully differentiable:
-    grid points ride their owning atom, Becke weights see every atom,
-    AOs are evaluated in jnp with centers taken from coords."""
+def _exc_grid_pieces(system: DFTSystem):
+    """Static (coordinate-independent) quadrature data: atom-local grid
+    offsets, base weights, owner one-hots, and basis-function metadata
+    — the pieces the coordinate-differentiable Exc closures combine."""
     from deepchem_tpu.dft.grid import (_angular_grid, _radial_gc,
                                        _RADIAL_SCALE)
     import math as _math
 
-    Djnp = jnp.asarray(D)
-    exc_fn, use_sigma, use_tau = (solver.exc_fn, solver.use_sigma,
-                                  solver.use_tau)
-    # fixed atom-local offsets + base weights (host numpy, once)
     n_radial, level = system.grid_params
     ang_pts, ang_wts = _angular_grid(level)
     offs, wts0, owner = [], [], []
@@ -208,7 +204,17 @@ def _exc_coordinate_fn(system: DFTSystem, solver, D: np.ndarray):
         np.eye(len(system.symbols))[owner])     # [G, natom]
     bf_static = [(bf.atom_index, bf.lmn, jnp.asarray(bf.exps),
                   jnp.asarray(bf.coefs)) for bf in system.basis]
-    natom = len(system.symbols)
+    return offs, wts0, owner_oh, bf_static, len(system.symbols)
+
+
+def _exc_coordinate_fn(system: DFTSystem, solver, D: np.ndarray):
+    """coords[natom, 3] (bohr, jnp) -> Exc, fully differentiable:
+    grid points ride their owning atom, Becke weights see every atom,
+    AOs are evaluated in jnp with centers taken from coords."""
+    Djnp = jnp.asarray(D)
+    exc_fn, use_sigma, use_tau = (solver.exc_fn, solver.use_sigma,
+                                  solver.use_tau)
+    offs, wts0, owner_oh, bf_static, natom = _exc_grid_pieces(system)
 
     def becke(pts, coords):
         if natom == 1:
@@ -362,3 +368,168 @@ def harmonic_frequencies(symbols, coords, xc='hf',
     w, V = np.linalg.eigh(Hm)
     freqs = np.sign(w) * np.sqrt(np.abs(w)) * _WAVENUMBER
     return freqs, V
+
+
+def scf_gradient_unrestricted(system: DFTSystem, xc='lda',
+                              spin: Optional[int] = None,
+                              iterations: int = 80,
+                              mixing: float = 0.4
+                              ) -> Tuple[float, np.ndarray]:
+    """Total energy and analytic nuclear gradient for an UNRESTRICTED
+    (open-shell) SCF — radicals and spin-polarized atoms.  Same
+    machinery as the restricted path: native derivative integrals with
+    the spin-resolved exchange contraction (intor_grad_uhf), exact XC
+    term by jax.grad of the spin-density quadrature over coordinates."""
+    from deepchem_tpu.dft.scf import (scf_loop_unrestricted,
+                                      _exc_energy_spin, _ATOM_SPIN)
+    solver = KohnShamSCF(xc, iterations=iterations, mixing=mixing)
+    if spin is None:
+        if len(system.symbols) == 1:
+            spin = _ATOM_SPIN.get(system.charges[0], system.n_elec % 2)
+        else:
+            spin = system.n_elec % 2
+    n_alpha = (system.n_elec + spin) // 2
+    n_beta = system.n_elec - n_alpha
+    spin_xc = solver.exc_fn_spin is not None
+    exc = solver.exc_fn_spin if spin_xc else solver.exc_fn
+    E, (Da, Db), _ = scf_loop_unrestricted(
+        jnp.asarray(system.T + system.V),
+        jnp.asarray(system.S_invsqrt), jnp.asarray(system.eri),
+        n_alpha, n_beta, exc_fn=exc,
+        phi=jnp.asarray(system.phi), dphi=jnp.asarray(system.dphi),
+        weights=jnp.asarray(system.grid_weights),
+        use_sigma=solver.use_sigma, hf_exchange=solver.hf_exchange,
+        iterations=iterations, mixing=mixing,
+        spin_polarized_xc=spin_xc, use_tau=solver.use_tau)
+    Da = np.asarray(Da, dtype=np.float64)
+    Db = np.asarray(Db, dtype=np.float64)
+    D = Da + Db
+    H = system.T + system.V
+    J = np.einsum('ijkl,kl->ij', system.eri, D)
+    phi = jnp.asarray(system.phi)
+    dphi = jnp.asarray(system.dphi)
+    w = jnp.asarray(system.grid_weights)
+    # rebuild per-spin Fock matrices for the energy-weighted density
+    Fa = H + J
+    Fb = H + J
+    if solver.hf_exchange:
+        Fa = Fa - solver.hf_exchange * np.einsum(
+            'ikjl,kl->ij', system.eri, Da)
+        Fb = Fb - solver.hf_exchange * np.einsum(
+            'ikjl,kl->ij', system.eri, Db)
+    if exc is not None and spin_xc:
+        Vxa, Vxb = jax.grad(_exc_energy_spin, argnums=(0, 1))(
+            jnp.asarray(Da), jnp.asarray(Db), phi, dphi, w, exc,
+            solver.use_sigma, solver.use_tau)
+        Fa = Fa + 0.5 * (np.asarray(Vxa) + np.asarray(Vxa).T)
+        Fb = Fb + 0.5 * (np.asarray(Vxb) + np.asarray(Vxb).T)
+    elif exc is not None:
+        Vxc = jax.grad(_exc_energy)(jnp.asarray(D), phi, dphi, w, exc,
+                                    solver.use_sigma, solver.use_tau)
+        Vxc = 0.5 * (np.asarray(Vxc) + np.asarray(Vxc).T)
+        Fa = Fa + Vxc
+        Fb = Fb + Vxc
+    Sih = system.S_invsqrt
+    W = np.zeros_like(D)
+    for F, nocc in ((Fa, n_alpha), (Fb, n_beta)):
+        mo_e, Cp = np.linalg.eigh(Sih.T @ F @ Sih)
+        C = Sih @ Cp
+        occ = C[:, :nocc]
+        W += (occ * mo_e[:nocc][None, :]) @ occ.T
+
+    from deepchem_tpu.native import get_intor_lib, _ptr
+    lib = get_intor_lib()
+    if lib is None:
+        raise RuntimeError('analytic gradients need the native engine')
+    args, keep = _pack_basis(system.basis)
+    natom = len(system.symbols)
+    atom_of = _atom_of(system)
+    Z = np.asarray(system.charges, dtype=np.float64)
+    ac = np.ascontiguousarray(system.coords, dtype=np.float64)
+    grad = np.zeros(natom * 3, dtype=np.float64)
+    lib.intor_grad_uhf(*args, _ptr(atom_of, ctypes.c_int32), natom,
+                       _ptr(Z, ctypes.c_double),
+                       _ptr(ac, ctypes.c_double),
+                       _ptr(np.ascontiguousarray(Da), ctypes.c_double),
+                       _ptr(np.ascontiguousarray(Db), ctypes.c_double),
+                       _ptr(np.ascontiguousarray(W), ctypes.c_double),
+                       float(solver.hf_exchange),
+                       _ptr(grad, ctypes.c_double))
+    grad = grad.reshape(natom, 3)
+    grad += _nuclear_repulsion_grad(system.charges, system.coords)
+    if exc is not None:
+        gxc = jax.grad(_exc_coordinate_fn_spin(
+            system, solver, Da, Db, spin_xc))(jnp.asarray(system.coords))
+        grad += np.asarray(gxc)
+    return float(E) + system.e_nuc, grad
+
+
+def _exc_coordinate_fn_spin(system: DFTSystem, solver, Da, Db,
+                            spin_xc: bool):
+    """Spin-density analog of _exc_coordinate_fn: coords -> Exc with
+    Da/Db fixed, everything else riding the coordinates."""
+    from deepchem_tpu.dft.scf import _exc_energy_spin
+    if not spin_xc:
+        return _exc_coordinate_fn(system, solver, Da + Db)
+    Dajnp = jnp.asarray(Da)
+    Dbjnp = jnp.asarray(Db)
+    exc_fn = solver.exc_fn_spin
+    use_sigma, use_tau = solver.use_sigma, solver.use_tau
+    pieces = _exc_grid_pieces(system)
+    offs, wts0, owner_oh, bf_static, natom = pieces
+
+    def becke(pts, coords):
+        if natom == 1:
+            return jnp.ones(pts.shape[0])
+        d = jnp.linalg.norm(pts[:, None, :] - coords[None, :, :],
+                            axis=-1)
+        P = jnp.ones((pts.shape[0], natom))
+        for i in range(natom):
+            for j in range(natom):
+                if i == j:
+                    continue
+                Rij = jnp.linalg.norm(coords[i] - coords[j])
+                mu = (d[:, i] - d[:, j]) / Rij
+                f = mu
+                for _ in range(3):
+                    f = 1.5 * f - 0.5 * f ** 3
+                P = P.at[:, i].multiply(0.5 * (1.0 - f))
+        tot = jnp.maximum(P.sum(axis=1), 1e-30)
+        return (P * owner_oh).sum(axis=1) / tot
+
+    def ao(pts, coords):
+        phis, dphis = [], []
+        for ia, lmn, exps, coefs in bf_static:
+            dvec = pts - coords[ia][None, :]
+            r2 = jnp.sum(dvec * dvec, axis=1)
+            l, m, nn_ = lmn
+            poly = dvec[:, 0] ** l * dvec[:, 1] ** m * dvec[:, 2] ** nn_
+            g = jnp.sum(coefs[None, :]
+                        * jnp.exp(-exps[None, :] * r2[:, None]), axis=1)
+            ag = jnp.sum(exps[None, :] * coefs[None, :]
+                         * jnp.exp(-exps[None, :] * r2[:, None]), axis=1)
+            phis.append(poly * g)
+            dax = []
+            for ax, pw in enumerate(lmn):
+                dp = -2.0 * dvec[:, ax] * poly * ag
+                if pw > 0:
+                    lower = list(lmn)
+                    lower[ax] -= 1
+                    lp = (dvec[:, 0] ** lower[0]
+                          * dvec[:, 1] ** lower[1]
+                          * dvec[:, 2] ** lower[2])
+                    dp = dp + pw * lp * g
+                dax.append(dp)
+            dphis.append(jnp.stack(dax, axis=0))
+        phi = jnp.stack(phis, axis=1)
+        dphi = jnp.stack(dphis, axis=2)
+        return phi, jnp.transpose(dphi, (1, 0, 2))
+
+    def exc(coords):
+        pts = (coords[:, None, :] + offs).reshape(-1, 3)
+        w = wts0 * becke(pts, coords)
+        phi, dphi = ao(pts, coords)
+        return _exc_energy_spin(Dajnp, Dbjnp, phi, dphi, w, exc_fn,
+                                use_sigma, use_tau)
+
+    return exc

@@ -579,12 +579,17 @@ extern "C" {
 // with P_ijkl = 0.5 D_ij D_kl - 0.25 cx D_ik D_jl (restricted closed
 // shell).  XC quadrature and nuclear-repulsion terms are assembled on
 // the Python side.  grad has natom*3 doubles, overwritten.
-void intor_grad_rhf(int nbf, const int32_t* lmn, const double* centers,
-                    const int32_t* off, const double* exps,
-                    const double* coefs, const int32_t* atom_of,
-                    int natom, const double* Z,
-                    const double* atom_coords, const double* D,
-                    const double* W, double cx, double* grad) {
+// shared implementation: D = Da + Db (total), W = total energy-weighted
+// density, spin-resolved exchange contraction (RHF passes Da = Db = D/2,
+// which reproduces the closed-shell 0.5 DD - 0.25 cx DD exactly).
+static void grad_scf_impl(int nbf, const int32_t* lmn,
+                          const double* centers, const int32_t* off,
+                          const double* exps, const double* coefs,
+                          const int32_t* atom_of, int natom,
+                          const double* Z, const double* atom_coords,
+                          const double* D, const double* Da,
+                          const double* Db, const double* W, double cx,
+                          double* grad) {
   auto bfs = unpack(nbf, lmn, centers, off, exps, coefs);
   std::memset(grad, 0, sizeof(double) * (size_t)natom * 3);
   size_t n = nbf;
@@ -642,7 +647,9 @@ void intor_grad_rhf(int nbf, const int32_t* lmn, const double* centers,
   const double tau = 1e-12;
   auto Pcoef = [&](int a, int b, int c, int d_) {
     return 0.5 * D[(size_t)a * n + b] * D[(size_t)c * n + d_] -
-           0.25 * cx * D[(size_t)a * n + c] * D[(size_t)b * n + d_];
+           0.5 * cx *
+               (Da[(size_t)a * n + c] * Da[(size_t)b * n + d_] +
+                Db[(size_t)a * n + c] * Db[(size_t)b * n + d_]);
   };
   for (int i = 0; i < nbf; ++i)
     for (int j = 0; j <= i; ++j) {
@@ -685,6 +692,38 @@ void intor_grad_rhf(int nbf, const int32_t* lmn, const double* centers,
           }
         }
     }
+}
+
+void intor_grad_rhf(int nbf, const int32_t* lmn, const double* centers,
+                    const int32_t* off, const double* exps,
+                    const double* coefs, const int32_t* atom_of,
+                    int natom, const double* Z,
+                    const double* atom_coords, const double* D,
+                    const double* W, double cx, double* grad) {
+  size_t n2 = (size_t)nbf * nbf;
+  std::vector<double> Dh(n2);
+  for (size_t i = 0; i < n2; ++i) Dh[i] = 0.5 * D[i];
+  grad_scf_impl(nbf, lmn, centers, off, exps, coefs, atom_of, natom, Z,
+                atom_coords, D, Dh.data(), Dh.data(), W, cx, grad);
+}
+
+// Unrestricted gradient: spin densities Da/Db (occupation-1 orbitals),
+// W = total energy-weighted density Wa + Wb.
+void intor_grad_uhf(int nbf, const int32_t* lmn, const double* centers,
+                    const int32_t* off, const double* exps,
+                    const double* coefs, const int32_t* atom_of,
+                    int natom, const double* Z,
+                    const double* atom_coords, const double* Da,
+                    const double* Db, const double* W, double cx,
+                    double* grad) {
+  size_t n2 = (size_t)nbf * nbf;
+  std::vector<double> D(n2);
+  for (size_t i = 0; i < n2; ++i) D[i] = Da[i] + Db[i];
+  // E_K^UHF = -cx/2 sum (Da_ik Da_jl + Db_ik Db_jl)(ij|kl): the shared
+  // 0.5*cx*(DaDa + DbDb) contraction wants cx unchanged (the RHF
+  // special case Da = Db = D/2 folds it to the closed-shell 0.25 cx)
+  grad_scf_impl(nbf, lmn, centers, off, exps, coefs, atom_of, natom, Z,
+                atom_coords, D.data(), Da, Db, W, cx, grad);
 }
 
 // AO second derivatives on grid points for GGA/meta-GGA gradient

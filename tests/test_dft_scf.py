@@ -503,6 +503,46 @@ class TestAnalyticGradients:
         finally:
             jax.config.update('jax_enable_x64', False)
 
+    def _fd_unrestricted(self, symbols, coords, xc, basis, a, x, spin,
+                         h=1e-3, iters=120):
+        from deepchem_tpu.dft.scf import DFTSystem, run_unrestricted
+        vals = []
+        for s in (h, -h):
+            c = np.array(coords, dtype=np.float64)
+            c[a, x] += s
+            sys_ = DFTSystem(symbols, c, units='bohr', basis=basis,
+                             n_radial=40, grid_level=1)
+            vals.append(float(run_unrestricted(sys_, xc=xc, spin=spin,
+                                               iterations=iters)))
+        return (vals[0] - vals[1]) / (2 * h)
+
+    @pytest.mark.parametrize('xc', ['hf', 'lda', 'pbe', 'b3lyp'])
+    def test_nh2_radical_gradient_vs_fd(self, xc):
+        """Open-shell (doublet NH2) analytic gradient: spin-resolved
+        exchange contraction (intor_grad_uhf) + spin-density XC
+        coordinate term.  NH2 is the probe (not OH) because its hole
+        sits in a non-degenerate b1 orbital — a linear radical's
+        degenerate pi hole lets the SCF hop branches (px vs py) under
+        the finite-difference displacement, whose energies differ by
+        the angular grid's rotational anisotropy (~4e-5 Ha)."""
+        self._requires_native()
+        from deepchem_tpu.dft.scf import DFTSystem
+        from deepchem_tpu.dft.gradients import scf_gradient_unrestricted
+        jax.config.update('jax_enable_x64', True)
+        try:
+            coords = np.array([[0.0, 0.0, 0.0], [0.0, 1.5, 1.1],
+                               [0.0, -1.5, 1.1]])
+            sys_ = DFTSystem(['N', 'H', 'H'], coords, units='bohr',
+                             basis='sto-3g', n_radial=40, grid_level=1)
+            _, g = scf_gradient_unrestricted(sys_, xc=xc, spin=1,
+                                             iterations=120)
+            fd = self._fd_unrestricted(['N', 'H', 'H'], coords, xc,
+                                       'sto-3g', 1, 1, 1, h=2e-4)
+            assert abs(g[1, 1] - fd) < 1e-7, (xc, g[1, 1], fd)
+            assert np.abs(g.sum(axis=0)).max() < 1e-7
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
     def test_h2_geometry_optimization_textbook(self):
         """HF/STO-3G H2 equilibrium bond: 1.346 bohr (Szabo-Ostlund)."""
         self._requires_native()
