@@ -169,7 +169,11 @@ def b88_exchange(rho, sigma):
     rho = jnp.maximum(rho, _EPS)
     # spin-scale: evaluate per spin channel with rho/2, sigma/4
     rs = rho / 2.0
-    ss = jnp.maximum(sigma, _EPS) / 4.0
+    # clamp the PER-SPIN sigma (after the /4 split) so the closed-shell
+    # form equals b88_exchange_spin(rho/2, rho/2, sigma/4, sigma/4)
+    # bit-for-bit — clamping before the split applies a 4x larger floor
+    # and the two paths diverge on near-zero-gradient tail points
+    ss = jnp.maximum(sigma / 4.0, _EPS)
     r43 = jnp.power(rs, 4.0 / 3.0)
     x = jnp.sqrt(ss) / jnp.maximum(r43, _EPS)
     b = 0.0042
@@ -219,6 +223,18 @@ def lyp_correlation(rho, sigma):
     """Closed-shell LYP: rho_a = rho_b = rho/2, equal gradients."""
     return lyp_correlation_spin(rho / 2.0, rho / 2.0, sigma / 4.0,
                                 sigma / 4.0, sigma / 4.0)
+
+
+def blyp_xc(rho, sigma):
+    """BLYP (closed shell): full B88 exchange + LYP correlation — the
+    plain pure-GGA ancestor of B3LYP (no exact-exchange admixture)."""
+    return b88_exchange(rho, sigma) + lyp_correlation(rho, sigma)
+
+
+def blyp_xc_spin(rho_a, rho_b, sigma_aa, sigma_ab, sigma_bb):
+    return (b88_exchange_spin(rho_a, rho_b, sigma_aa, sigma_bb)
+            + lyp_correlation_spin(rho_a, rho_b, sigma_aa, sigma_ab,
+                                   sigma_bb))
 
 
 def b3lyp_xc(rho, sigma):

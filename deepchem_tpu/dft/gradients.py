@@ -276,12 +276,15 @@ def optimize_geometry(symbols, coords, xc='hf', basis: str = 'sto-3g',
                       units: str = 'angstrom', max_steps: int = 60,
                       tol: float = 3e-4, iterations: int = 80,
                       n_radial: int = 50, grid_level: int = 2,
+                      spin: Optional[int] = None,
                       verbose: bool = False):
     """Minimize the SCF energy over nuclear coordinates with BFGS on
     the analytic gradient.  Returns (energy, coords_bohr, n_steps).
 
     tol is the gradient-norm (max |dE/dx|, Ha/bohr) convergence
-    threshold.
+    threshold.  spin = n_alpha - n_beta routes through the unrestricted
+    SCF (open-shell radicals); None auto-selects: restricted for an
+    even electron count, unrestricted doublet for odd.
     """
     from scipy.optimize import minimize
 
@@ -298,7 +301,7 @@ def optimize_geometry(symbols, coords, xc='hf', basis: str = 'sto-3g',
         sys_ = DFTSystem(symbols, x.reshape(-1, 3), units='bohr',
                          basis=basis, n_radial=n_radial,
                          grid_level=grid_level)
-        e, g = scf_gradient(sys_, xc=xc, iterations=iterations)
+        e, g = _dispatch_gradient(sys_, xc, iterations, spin)
         if verbose:
             print(f'  step {state["n"]}: E = {e:.8f}  '
                   f'|g|max = {np.abs(g).max():.2e}')
@@ -307,6 +310,17 @@ def optimize_geometry(symbols, coords, xc='hf', basis: str = 'sto-3g',
     res = minimize(efun, coords.ravel(), jac=True, method='BFGS',
                    options={'gtol': tol, 'maxiter': max_steps})
     return float(res.fun), res.x.reshape(-1, 3), state['n']
+
+
+def _dispatch_gradient(sys_: DFTSystem, xc, iterations: int,
+                       spin: Optional[int]):
+    """Route to the restricted or unrestricted gradient: explicit spin
+    wins; None means restricted for even electron counts, unrestricted
+    (doublet) for odd."""
+    if spin is None and sys_.n_elec % 2 == 0:
+        return scf_gradient(sys_, xc=xc, iterations=iterations)
+    return scf_gradient_unrestricted(sys_, xc=xc, spin=spin,
+                                     iterations=iterations)
 
 
 #: standard atomic masses (amu) for the elements the basis tables cover
@@ -320,8 +334,8 @@ _WAVENUMBER = 5140.4871
 
 def hessian_numerical(symbols, coords, xc='hf', basis: str = 'sto-3g',
                       h: float = 5e-3, iterations: int = 80,
-                      n_radial: int = 50, grid_level: int = 2
-                      ) -> np.ndarray:
+                      n_radial: int = 50, grid_level: int = 2,
+                      spin: Optional[int] = None) -> np.ndarray:
     """Seminumerical nuclear Hessian [3N, 3N] (Ha/bohr^2): central
     finite differences of the ANALYTIC gradient — one gradient call per
     displaced geometry (6N total), the standard frequencies route when
@@ -338,7 +352,7 @@ def hessian_numerical(symbols, coords, xc='hf', basis: str = 'sto-3g',
                 sys_ = DFTSystem(symbols, c, units='bohr', basis=basis,
                                  n_radial=n_radial,
                                  grid_level=grid_level)
-                _, g = scf_gradient(sys_, xc=xc, iterations=iterations)
+                _, g = _dispatch_gradient(sys_, xc, iterations, spin)
                 gs.append(g.ravel())
             H[3 * a + x] = (gs[0] - gs[1]) / (2.0 * h)
     return 0.5 * (H + H.T)
@@ -347,7 +361,8 @@ def hessian_numerical(symbols, coords, xc='hf', basis: str = 'sto-3g',
 def harmonic_frequencies(symbols, coords, xc='hf',
                          basis: str = 'sto-3g', units: str = 'bohr',
                          h: float = 5e-3, iterations: int = 80,
-                         n_radial: int = 50, grid_level: int = 2):
+                         n_radial: int = 50, grid_level: int = 2,
+                         spin: Optional[int] = None):
     """Harmonic vibrational analysis at a (presumed optimized)
     geometry: mass-weighted Hessian, eigendecomposition, frequencies in
     cm^-1.  Returns (freqs_cm1 [3N], modes [3N, 3N]) sorted ascending;
@@ -362,7 +377,7 @@ def harmonic_frequencies(symbols, coords, xc='hf',
         raise ValueError(units)
     H = hessian_numerical(symbols, coords, xc=xc, basis=basis, h=h,
                           iterations=iterations, n_radial=n_radial,
-                          grid_level=grid_level)
+                          grid_level=grid_level, spin=spin)
     m = np.repeat([ATOMIC_MASS[s] for s in symbols], 3)
     Hm = H / np.sqrt(np.outer(m, m))
     w, V = np.linalg.eigh(Hm)

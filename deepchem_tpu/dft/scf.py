@@ -33,6 +33,12 @@ from deepchem_tpu.dft.grid import molecular_grid
 
 ANGSTROM_TO_BOHR = 1.0 / 0.52917721092
 
+#: XC density screen: grid points whose total density falls below this
+#: contribute zero XC energy/potential (libxc-style dens_threshold) —
+#: far-tail points carry ~1e8 radial weights and amplify clamp-floor
+#: functional noise into milli-Hartrees otherwise
+_RHO_SCREEN = 1e-10
+
 
 def _exc_energy(D, phi, dphi, weights, exc_fn, use_sigma,
                 use_tau=False):
@@ -42,8 +48,8 @@ def _exc_energy(D, phi, dphi, weights, exc_fn, use_sigma,
     tau = 1/2 sum_occ |grad psi|^2 = 1/2 sum_d (dphi D dphi) enters as a
     third argument; its contribution to Vxc comes out of the same
     d/dD autodiff (generalized Kohn-Sham)."""
-    rho = jnp.einsum('ij,gi,gj->g', D, phi, phi)
-    rho = jnp.maximum(rho, 1e-12)
+    rho_raw = jnp.einsum('ij,gi,gj->g', D, phi, phi)
+    rho = jnp.maximum(rho_raw, 1e-12)
     if use_sigma:
         grad_rho = 2.0 * jnp.einsum('ij,gai,gj->ga', D, dphi, phi)
         sigma = jnp.einsum('ga,ga->g', grad_rho, grad_rho)
@@ -54,15 +60,22 @@ def _exc_energy(D, phi, dphi, weights, exc_fn, use_sigma,
             e = exc_fn(rho, sigma)
     else:
         e = exc_fn(rho)
-    return jnp.sum(weights * e)
+    # density screen (standard in every grid-DFT code): far-tail points
+    # carry enormous radial quadrature weights, and evaluating the
+    # functional at the clamp floor there turns numerical noise into
+    # milli-Hartrees for gradient-hungry functionals (B88's ~1e-12
+    # energy density x 1e8 weights summed over ~20% of the grid)
+    return jnp.sum(weights * jnp.where(rho_raw > _RHO_SCREEN, e, 0.0))
 
 
 def _exc_energy_spin(Da, Db, phi, dphi, weights, exc_fn, use_sigma,
                      use_tau=False):
     """Quadrature Exc for spin-resolved functionals
     exc(rho_a, rho_b[, sigma_aa, sigma_ab, sigma_bb[, tau_a, tau_b]])."""
-    rho_a = jnp.maximum(jnp.einsum('ij,gi,gj->g', Da, phi, phi), 1e-12)
-    rho_b = jnp.maximum(jnp.einsum('ij,gi,gj->g', Db, phi, phi), 1e-12)
+    ra_raw = jnp.einsum('ij,gi,gj->g', Da, phi, phi)
+    rb_raw = jnp.einsum('ij,gi,gj->g', Db, phi, phi)
+    rho_a = jnp.maximum(ra_raw, 1e-12)
+    rho_b = jnp.maximum(rb_raw, 1e-12)
     if use_sigma:
         ga = 2.0 * jnp.einsum('ij,gai,gj->ga', Da, dphi, phi)
         gb = 2.0 * jnp.einsum('ij,gai,gj->ga', Db, dphi, phi)
@@ -77,7 +90,11 @@ def _exc_energy_spin(Da, Db, phi, dphi, weights, exc_fn, use_sigma,
             e = exc_fn(rho_a, rho_b, saa, sab, sbb)
     else:
         e = exc_fn(rho_a, rho_b)
-    return jnp.sum(weights * e)
+    # density screen on the TOTAL density — see _exc_energy; the same
+    # threshold on rho_a + rho_b keeps the restricted and unrestricted
+    # paths exactly consistent on closed shells
+    mask = (ra_raw + rb_raw) > _RHO_SCREEN
+    return jnp.sum(weights * jnp.where(mask, e, 0.0))
 
 
 @jax.custom_vjp
@@ -327,6 +344,13 @@ class KohnShamSCF:
         elif xc == 'pbe':
             self.exc_fn = pbe_xc
             self.exc_fn_spin = pbe_xc_spin
+            self.use_sigma = True
+        elif xc == 'blyp':
+            # pure GGA: B88 exchange + LYP correlation
+            from deepchem_tpu.dft.functionals import (blyp_xc,
+                                                      blyp_xc_spin)
+            self.exc_fn = blyp_xc
+            self.exc_fn_spin = blyp_xc_spin
             self.use_sigma = True
         elif xc == 'b3lyp':
             # hybrid: 20% exact exchange + B88/LYP semilocal mix
