@@ -12,7 +12,10 @@ from deepchem_tpu.dft.scf import (DFTSystem, KSCalc, KohnShamSCF, XCNNSCF,
                                   parse_moldesc)
 from deepchem_tpu.dft.gradients import (scf_gradient, optimize_geometry,
                                         ao_hessian, harmonic_frequencies,
-                                        hessian_numerical)
+                                        hessian_numerical,
+                                        scf_gradient_unrestricted)
+from deepchem_tpu.dft.tddft import (tda_excitations, cis_excitations,
+                                    TDAResult)
 from deepchem_tpu.dft.df import (even_tempered_aux, ri_fit, ri_tensors,
                                  ri_j)
 from deepchem_tpu.dft.posthf import (mp2_energy, fci_2e_energy,
@@ -29,4 +32,6 @@ __all__ = ['lda_exchange', 'lda_correlation_vwn', 'pbe_exchange',
            'mp2_energy', 'fci_2e_energy', 'dipole_moment',
            'mulliken_charges', 'energy_in_field', 'polarizability',
            'harmonic_frequencies', 'hessian_numerical',
-           'even_tempered_aux', 'ri_fit', 'ri_tensors', 'ri_j']
+           'even_tempered_aux', 'ri_fit', 'ri_tensors', 'ri_j',
+           'scf_gradient_unrestricted', 'tda_excitations',
+           'cis_excitations', 'TDAResult']

@@ -77,3 +77,26 @@ s = DFTSystem(*benzene, units='angstrom', basis='6-31g',
 e = float(KohnShamSCF('pbe', iterations=40).run(s).energy())
 print(f'\nbenzene PBE/6-31G (RI-J, {s.eri.nbytes // 2**20} MB factors): '
       f'{e:.6f} Ha')
+
+# --- 7. open-shell radicals (unrestricted gradients) --------------------
+from deepchem_tpu.dft import scf_gradient_unrestricted
+nh2 = DFTSystem(['N', 'H', 'H'],
+                [[0, 0, 0], [0, 1.5, 1.1], [0, -1.5, 1.1]],
+                units='bohr', basis='sto-3g', n_radial=40, grid_level=1)
+e, g = scf_gradient_unrestricted(nh2, xc='pbe', spin=1)
+print(f'\nNH2 doublet UPBE: E = {e:.6f} Ha, |grad|max = '
+      f'{np.abs(g).max():.4f} Ha/bohr')
+
+# --- 8. excited states: CIS / TDA-TDDFT ---------------------------------
+# the f_xc kernel is one autodiff Hessian-vector product of the
+# quadrature Exc -- the same two lines serve LDA, GGA, meta-GGA, hybrid
+from deepchem_tpu.dft import tda_excitations
+s = DFTSystem(*water, units='angstrom', basis='6-31g',
+              n_radial=40, grid_level=1)
+for xc in ('hf', 'pbe'):
+    res = tda_excitations(s, xc=xc, nstates=3)
+    label = 'CIS' if xc == 'hf' else f'TDA-{xc.upper()}'
+    print(f'{label:9s} singlets (eV): '
+          + ', '.join(f'{e:.2f} (f={f:.3f})' for e, f in
+                      zip(res.energies_ev(), res.oscillator_strengths)))
+print('experiment: first singlet of water ~7.4 eV')

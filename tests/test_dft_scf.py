@@ -1005,3 +1005,92 @@ class TestDensityFitting:
         dE = 0.5 * float(np.sum(D * (exact_j(s.eri, D) - ri_j(Bw, D))))
         assert dE >= -1e-10          # variational from below
         assert dE < 1e-4
+
+
+class TestTDA:
+    """CIS / TDA-TDDFT excited states (dft/tddft.py): the XC kernel is
+    an autodiff Hessian-vector product of the quadrature Exc — pinned
+    against exact closed forms and an independently hand-coded LDA
+    kernel."""
+
+    def _h2(self):
+        from deepchem_tpu.dft.scf import DFTSystem
+        return DFTSystem(['H', 'H'], [[0, 0, 0], [0, 0, 1.4]],
+                         units='bohr', basis='sto-3g', n_radial=20,
+                         grid_level=0)
+
+    def test_cis_closed_forms_h2(self):
+        """Minimal-basis H2 has one occupied and one virtual orbital:
+        singlet w = de + 2(ia|ia) - (ii|aa), triplet w = de - (ii|aa)
+        exactly."""
+        from deepchem_tpu.dft.scf import KohnShamSCF
+        from deepchem_tpu.dft.tddft import (cis_excitations,
+                                            _ks_mo_coeffs)
+        jax.config.update('jax_enable_x64', True)
+        try:
+            sys_ = self._h2()
+            rs = cis_excitations(sys_, nstates=1)
+            rt = cis_excitations(sys_, nstates=1, triplet=True)
+            solver = KohnShamSCF('hf', iterations=100)
+            calc = solver.run(sys_)
+            C, mo_e = _ks_mo_coeffs(sys_, solver, np.asarray(calc.D))
+            moeri = np.einsum('pqrs,pi,qj,rk,sl->ijkl', sys_.eri,
+                              C, C, C, C)
+            de = mo_e[1] - mo_e[0]
+            w_s = de + 2 * moeri[0, 1, 0, 1] - moeri[0, 0, 1, 1]
+            w_t = de - moeri[0, 0, 1, 1]
+            assert abs(rs.energies[0] - w_s) < 1e-12
+            assert abs(rt.energies[0] - w_t) < 1e-12
+            # the sigma_u <- sigma_g transition is dipole-allowed
+            assert rs.oscillator_strengths[0] > 0.5
+            assert rt.oscillator_strengths[0] == 0.0
+            assert rt.energies[0] < rs.energies[0]
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_autodiff_kernel_equals_hand_lda_fxc(self):
+        """The HVP kernel must equal the textbook LDA f_xc quadrature
+        kernel (f = d2(rho e_xc)/drho2) contracted with the transition
+        density — written out independently here."""
+        from deepchem_tpu.dft.scf import KohnShamSCF
+        from deepchem_tpu.dft.tddft import (tda_excitations,
+                                            _ks_mo_coeffs)
+        from deepchem_tpu.dft.functionals import lda_xc
+        jax.config.update('jax_enable_x64', True)
+        try:
+            sys_ = self._h2()
+            res = tda_excitations(sys_, xc='lda', nstates=1)
+            solver = KohnShamSCF('lda', iterations=200)
+            calc = solver.run(sys_)
+            D = np.asarray(calc.D)
+            C, moe = _ks_mo_coeffs(sys_, solver, D)
+            phi, wts = sys_.phi, sys_.grid_weights
+            rho = np.einsum('ij,gi,gj->g', D, phi, phi)
+            f2 = jax.vmap(jax.grad(jax.grad(lambda r: lda_xc(r))))(
+                jnp.asarray(rho))
+            f2 = np.where(rho > 1e-10, np.asarray(f2), 0.0)
+            pia = (np.einsum('gm,m->g', phi, C[:, 0])
+                   * np.einsum('gm,m->g', phi, C[:, 1]))
+            kxc = 2.0 * np.sum(wts * f2 * pia * pia)
+            w_hand = (moe[1] - moe[0] + kxc
+                      + 2 * np.einsum('pqrs,p,q,r,s->', sys_.eri,
+                                      C[:, 0], C[:, 1], C[:, 0],
+                                      C[:, 1]))
+            assert abs(res.energies[0] - w_hand) < 1e-12
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    @pytest.mark.parametrize('xc', ['pbe', 'b3lyp'])
+    def test_triplet_below_singlet(self, xc):
+        """Hund-rule ordering holds for every kernel (exchange
+        integrals are positive)."""
+        from deepchem_tpu.dft.tddft import tda_excitations
+        jax.config.update('jax_enable_x64', True)
+        try:
+            sys_ = self._h2()
+            s = tda_excitations(sys_, xc=xc, nstates=1)
+            t = tda_excitations(sys_, xc=xc, nstates=1, triplet=True)
+            assert t.energies[0] < s.energies[0]
+            assert t.energies[0] > 0.1        # bound, not collapsed
+        finally:
+            jax.config.update('jax_enable_x64', False)
