@@ -110,6 +110,59 @@ def lsda_exchange(rho_a, rho_b):
     return 0.5 * (lda_exchange(2.0 * rho_a) + lda_exchange(2.0 * rho_b))
 
 
+def _sr_factor(a):
+    """Short-range attenuation F(a), a = omega/(2 kF), for the
+    erfc(omega r12)/r12 exchange hole of the uniform gas (the standard
+    closed form used by every range-separated hybrid):
+
+      F(a) = 1 - (8/3) a [ sqrt(pi) erf(1/(2a)) - 3a + 4a^3
+                           + (2a - 4a^3) exp(-1/(4a^2)) ]
+
+    Limits: F(0) = 1 (full LDA exchange), F(a->inf) -> 1/(36 a^2) -> 0.
+    The exact form loses ~all significant digits above a ~ 50 (O(a^3)
+    term cancellation), where the asymptotic series takes over."""
+    import jax.scipy.special as jsp
+    a = jnp.maximum(a, 1e-12)
+    a_safe = jnp.minimum(a, 50.0)
+    ex = jnp.exp(-1.0 / (4.0 * a_safe * a_safe))
+    er = jsp.erf(1.0 / (2.0 * a_safe))
+    exact = 1.0 - (8.0 / 3.0) * a_safe * (
+        jnp.sqrt(jnp.pi) * er - 3.0 * a_safe + 4.0 * a_safe ** 3
+        + (2.0 * a_safe - 4.0 * a_safe ** 3) * ex)
+    asym = 1.0 / (36.0 * a * a)
+    return jnp.where(a > 50.0, asym, exact)
+
+
+def sr_lda_exchange(rho, omega):
+    """Short-range (erfc-kernel) Dirac exchange energy density,
+    closed shell: e_x^LDA(rho) * F(omega / (2 kF))."""
+    rho = jnp.maximum(rho, _EPS)
+    kf = (3.0 * jnp.pi ** 2 * rho) ** (1.0 / 3.0)
+    return lda_exchange(rho) * _sr_factor(omega / (2.0 * kf))
+
+
+def sr_lsda_exchange(rho_a, rho_b, omega):
+    """Spin-scaled short-range exchange: each channel is a fully
+    polarized gas at 2 rho_sigma (kF = (6 pi^2 rho_sigma)^(1/3))."""
+    return 0.5 * (sr_lda_exchange(2.0 * rho_a, omega)
+                  + sr_lda_exchange(2.0 * rho_b, omega))
+
+
+def lc_lda_xc(omega):
+    """LC-LSDA ('long-range corrected' LDA): short-range LDA exchange
+    + full-range VWN correlation; the long-range exact exchange rides
+    the Fock matrix through the erf-attenuated ERIs
+    (hf_exchange_lr=1).  Returns (closed_fn, spin_fn)."""
+    def closed(rho, sigma=None):
+        return sr_lda_exchange(rho, omega) + lda_correlation_vwn(rho)
+
+    def spin(rho_a, rho_b, *sigmas):
+        return (sr_lsda_exchange(rho_a, rho_b, omega)
+                + lsda_correlation_vwn(rho_a, rho_b))
+
+    return closed, spin
+
+
 def lsda_correlation_vwn(rho_a, rho_b):
     """VWN correlation with P/F zeta interpolation."""
     rho = jnp.maximum(rho_a + rho_b, _EPS)

@@ -113,6 +113,11 @@ def scf_gradient(system: DFTSystem, xc='hf', iterations: int = 80,
     """Total energy and its analytic nuclear gradient [natom, 3]
     (Hartree, Hartree/bohr) for a restricted closed-shell SCF."""
     solver = KohnShamSCF(xc, iterations=iterations, mixing=mixing)
+    if getattr(solver, 'hf_exchange_lr', 0.0):
+        raise NotImplementedError(
+            'analytic gradients for range-separated hybrids need '
+            'erf-attenuated derivative integrals (not implemented); '
+            'use finite differences of the energy')
     if calc is None:
         calc = solver.run(system)
     D = np.asarray(calc.D, dtype=np.float64)
@@ -401,6 +406,11 @@ def scf_gradient_unrestricted(system: DFTSystem, xc='lda',
     from deepchem_tpu.dft.scf import (scf_loop_unrestricted,
                                       _exc_energy_spin, _ATOM_SPIN)
     solver = KohnShamSCF(xc, iterations=iterations, mixing=mixing)
+    if getattr(solver, 'hf_exchange_lr', 0.0):
+        raise NotImplementedError(
+            'analytic gradients for range-separated hybrids need '
+            'erf-attenuated derivative integrals (not implemented); '
+            'use finite differences of the energy')
     if spin is None:
         if len(system.symbols) == 1:
             spin = _ATOM_SPIN.get(system.charges[0], system.n_elec % 2)

@@ -111,7 +111,12 @@ def _nuclear_prim(a, lmn1, A, b, lmn2, B, C) -> float:
     return 2.0 * math.pi / p * val
 
 
-def _eri_prim(a, lmn1, A, b, lmn2, B, c, lmn3, C, d, lmn4, D) -> float:
+def _eri_prim(a, lmn1, A, b, lmn2, B, c, lmn3, C, d, lmn4, D,
+              omega: float = 0.0) -> float:
+    """Primitive (ab|cd); omega > 0 attenuates the kernel to
+    erf(omega r12)/r12 — F_m(T) -> s^{m+1/2} F_m(sT) with
+    s = omega^2/(alpha + omega^2), i.e. the SAME Hermite R recursion
+    at alpha_eff = alpha s, scaled by sqrt(s)."""
     l1, m1, n1 = lmn1
     l2, m2, n2 = lmn2
     l3, m3, n3 = lmn3
@@ -119,6 +124,11 @@ def _eri_prim(a, lmn1, A, b, lmn2, B, c, lmn3, C, d, lmn4, D) -> float:
     p = a + b
     q = c + d
     alpha = p * q / (p + q)
+    scale = 1.0
+    if omega > 0.0:
+        s = omega * omega / (alpha + omega * omega)
+        alpha = alpha * s
+        scale = math.sqrt(s)
     P = (a * np.asarray(A) + b * np.asarray(B)) / p
     Q = (c * np.asarray(C) + d * np.asarray(D)) / q
     PQ = P - Q
@@ -152,7 +162,8 @@ def _eri_prim(a, lmn1, A, b, lmn2, B, c, lmn3, C, d, lmn4, D) -> float:
                                     * (-1.0) ** (tau + nu + phi)
                                     * _R(t + tau, u + nu, v + phi, 0,
                                          alpha, PQ, RPQ2))
-    return val * 2.0 * math.pi ** 2.5 / (p * q * math.sqrt(p + q))
+    return scale * val * 2.0 * math.pi ** 2.5 / (p * q
+                                                 * math.sqrt(p + q))
 
 
 def _contract2(fn, b1: BasisFunction, b2: BasisFunction, *extra) -> float:
@@ -254,8 +265,11 @@ def nuclear_matrix(basis: List[BasisFunction], charges: Sequence[int],
     return V
 
 
-def eri_tensor(basis: List[BasisFunction]) -> np.ndarray:
-    """Full (ij|kl) tensor with 8-fold permutational symmetry."""
+def eri_tensor(basis: List[BasisFunction],
+               omega: float = 0.0) -> np.ndarray:
+    """Full (ij|kl) tensor with 8-fold permutational symmetry.
+    omega > 0 gives the long-range erf(omega r12)/r12 kernel (range-
+    separated hybrids)."""
     n = len(basis)
     from deepchem_tpu.native import get_intor_lib, _ptr
     import ctypes
@@ -263,7 +277,11 @@ def eri_tensor(basis: List[BasisFunction]) -> np.ndarray:
     if lib is not None:
         args, keep = _pack_basis(basis)
         out = np.zeros((n, n, n, n), dtype=np.float64)
-        lib.intor_eri(*args, _ptr(out, ctypes.c_double))
+        if omega > 0.0:
+            lib.intor_eri_erf(*args, float(omega),
+                              _ptr(out, ctypes.c_double))
+        else:
+            lib.intor_eri(*args, _ptr(out, ctypes.c_double))
         return out
     eri = np.zeros((n, n, n, n))
 
@@ -276,7 +294,8 @@ def eri_tensor(basis: List[BasisFunction]) -> np.ndarray:
                     for d, cd in zip(b4.exps, b4.coefs):
                         val += ca * cb * cc * cd * _eri_prim(
                             a, b1.lmn, b1.center, b, b2.lmn, b2.center,
-                            c, b3.lmn, b3.center, d, b4.lmn, b4.center)
+                            c, b3.lmn, b3.center, d, b4.lmn, b4.center,
+                            omega)
         return val
 
     for i in range(n):

@@ -167,7 +167,8 @@ def scf_loop(H, S_invsqrt, eri, n_occ: int,
              use_sigma: bool = False, hf_exchange: float = 0.0,
              iterations: int = 50, mixing: float = 0.5,
              use_tau: bool = False, diis: bool = True,
-             diis_window: int = 6, diis_start: int = 2):
+             diis_window: int = 6, diis_start: int = 2,
+             eri_lr=None, hf_exchange_lr: float = 0.0):
     """Fixed-iteration restricted SCF; returns (E_electronic, D, mo_e).
 
     exc_fn=None with hf_exchange=1.0 is Hartree-Fock; exc_fn set with
@@ -197,6 +198,13 @@ def scf_loop(H, S_invsqrt, eri, n_occ: int,
             K = jnp.einsum('ikjl,kl->ij', eri, D)
             F = F - 0.5 * hf_exchange * K
             E2 = E2 - 0.25 * hf_exchange * jnp.einsum('ij,ij->', D, K)
+        if hf_exchange_lr:
+            # range-separated hybrids: exact exchange only through the
+            # long-range erf(omega r12)/r12 kernel
+            K = jnp.einsum('ikjl,kl->ij', eri_lr, D)
+            F = F - 0.5 * hf_exchange_lr * K
+            E2 = E2 - 0.25 * hf_exchange_lr * jnp.einsum('ij,ij->', D,
+                                                         K)
         Exc = 0.0
         if exc_fn is not None:
             Exc, Vxc = jax.value_and_grad(_exc_energy)(
@@ -292,6 +300,24 @@ class DFTSystem:
         self.S_invsqrt = U @ np.diag(w ** -0.5) @ U.T
 
 
+def _eri_lr_for(system: 'DFTSystem', omega: float):
+    """Long-range erf-attenuated ERI tensor, cached on the system
+    (one per omega — range-separated SCFs reuse it across runs)."""
+    cache = getattr(system, '_eri_lr_cache', None)
+    if cache is None:
+        cache = {}
+        system._eri_lr_cache = cache
+    key = round(float(omega), 12)
+    if key not in cache:
+        if getattr(system, 'eri', None) is not None and \
+                system.eri.ndim == 3:
+            raise ValueError('range-separated hybrids need the exact '
+                             'ERI path (density_fit=False)')
+        cache[key] = jnp.asarray(ints.eri_tensor(system.basis,
+                                                 omega=omega))
+    return cache[key]
+
+
 class KSCalc:
     """Result of one SCF run (reference utils/dftutils.py:KSCalc)."""
 
@@ -328,6 +354,8 @@ class KohnShamSCF:
         self.iterations = iterations
         self.mixing = mixing
         self.hf_exchange = 0.0
+        self.hf_exchange_lr = 0.0
+        self.omega = 0.0
         self.use_tau = use_tau
         self.exc_fn_spin: Optional[Callable] = None
         if callable(xc):
@@ -345,6 +373,17 @@ class KohnShamSCF:
             self.exc_fn = pbe_xc
             self.exc_fn_spin = pbe_xc_spin
             self.use_sigma = True
+        elif xc in ('lc-lda', 'lc-lsda', 'lc-svwn'):
+            # range-separated hybrid: short-range LDA exchange + full
+            # VWN correlation in the functional; 100% exact exchange
+            # through the LONG-RANGE erf(omega r12)/r12 kernel only
+            from deepchem_tpu.dft.functionals import lc_lda_xc
+            self.omega = 0.40
+            closed, spin = lc_lda_xc(self.omega)
+            self.exc_fn = closed
+            self.exc_fn_spin = spin
+            self.use_sigma = False
+            self.hf_exchange_lr = 1.0
         elif xc == 'blyp':
             # pure GGA: B88 exchange + LYP correlation
             from deepchem_tpu.dft.functionals import (blyp_xc,
@@ -390,7 +429,10 @@ class KohnShamSCF:
             weights=jnp.asarray(system.grid_weights),
             use_sigma=self.use_sigma, hf_exchange=self.hf_exchange,
             iterations=self.iterations, mixing=self.mixing,
-            use_tau=self.use_tau)
+            use_tau=self.use_tau,
+            eri_lr=_eri_lr_for(system, self.omega)
+            if self.hf_exchange_lr else None,
+            hf_exchange_lr=self.hf_exchange_lr)
         return KSCalc(system, E, D, mo_e)
 
 
@@ -526,7 +568,8 @@ def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
                           iterations: int = 50, mixing: float = 0.5,
                           spin_polarized_xc: bool = False,
                           use_tau: bool = False, diis: bool = True,
-                          diis_window: int = 6, diis_start: int = 8):
+                          diis_window: int = 6, diis_start: int = 8,
+                          eri_lr=None, hf_exchange_lr: float = 0.0):
     """Unrestricted (spin-polarized occupations) SCF for open-shell
     systems — atomization-energy references need isolated atoms.
 
@@ -564,6 +607,14 @@ def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
             Fa = Fa - hf_exchange * Ka
             Fb = Fb - hf_exchange * Kb
             E2 = E2 - 0.5 * hf_exchange * (
+                jnp.einsum('ij,ij->', Da, Ka)
+                + jnp.einsum('ij,ij->', Db, Kb))
+        if hf_exchange_lr:
+            Ka = jnp.einsum('ikjl,kl->ij', eri_lr, Da)
+            Kb = jnp.einsum('ikjl,kl->ij', eri_lr, Db)
+            Fa = Fa - hf_exchange_lr * Ka
+            Fb = Fb - hf_exchange_lr * Kb
+            E2 = E2 - 0.5 * hf_exchange_lr * (
                 jnp.einsum('ij,ij->', Da, Ka)
                 + jnp.einsum('ij,ij->', Db, Kb))
         Exc = 0.0
@@ -673,7 +724,10 @@ def run_unrestricted(system: 'DFTSystem', xc='lda',
         use_sigma=solver.use_sigma, hf_exchange=solver.hf_exchange,
         iterations=iterations, mixing=mixing,
         spin_polarized_xc=solver.exc_fn_spin is not None,
-        use_tau=solver.use_tau)
+        use_tau=solver.use_tau,
+        eri_lr=_eri_lr_for(system, solver.omega)
+        if solver.hf_exchange_lr else None,
+        hf_exchange_lr=solver.hf_exchange_lr)
     return float(E) + system.e_nuc
 
 

@@ -93,6 +93,10 @@ def tda_excitations(system: DFTSystem, xc='hf', nstates: int = 3,
     """
     if solver is None:
         solver = KohnShamSCF(xc, iterations=iterations)
+    if getattr(solver, 'hf_exchange_lr', 0.0):
+        raise NotImplementedError(
+            'TDA with range-separated kernels needs the long-range '
+            '(ij|ab)/(ia|jb) exchange blocks (not implemented)')
     if calc is None:
         calc = solver.run(system)
     D0 = np.asarray(calc.D, dtype=np.float64)

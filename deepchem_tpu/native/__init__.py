@@ -126,6 +126,7 @@ def get_intor_lib() -> Optional[ctypes.CDLL]:
                         ('intor_grad_uhf',
                          [_I32P, ctypes.c_int, _F64P, _F64P, _F64P,
                           _F64P, _F64P, ctypes.c_double, _F64P]),
+                        ('intor_eri_erf', [ctypes.c_double, _F64P]),
                         ('intor_eri_3c',
                          [ctypes.c_int, _I32P, _F64P, _I32P, _F64P,
                           _F64P, _F64P])):

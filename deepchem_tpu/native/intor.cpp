@@ -259,7 +259,14 @@ PairExp make_pair(const BF& bi, const BF& bj) {
 }
 
 // contracted (ij|kl) from two pair expansions
-double eri_pair(const PairExp& bra, const PairExp& ket) {
+// omega > 0 attenuates the Coulomb kernel to erf(omega r12)/r12 (the
+// long-range half of range separation): F_m(T) -> s^{m+1/2} F_m(sT)
+// with s = omega^2/(alpha+omega^2), which is EXACTLY the standard
+// Hermite R recursion run at alpha_eff = alpha*s and scaled by
+// sqrt(s) (R000[n] = (-2 alpha s)^n s^{1/2} F_n(alpha s RPQ^2)).
+// omega = 0 means the full 1/r12 kernel.
+double eri_pair(const PairExp& bra, const PairExp& ket,
+                double omega = 0.0) {
   int bt = bra.tmax, bu = bra.umax, bv = bra.vmax;
   int kt = ket.tmax, ku = ket.umax, kv = ket.vmax;
   int bnu = bu + 1, bnv = bv + 1, knu = ku + 1, knv = kv + 1;
@@ -267,6 +274,12 @@ double eri_pair(const PairExp& bra, const PairExp& ket) {
   for (const PrimPair& bp : bra.pps)
     for (const PrimPair& kp : ket.pps) {
       double alpha = bp.p * kp.p / (bp.p + kp.p);
+      double scale = 1.0;
+      if (omega > 0.0) {
+        double s = omega * omega / (alpha + omega * omega);
+        alpha *= s;
+        scale = std::sqrt(s);
+      }
       double PQ[3] = {bp.P[0] - kp.P[0], bp.P[1] - kp.P[1],
                       bp.P[2] - kp.P[2]};
       double RPQ2 = PQ[0] * PQ[0] + PQ[1] * PQ[1] + PQ[2] * PQ[2];
@@ -289,7 +302,7 @@ double eri_pair(const PairExp& bra, const PairExp& ket) {
                 }
             val += Eb * sub;
           }
-      total += val * 2.0 * std::pow(PI, 2.5) /
+      total += scale * val * 2.0 * std::pow(PI, 2.5) /
                (bp.p * kp.p * std::sqrt(bp.p + kp.p));
     }
   return total;
@@ -386,6 +399,46 @@ void intor_eri(int nbf, const int32_t* lmn, const double* centers,
           if (kl > ij) continue;
           if (Q[ij] * Q[kl] < tau) continue;
           double v = eri_pair(pairs[ij], pairs[kl]);
+          put(i, j, k, l, v); put(j, i, k, l, v);
+          put(i, j, l, k, v); put(j, i, l, k, v);
+          put(k, l, i, j, v); put(l, k, i, j, v);
+          put(k, l, j, i, v); put(l, k, j, i, v);
+        }
+    }
+}
+
+// Long-range (erf-attenuated) ERIs for range-separated hybrids:
+// (ij|erf(omega r12)/r12|kl), same 8-fold-symmetric Schwarz-screened
+// loop as intor_eri (the attenuated kernel is positive definite, so
+// Cauchy-Schwarz bounds from attenuated self-integrals remain valid).
+void intor_eri_erf(int nbf, const int32_t* lmn, const double* centers,
+                   const int32_t* off, const double* exps,
+                   const double* coefs, double omega, double* eri) {
+  auto bfs = unpack(nbf, lmn, centers, off, exps, coefs);
+  int npair = nbf * (nbf + 1) / 2;
+  std::vector<PairExp> pairs(npair);
+  auto pidx = [&](int i, int j) { return i * (i + 1) / 2 + j; };
+  for (int i = 0; i < nbf; ++i)
+    for (int j = 0; j <= i; ++j)
+      pairs[pidx(i, j)] = make_pair(bfs[i], bfs[j]);
+  std::vector<double> Q(npair);
+  for (int ij = 0; ij < npair; ++ij)
+    Q[ij] = std::sqrt(std::fabs(eri_pair(pairs[ij], pairs[ij], omega)));
+  const double tau = 1e-13;
+  std::memset(eri, 0, sizeof(double) * (size_t)nbf * nbf * nbf * nbf);
+  size_t n = nbf, n2 = n * n, n3 = n2 * n;
+  auto put = [&](int p, int q, int r, int s, double v) {
+    eri[(size_t)p * n3 + q * n2 + r * n + s] = v;
+  };
+  for (int i = 0; i < nbf; ++i)
+    for (int j = 0; j <= i; ++j) {
+      int ij = pidx(i, j);
+      for (int k = 0; k <= i; ++k)
+        for (int l = 0; l <= k; ++l) {
+          int kl = pidx(k, l);
+          if (kl > ij) continue;
+          if (Q[ij] * Q[kl] < tau) continue;
+          double v = eri_pair(pairs[ij], pairs[kl], omega);
           put(i, j, k, l, v); put(j, i, k, l, v);
           put(i, j, l, k, v); put(j, i, l, k, v);
           put(k, l, i, j, v); put(l, k, i, j, v);

@@ -1139,3 +1139,116 @@ class TestSecondRow:
         from deepchem_tpu.dft.scf import _ATOM_SPIN
         assert [_ATOM_SPIN[z] for z in range(10, 19)] == \
             [0, 1, 0, 1, 2, 3, 2, 1, 0]
+
+
+class TestRangeSeparated:
+    """Range-separated hybrids: erf-attenuated ERIs in the native
+    engine (F_m -> s^{m+1/2} F_m(sT), one alpha substitution in the
+    Hermite R recursion) + LC-LSDA (short-range LDA exchange via the
+    closed-form attenuation factor, 100% long-range exact exchange)."""
+
+    def test_erf_eri_native_vs_oracle_and_limits(self):
+        from deepchem_tpu.dft.basis import build_basis
+        from deepchem_tpu.dft import integrals as I
+        from deepchem_tpu.dft.integrals import _eri_prim
+        import deepchem_tpu.native as nat
+        coords = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 1.8]])
+        basis = build_basis(['O', 'H'], coords, basis='6-31g*')
+        omega = 0.33
+        native = I.eri_tensor(basis, omega=omega)
+        if nat.get_intor_lib() is not None:
+            # spot-pin the native values against the Python MD oracle
+            # (s/p/d shells)
+            def contracted(i, j, k, l):
+                b = [basis[x] for x in (i, j, k, l)]
+                v = 0.0
+                for a, ca in zip(b[0].exps, b[0].coefs):
+                    for bb, cb in zip(b[1].exps, b[1].coefs):
+                        for c, cc in zip(b[2].exps, b[2].coefs):
+                            for d, cd in zip(b[3].exps, b[3].coefs):
+                                v += ca * cb * cc * cd * _eri_prim(
+                                    a, b[0].lmn, b[0].center, bb,
+                                    b[1].lmn, b[1].center, c, b[2].lmn,
+                                    b[2].center, d, b[3].lmn,
+                                    b[3].center, omega)
+                return v
+            for t in ((0, 0, 0, 0), (2, 3, 4, 5), (10, 11, 12, 13),
+                      (16, 16, 16, 16), (7, 8, 9, 10)):
+                assert abs(contracted(*t) - native[t]) < 1e-12
+        # omega -> inf recovers the full 1/r12 kernel
+        full = I.eri_tensor(basis)
+        assert np.abs(I.eri_tensor(basis, omega=1e6) - full).max() \
+            < 1e-9
+        # omega -> 0: (ab|cd) -> (2 omega/sqrt(pi)) S_ab S_cd exactly
+        bs = build_basis(['H', 'H'], coords, basis='sto-3g')
+        S = I.overlap_matrix(bs)
+        w0 = 1e-5
+        pred = (2 * w0 / np.sqrt(np.pi)) * np.einsum('ij,kl->ijkl',
+                                                     S, S)
+        small = I.eri_tensor(bs, omega=w0)
+        assert np.abs(small - pred).max() / pred.max() < 1e-8
+        # the short-range remainder is a positive-definite kernel
+        sr = I.eri_tensor(bs) - I.eri_tensor(bs, omega=0.4)
+        assert (np.einsum('iijj->ij', sr) > 0).all()
+
+    def test_sr_factor_limits(self):
+        from deepchem_tpu.dft.functionals import _sr_factor
+        a = jnp.asarray([1e-8, 0.1, 1.0, 49.0, 51.0, 1e4])
+        F = np.asarray(_sr_factor(a))
+        assert abs(F[0] - 1.0) < 1e-6              # full LDA at a=0
+        assert np.all(np.diff(F) < 0)              # monotone decreasing
+        assert abs(F[-1] - 1.0 / (36 * 1e8)) / F[-1] < 1e-3
+        # exact/asymptotic branches agree at the switch point
+        assert abs(F[3] - 1.0 / (36 * 49.0 ** 2)) / F[3] < 1e-2
+
+    def test_lc_lda_interpolates_lda_to_hfvwn(self):
+        """omega -> 0 must give pure LDA (SR factor -> 1, LR kernel ->
+        0); omega -> inf must give HF exchange + full VWN correlation;
+        the physical omega sits between, and restricted equals
+        unrestricted on a closed shell."""
+        from deepchem_tpu.dft.scf import (DFTSystem, KohnShamSCF,
+                                          run_unrestricted)
+        from deepchem_tpu.dft.functionals import (lc_lda_xc,
+                                                  lda_correlation_vwn)
+        jax.config.update('jax_enable_x64', True)
+        try:
+            def lc(omega):
+                s = KohnShamSCF('lc-lda', iterations=200)
+                closed, spin = lc_lda_xc(omega)
+                s.exc_fn, s.exc_fn_spin, s.omega = closed, spin, omega
+                return s
+            sys_ = DFTSystem(['H', 'H'], [[0, 0, 0], [0, 0, 1.5]],
+                             units='bohr', basis='sto-3g',
+                             n_radial=40, grid_level=1)
+            E_lda = float(KohnShamSCF('lda', iterations=200)
+                          .run(sys_).energy())
+            hfc = KohnShamSCF('hf', iterations=200)
+            hfc.exc_fn = lda_correlation_vwn
+            hfc.use_sigma = False
+            E_hfvwn = float(hfc.run(sys_).energy())
+            E0 = float(lc(1e-4).run(sys_).energy())
+            Einf = float(lc(1e4).run(sys_).energy())
+            Emid = float(lc(0.40).run(sys_).energy())
+            assert abs(E0 - E_lda) < 1e-5, (E0, E_lda)
+            assert abs(Einf - E_hfvwn) < 1e-9, (Einf, E_hfvwn)
+            lo, hi = sorted((E_lda, E_hfvwn))
+            assert lo <= Emid <= hi
+            EU = run_unrestricted(sys_, 'lc-lda', spin=0,
+                                  iterations=200)
+            ER = float(KohnShamSCF('lc-lda', iterations=200)
+                       .run(sys_).energy())
+            assert abs(ER - EU) < 1e-9
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_rs_guards(self):
+        from deepchem_tpu.dft.scf import DFTSystem
+        from deepchem_tpu.dft.gradients import scf_gradient
+        from deepchem_tpu.dft.tddft import tda_excitations
+        sys_ = DFTSystem(['H', 'H'], [[0, 0, 0], [0, 0, 1.4]],
+                         units='bohr', basis='sto-3g', n_radial=20,
+                         grid_level=0)
+        with pytest.raises(NotImplementedError):
+            scf_gradient(sys_, xc='lc-lda')
+        with pytest.raises(NotImplementedError):
+            tda_excitations(sys_, xc='lc-lda', nstates=1)
