@@ -45,14 +45,19 @@ from deepchem_tpu.dft.scf import (DFTSystem, KohnShamSCF, _exc_energy,
 def _ks_mo_coeffs(system: DFTSystem, solver: KohnShamSCF,
                   D: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """MO coefficients/energies of the converged (restricted) KS Fock:
-    rebuild F(D) = H + J - (c_x/2) K + Vxc and diagonalize in the
-    orthonormal basis."""
+    rebuild F(D) = H + J - (c_x/2) K [- (c_lr/2) K_lr] + Vxc and
+    diagonalize in the orthonormal basis."""
     H = system.T + system.V
     J = np.einsum('ijkl,kl->ij', system.eri, D)
     F = H + J
     if solver.hf_exchange:
         K = np.einsum('ikjl,kl->ij', system.eri, D)
         F = F - 0.5 * solver.hf_exchange * K
+    if getattr(solver, 'hf_exchange_lr', 0.0):
+        from deepchem_tpu.dft.scf import _eri_lr_for
+        eri_lr = np.asarray(_eri_lr_for(system, solver.omega))
+        K = np.einsum('ikjl,kl->ij', eri_lr, D)
+        F = F - 0.5 * solver.hf_exchange_lr * K
     if solver.exc_fn is not None:
         Vxc = jax.grad(_exc_energy)(
             jnp.asarray(D), jnp.asarray(system.phi),
@@ -93,10 +98,6 @@ def tda_excitations(system: DFTSystem, xc='hf', nstates: int = 3,
     """
     if solver is None:
         solver = KohnShamSCF(xc, iterations=iterations)
-    if getattr(solver, 'hf_exchange_lr', 0.0):
-        raise NotImplementedError(
-            'TDA with range-separated kernels needs the long-range '
-            '(ij|ab)/(ia|jb) exchange blocks (not implemented)')
     if calc is None:
         calc = solver.run(system)
     D0 = np.asarray(calc.D, dtype=np.float64)
@@ -126,6 +127,18 @@ def tda_excitations(system: DFTSystem, xc='hf', nstates: int = 3,
                           optimize=True)
         A -= solver.hf_exchange * oo_vv.transpose(0, 2, 1, 3).reshape(
             n_ov, n_ov)
+    if getattr(solver, 'hf_exchange_lr', 0.0):
+        # range-separated exchange kernel: the exact-exchange block
+        # uses the LONG-RANGE (ij|ab) integrals (this is why LC
+        # functionals fix charge-transfer states: the -1/R attraction
+        # between separated hole and electron survives at large R)
+        from deepchem_tpu.dft.scf import _eri_lr_for
+        eri_lr = np.asarray(_eri_lr_for(system, solver.omega))
+        t_lr = np.einsum('pqrs,pi->iqrs', eri_lr, Co, optimize=True)
+        oo_vv = np.einsum('iqrs,qj,ra,sb->ijab', t_lr, Co, Cv, Cv,
+                          optimize=True)
+        A -= solver.hf_exchange_lr * oo_vv.transpose(
+            0, 2, 1, 3).reshape(n_ov, n_ov)
     de = (ev[None, :] - eo[:, None]).ravel()
     A[np.diag_indices_from(A)] += de
 

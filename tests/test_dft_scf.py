@@ -1193,13 +1193,23 @@ class TestRangeSeparated:
 
     def test_sr_factor_limits(self):
         from deepchem_tpu.dft.functionals import _sr_factor
-        a = jnp.asarray([1e-8, 0.1, 1.0, 49.0, 51.0, 1e4])
-        F = np.asarray(_sr_factor(a))
-        assert abs(F[0] - 1.0) < 1e-6              # full LDA at a=0
-        assert np.all(np.diff(F) < 0)              # monotone decreasing
-        assert abs(F[-1] - 1.0 / (36 * 1e8)) / F[-1] < 1e-3
-        # exact/asymptotic branches agree at the switch point
-        assert abs(F[3] - 1.0 / (36 * 49.0 ** 2)) / F[3] < 1e-2
+        jax.config.update('jax_enable_x64', True)
+        try:
+            a = jnp.asarray([1e-8, 0.1, 1.0, 49.0, 51.0, 1e4])
+            F = np.asarray(_sr_factor(a))
+            assert abs(F[0] - 1.0) < 1e-6          # full LDA at a=0
+            assert np.all(np.diff(F) < 0)          # monotone decreasing
+            assert abs(F[-1] - 1.0 / (36 * 1e8)) / F[-1] < 1e-3
+            # exact/asymptotic branches agree at the switch point
+            assert abs(F[3] - 1.0 / (36 * 49.0 ** 2)) / F[3] < 1e-2
+            # the f32 path (TPU XCModel training) stays sane: its early
+            # asymptotic switch (a > 2.5) avoids the f32 cancellation
+            F32 = np.asarray(_sr_factor(jnp.asarray(
+                [0.1, 1.0, 2.4, 2.6, 10.0], dtype=jnp.float32)))
+            assert np.all(np.diff(F32) < 0)
+            assert abs(F32[-1] - 1.0 / 3600.0) / F32[-1] < 1e-2
+        finally:
+            jax.config.update('jax_enable_x64', False)
 
     def test_lc_lda_interpolates_lda_to_hfvwn(self):
         """omega -> 0 must give pure LDA (SR factor -> 1, LR kernel ->
@@ -1241,14 +1251,42 @@ class TestRangeSeparated:
         finally:
             jax.config.update('jax_enable_x64', False)
 
-    def test_rs_guards(self):
+    def test_rs_gradient_guard(self):
         from deepchem_tpu.dft.scf import DFTSystem
         from deepchem_tpu.dft.gradients import scf_gradient
-        from deepchem_tpu.dft.tddft import tda_excitations
         sys_ = DFTSystem(['H', 'H'], [[0, 0, 0], [0, 0, 1.4]],
                          units='bohr', basis='sto-3g', n_radial=20,
                          grid_level=0)
         with pytest.raises(NotImplementedError):
             scf_gradient(sys_, xc='lc-lda')
-        with pytest.raises(NotImplementedError):
-            tda_excitations(sys_, xc='lc-lda', nstates=1)
+
+    def test_rs_tda_limits(self):
+        """Range-separated TDA: the exact-exchange kernel block rides
+        the LONG-RANGE (ij|ab) integrals.  omega -> 0 must reproduce
+        TDA-LDA; omega -> inf must reproduce the (HF exchange + VWN)
+        TDA exactly."""
+        from deepchem_tpu.dft.scf import DFTSystem, KohnShamSCF
+        from deepchem_tpu.dft.tddft import tda_excitations
+        from deepchem_tpu.dft.functionals import (lc_lda_xc,
+                                                  lda_correlation_vwn)
+        jax.config.update('jax_enable_x64', True)
+        try:
+            def lc(omega):
+                s = KohnShamSCF('lc-lda', iterations=200)
+                closed, spin = lc_lda_xc(omega)
+                s.exc_fn, s.exc_fn_spin, s.omega = closed, spin, omega
+                return s
+            sys_ = DFTSystem(['H', 'H'], [[0, 0, 0], [0, 0, 1.4]],
+                             units='bohr', basis='sto-3g', n_radial=20,
+                             grid_level=0)
+            r0 = tda_excitations(sys_, solver=lc(1e-5), nstates=1)
+            rl = tda_excitations(sys_, xc='lda', nstates=1)
+            assert abs(r0.energies[0] - rl.energies[0]) < 1e-6
+            rinf = tda_excitations(sys_, solver=lc(1e4), nstates=1)
+            hfc = KohnShamSCF('hf', iterations=200)
+            hfc.exc_fn = lda_correlation_vwn
+            hfc.use_sigma = False
+            rref = tda_excitations(sys_, solver=hfc, nstates=1)
+            assert abs(rinf.energies[0] - rref.energies[0]) < 1e-10
+        finally:
+            jax.config.update('jax_enable_x64', False)
