@@ -647,3 +647,197 @@ def anderson_acc(g: Callable, x0: jnp.ndarray, maxiter: int = 50,
     (x, _, _), _ = jax.lax.scan(step, (x0.reshape(-1), Xbuf0, Fbuf0),
                                 jnp.arange(maxiter))
     return x.reshape(x0.shape)
+
+
+# -- ODE initial-value integrators (reference integrate/explicit_rk.py:
+# fwd_euler_ivp, mid_point_ivp, rk4_ivp, rk38_ivp, explicit_rk) ---------
+
+#: named Butcher tableaus (c, A, b)
+_RK_TABLEAUS = {
+    'fwd_euler': ((0.0,), ((0.0,),), (1.0,)),
+    'mid_point': ((0.0, 0.5), ((0.0, 0.0), (0.5, 0.0)), (0.0, 1.0)),
+    'rk4': ((0.0, 0.5, 0.5, 1.0),
+            ((0.0, 0.0, 0.0, 0.0), (0.5, 0.0, 0.0, 0.0),
+             (0.0, 0.5, 0.0, 0.0), (0.0, 0.0, 1.0, 0.0)),
+            (1 / 6, 1 / 3, 1 / 3, 1 / 6)),
+    'rk38': ((0.0, 1 / 3, 2 / 3, 1.0),
+             ((0.0, 0.0, 0.0, 0.0), (1 / 3, 0.0, 0.0, 0.0),
+              (-1 / 3, 1.0, 0.0, 0.0), (1.0, -1.0, 1.0, 0.0)),
+             (1 / 8, 3 / 8, 3 / 8, 1 / 8)),
+}
+
+
+def explicit_rk(tableau, fcn: Callable, y0, ts,
+                params=()) -> jnp.ndarray:
+    """Generic explicit Runge-Kutta IVP integrator (reference
+    integrate/explicit_rk.py): integrates dy/dt = fcn(t, y, *params)
+    over the time grid ``ts`` and returns y at every grid point,
+    [len(ts), *y0.shape].  The stepping is a lax.scan, so the solution
+    differentiates w.r.t. y0, params, and ts by ordinary backprop
+    (discretize-then-optimize adjoint).  ``tableau`` is a name from
+    {fwd_euler, mid_point, rk4, rk38} or an explicit (c, A, b) tuple.
+    """
+    if isinstance(tableau, str):
+        tableau = _RK_TABLEAUS[tableau]
+    c, A, b = tableau
+    s = len(b)
+    y0 = jnp.asarray(y0, dtype=jnp.result_type(float))
+    ts = jnp.asarray(ts, dtype=jnp.result_type(float))
+
+    def step(y, t_pair):
+        t0, t1 = t_pair
+        h = t1 - t0
+        ks = []
+        for i in range(s):
+            yi = y
+            for j in range(i):
+                if A[i][j] != 0.0:
+                    yi = yi + h * A[i][j] * ks[j]
+            ks.append(fcn(t0 + c[i] * h, yi, *params))
+        ynew = y
+        for i in range(s):
+            if b[i] != 0.0:
+                ynew = ynew + h * b[i] * ks[i]
+        return ynew, ynew
+
+    _, ys = jax.lax.scan(step, y0, (ts[:-1], ts[1:]))
+    return jnp.concatenate([y0[None], ys], axis=0)
+
+
+def fwd_euler_ivp(fcn, y0, ts, params=()):
+    """Forward-Euler IVP (reference integrate fwd_euler_ivp)."""
+    return explicit_rk('fwd_euler', fcn, y0, ts, params)
+
+
+def mid_point_ivp(fcn, y0, ts, params=()):
+    """Explicit midpoint IVP (reference mid_point_ivp)."""
+    return explicit_rk('mid_point', fcn, y0, ts, params)
+
+
+def rk4_ivp(fcn, y0, ts, params=()):
+    """Classic RK4 IVP (reference rk4_ivp)."""
+    return explicit_rk('rk4', fcn, y0, ts, params)
+
+
+def rk38_ivp(fcn, y0, ts, params=()):
+    """3/8-rule fourth-order RK IVP (reference rk38_ivp)."""
+    return explicit_rk('rk38', fcn, y0, ts, params)
+
+
+# -- equilibrium / dense fallbacks / misc (reference solve.py, symeig.py,
+# optimize/equilibrium.py) ----------------------------------------------
+
+def equilibrium(fcn: Callable, x0, params=(), maxiter: int = 100,
+                history: int = 6, mixing: float = 0.5):
+    """Fixed point x* = fcn(x*, *params) with implicit-function-theorem
+    gradients (reference optimize/equilibrium.py): forward solve by the
+    in-module Anderson acceleration, backward by ``jax.lax.custom_root``
+    semantics via rootfinding on g(x) = fcn(x) - x."""
+    def g(x):
+        return fcn(x, *params) - x
+
+    def solve_fwd(g_, x_init):
+        return anderson_acc(lambda x: fcn(x, *params), x_init,
+                            maxiter=maxiter, window=history,
+                            beta=mixing)
+
+    def tangent_solve(h, y):
+        # h is the linearization of g at the root; solve h(dx) = y
+        n = y.size
+        J = jax.jacfwd(h)(jnp.zeros_like(y))
+        return jnp.linalg.solve(J.reshape(n, n),
+                                y.reshape(n)).reshape(y.shape)
+
+    return jax.lax.custom_root(g, jnp.asarray(x0), solve_fwd,
+                               tangent_solve)
+
+
+def exactsolve(A, B):
+    """Dense linear solve fallback (reference solve.py exactsolve);
+    accepts a matrix or LinearOperator."""
+    if isinstance(A, LinearOperator):
+        A = A.mm(jnp.eye(A.shape[1]))
+    return jnp.linalg.solve(A, B)
+
+
+def exacteig(A, neig: Optional[int] = None):
+    """Dense symmetric eigendecomposition fallback (reference
+    symeig.py exacteig): lowest ``neig`` pairs."""
+    if isinstance(A, LinearOperator):
+        A = A.mm(jnp.eye(A.shape[1]))
+    w, V = jnp.linalg.eigh(A)
+    if neig is not None:
+        w, V = w[:neig], V[:, :neig]
+    return w, V
+
+
+def get_largest_eival(A, maxiter: int = 100):
+    """Largest-|lambda| eigenvalue by power iteration on a matrix or
+    LinearOperator (reference solve.py get_largest_eival role, used to
+    scale preconditioners); differentiable through the scan."""
+    mv = A.mv if isinstance(A, LinearOperator) else (lambda x: A @ x)
+    n = A.shape[0]
+    v0 = jnp.ones(n) / jnp.sqrt(n)
+
+    def step(v, _):
+        w = mv(v)
+        return w / jnp.linalg.norm(w), None
+
+    v, _ = jax.lax.scan(step, v0, None, length=maxiter)
+    return v @ mv(v)
+
+
+def ortho(A: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormalize the columns of A (reference symeig.py ortho):
+    thin-QR basis."""
+    Q, _ = jnp.linalg.qr(jnp.asarray(A))
+    return Q
+
+
+def solve_ABE(A: jnp.ndarray, B: jnp.ndarray,
+              E: jnp.ndarray) -> jnp.ndarray:
+    """Solve A X - X B = E columnwise via the eigendecomposition of B
+    (reference solve.py solve_ABE, the Sylvester-like system behind
+    implicit symeig gradients): X = U Y U^-1 with column j solving
+    (A - b_j I) y_j = (E U)_j."""
+    cdt = (jnp.complex128 if jnp.asarray(B).dtype
+           in (jnp.float64, jnp.complex128) else jnp.complex64)
+    w, U = jnp.linalg.eig(jnp.asarray(B, dtype=cdt))
+    Et = jnp.asarray(E, w.dtype) @ U
+    n = A.shape[0]
+
+    def col(bj, ej):
+        return jnp.linalg.solve(jnp.asarray(A, w.dtype)
+                                - bj * jnp.eye(n, dtype=w.dtype), ej)
+
+    Y = jax.vmap(col, in_axes=(0, 1), out_axes=1)(w, Et)
+    X = Y @ jnp.linalg.inv(U)
+    return jnp.real(X) if not jnp.iscomplexobj(E) else X
+
+
+def gd(fcn: Callable, x0, lr: float = 0.1, maxiter: int = 200):
+    """Gradient descent minimizer (reference optimize gd); alias of the
+    module's ``minimize`` defaults."""
+    return minimize(fcn, jnp.asarray(x0), lr=lr, maxiter=maxiter)
+
+
+def adam(fcn: Callable, x0, lr: float = 0.05, beta1: float = 0.9,
+         beta2: float = 0.999, eps: float = 1e-8, maxiter: int = 500):
+    """Adam minimizer (reference optimize adam) as a differentiable
+    lax.scan."""
+    g = jax.grad(fcn)
+    x0 = jnp.asarray(x0, dtype=jnp.result_type(float))
+
+    def step(carry, i):
+        x, m, v = carry
+        gr = g(x)
+        m = beta1 * m + (1 - beta1) * gr
+        v = beta2 * v + (1 - beta2) * gr * gr
+        mh = m / (1 - beta1 ** (i + 1.0))
+        vh = v / (1 - beta2 ** (i + 1.0))
+        return (x - lr * mh / (jnp.sqrt(vh) + eps), m, v), None
+
+    (x, _, _), _ = jax.lax.scan(
+        step, (x0, jnp.zeros_like(x0), jnp.zeros_like(x0)),
+        jnp.arange(maxiter))
+    return x

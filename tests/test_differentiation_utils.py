@@ -330,3 +330,84 @@ class TestAndersonAcceleration:
               - float(f(jnp.asarray(0.5 - h)))) / (2 * h)
         assert np.isfinite(float(g))
         assert abs(float(g) - fd) < 5e-3 * max(1.0, abs(fd))
+
+
+class TestIntegratorsAndMisc:
+    """Round-3 breadth: explicit-RK IVP integrators, equilibrium with
+    IFT gradients, dense fallbacks, Sylvester solve, power iteration,
+    adam/gd (reference integrate/explicit_rk.py, optimize/, solve.py)."""
+
+    def test_rk_orders(self):
+        """Error on dy/dt = -y over [0,1] must shrink with the
+        method's order when the step halves."""
+        from deepchem_tpu.utils import differentiation_utils as du
+        f = lambda t, y: -y
+        exact = np.exp(-1.0)
+        for name, order in (('fwd_euler', 1), ('mid_point', 2),
+                            ('rk4', 4), ('rk38', 4)):
+            fn = getattr(du, name + '_ivp')
+            e1 = abs(float(fn(f, jnp.asarray(1.0),
+                              jnp.linspace(0, 1, 11))[-1]) - exact)
+            e2 = abs(float(fn(f, jnp.asarray(1.0),
+                              jnp.linspace(0, 1, 21))[-1]) - exact)
+            ratio = e1 / max(e2, 1e-14)
+            assert ratio > 0.7 * 2 ** order, (name, e1, e2, ratio)
+
+    def test_rk4_parameter_gradient(self):
+        """d y(T)/dk for dy/dt = -k y equals -T y0 exp(-kT)."""
+        from deepchem_tpu.utils import differentiation_utils as du
+        ts = jnp.linspace(0, 1, 21)
+
+        def yT(k):
+            return du.rk4_ivp(lambda t, y, kk: -kk * y,
+                              jnp.asarray(1.0), ts, (k,))[-1]
+
+        g = float(jax.grad(yT)(jnp.asarray(0.7)))
+        assert abs(g - (-np.exp(-0.7))) < 1e-6
+
+    def test_equilibrium_ift_gradient(self):
+        """x* = cos(a x*): gradient wrt a must equal the implicit-
+        function-theorem closed form (df/da)/(1 - df/dx)."""
+        from deepchem_tpu.utils import differentiation_utils as du
+
+        def fc(x, a):
+            return jnp.cos(a * x)
+
+        x = du.equilibrium(fc, jnp.asarray(0.5),
+                           params=(jnp.asarray(1.0),))
+        assert abs(float(jnp.cos(x) - x)) < 1e-8
+        g = float(jax.grad(lambda a: du.equilibrium(
+            fc, jnp.asarray(0.5), params=(a,)).sum())(
+                jnp.asarray(1.0)))
+        xs = float(x)
+        ift = (-xs * np.sin(xs)) / (1 + np.sin(xs))
+        assert abs(g - ift) < 1e-8
+
+    def test_dense_fallbacks_and_sylvester(self):
+        from deepchem_tpu.utils import differentiation_utils as du
+        rng = np.random.RandomState(0)
+        A = jnp.asarray(rng.randn(6, 6))
+        A = A @ A.T + jnp.eye(6)
+        w, V = du.exacteig(A, neig=2)
+        np.testing.assert_allclose(
+            np.asarray(w), np.linalg.eigvalsh(np.asarray(A))[:2],
+            atol=1e-10)
+        b = jnp.asarray(rng.randn(6))
+        assert float(jnp.abs(A @ du.exactsolve(A, b) - b).max()) < 1e-9
+        lam = du.get_largest_eival(A)
+        assert abs(float(lam)
+                   - np.linalg.eigvalsh(np.asarray(A))[-1]) < 1e-8
+        Q = du.ortho(rng.randn(6, 3))
+        assert float(jnp.abs(Q.T @ Q - jnp.eye(3)).max()) < 1e-10
+        B = jnp.asarray(np.diag([1.0, 2.0, 3.0]))
+        E = jnp.asarray(rng.randn(6, 3))
+        X = du.solve_ABE(A, B, E)
+        assert float(jnp.abs(A @ X - X @ B - E).max()) < 1e-8
+
+    def test_adam_gd_converge(self):
+        from deepchem_tpu.utils import differentiation_utils as du
+        f = lambda x: jnp.sum((x - 2.0) ** 2)
+        assert float(jnp.abs(du.adam(f, jnp.zeros(3), lr=0.1,
+                                     maxiter=800) - 2).max()) < 1e-6
+        assert float(jnp.abs(du.gd(f, jnp.zeros(3), lr=0.2,
+                                   maxiter=300) - 2).max()) < 1e-6
