@@ -21,6 +21,8 @@ from deepchem_tpu.dft.df import (even_tempered_aux, ri_fit, ri_tensors,
 from deepchem_tpu.dft.posthf import (mp2_energy, fci_2e_energy,
                                      dipole_moment, mulliken_charges,
                                      energy_in_field, polarizability)
+from deepchem_tpu.dft.cc import (fci_energy, ccsd_energy,
+                                 ccsd_t_energy)
 
 __all__ = ['lda_exchange', 'lda_correlation_vwn', 'pbe_exchange',
            'pbe_correlation', 'lda_xc', 'pbe_xc', 'NNLDA', 'NNPBE',
@@ -34,4 +36,5 @@ __all__ = ['lda_exchange', 'lda_correlation_vwn', 'pbe_exchange',
            'harmonic_frequencies', 'hessian_numerical',
            'even_tempered_aux', 'ri_fit', 'ri_tensors', 'ri_j',
            'scf_gradient_unrestricted', 'tda_excitations',
-           'cis_excitations', 'TDAResult']
+           'cis_excitations', 'TDAResult', 'fci_energy', 'ccsd_energy',
+           'ccsd_t_energy']

@@ -1290,3 +1290,97 @@ class TestRangeSeparated:
             assert abs(rinf.energies[0] - rref.energies[0]) < 1e-10
         finally:
             jax.config.update('jax_enable_x64', False)
+
+
+class TestCoupledCluster:
+    """Determinant FCI + CCSD + CCSD(T) (dft/cc.py): the validation
+    chain is self-contained — bitstring second quantization vs the
+    independent closed-form 2e FCI, the CCSD 2-electron exactness
+    theorem, MP2 as CCSD's first iteration, and the (T) correction's
+    required behaviors."""
+
+    def _h2(self, basis='sto-3g'):
+        from deepchem_tpu.dft.scf import DFTSystem
+        return DFTSystem(['H', 'H'], [[0, 0, 0], [0, 0, 1.4]],
+                         units='bohr', basis=basis, n_radial=12,
+                         grid_level=0)
+
+    def test_general_fci_equals_2e_closed_form(self):
+        from deepchem_tpu.dft.scf import KohnShamSCF
+        from deepchem_tpu.dft.posthf import fci_2e_energy
+        from deepchem_tpu.dft.cc import fci_energy
+        jax.config.update('jax_enable_x64', True)
+        try:
+            for basis in ('sto-3g', '6-31g'):
+                sys_ = self._h2(basis)
+                calc = KohnShamSCF('hf', iterations=100).run(sys_)
+                assert abs(fci_energy(sys_, calc)
+                           - fci_2e_energy(sys_, calc)) < 1e-12
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_ccsd_exact_for_two_electrons(self):
+        """CCSD contains all excitations a 2-electron system has, so
+        it must equal FCI — in ANY basis; and (T) must vanish."""
+        from deepchem_tpu.dft.scf import KohnShamSCF
+        from deepchem_tpu.dft.cc import (fci_energy, ccsd_energy,
+                                         ccsd_t_energy)
+        jax.config.update('jax_enable_x64', True)
+        try:
+            sys_ = self._h2('6-31g')
+            calc = KohnShamSCF('hf', iterations=100).run(sys_)
+            efci = fci_energy(sys_, calc)
+            ecc, _ = ccsd_energy(sys_, calc)
+            assert abs(ecc - efci) < 1e-9
+            _, _, e_t = ccsd_t_energy(sys_, calc)
+            assert abs(e_t) < 1e-12
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_lih_correlation_ladder(self):
+        """4-electron LiH: HF > MP2 > CCSD > CCSD(T) >= FCI, with CCSD
+        within 2e-5 of FCI and (T) shrinking the residual."""
+        from deepchem_tpu.dft.scf import DFTSystem, KohnShamSCF
+        from deepchem_tpu.dft.posthf import mp2_energy
+        from deepchem_tpu.dft.cc import (fci_energy, ccsd_energy,
+                                         ccsd_t_energy)
+        jax.config.update('jax_enable_x64', True)
+        try:
+            sys_ = DFTSystem(['Li', 'H'], [[0, 0, 0], [0, 0, 3.0]],
+                             units='bohr', n_radial=12, grid_level=0)
+            calc = KohnShamSCF('hf', iterations=100).run(sys_)
+            ehf = float(calc.energy())
+            emp2, _ = mp2_energy(sys_, calc)
+            eccsd, _ = ccsd_energy(sys_, calc)
+            et, _, e_t = ccsd_t_energy(sys_, calc)
+            efci = fci_energy(sys_, calc)
+            assert ehf > emp2 > eccsd > efci - 1e-12
+            assert abs(eccsd - efci) < 2e-5
+            assert abs(et - efci) < abs(eccsd - efci)
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_h2o_ccsd_vs_fci(self):
+        """10-electron water, 441-determinant FCI space: CCSD must
+        recover > 99.5% of the exact correlation energy and (T) must
+        close over half of the remainder."""
+        from deepchem_tpu.dft.scf import DFTSystem, KohnShamSCF
+        from deepchem_tpu.dft.cc import (fci_energy, ccsd_energy,
+                                         ccsd_t_energy)
+        jax.config.update('jax_enable_x64', True)
+        try:
+            sys_ = DFTSystem(
+                ['O', 'H', 'H'],
+                [[0.0, 0.0, 0.1173], [0.0, 0.7572, -0.4692],
+                 [0.0, -0.7572, -0.4692]],
+                basis='sto-3g', n_radial=12, grid_level=0)
+            calc = KohnShamSCF('hf', iterations=100).run(sys_)
+            ehf = float(calc.energy())
+            eccsd, corr = ccsd_energy(sys_, calc)
+            et, _, e_t = ccsd_t_energy(sys_, calc)
+            efci = fci_energy(sys_, calc)
+            exact_corr = efci - ehf
+            assert corr / exact_corr > 0.995
+            assert abs(et - efci) < 0.55 * abs(eccsd - efci)
+        finally:
+            jax.config.update('jax_enable_x64', False)
