@@ -65,9 +65,18 @@ def fci_energy(system: DFTSystem, calc=None, n_roots: int = 1,
     C(n, na) * C(n, nb) — intended for small benchmark systems (the
     in-repo exactness oracle for CCSD/MP2), not production use.
     """
-    if calc is None:
+    if calc is None and system.n_elec % 2 == 0:
         calc = KohnShamSCF('hf', iterations=iterations).run(system)
-    h, eri, C, mo_e = _mo_integrals(system, calc)
+    if calc is None:
+        # odd electron count: the restricted SCF is undefined, and FCI
+        # is invariant to the orthonormal MO choice over the COMPLETE
+        # space — Lowdin-orthogonalized AOs serve
+        C = np.asarray(system.S_invsqrt)
+        h = C.T @ (system.T + system.V) @ C
+        eri = np.einsum('pi,qj,rk,sl,pqrs->ijkl', C, C, C, C,
+                        system.eri, optimize=True)
+    else:
+        h, eri, C, mo_e = _mo_integrals(system, calc)
     n = h.shape[0]
     if spin is None:
         spin = system.n_elec % 2
@@ -178,23 +187,17 @@ def _spin_orbital_blocks(h, eri, mo_e, n_elec):
     return aso, e_so, o, v
 
 
-def ccsd_energy(system: DFTSystem, calc=None, iterations: int = 100,
-                cc_maxiter: int = 100, tol: float = 1e-10,
-                return_amplitudes: bool = False):
-    """Closed-shell CCSD total energy via the spin-orbital amplitude
-    equations (Stanton, Gauss, Watts & Bartlett intermediates).
-
-    Returns (E_total, E_corr).  Exactness pins (tests):
-    2-electron systems equal FCI; iteration 1 from t=0 equals MP2;
-    larger systems land between MP2 and the determinant FCI.
-    """
-    if calc is None:
-        calc = KohnShamSCF('hf', iterations=iterations).run(system)
-    h, eri, C, mo_e = _mo_integrals(system, calc)
-    nel = system.n_elec
-    aso, e_so, o, v = _spin_orbital_blocks(h, eri, mo_e, nel)
+def _ccsd_kernel(aso, e_so, no, cc_maxiter=100, tol=1e-10):
+    """Spin-orbital CCSD amplitude iteration (Stanton-Gauss-Watts-
+    Bartlett intermediates) on generic antisymmetrized integrals:
+    works for RHF references (doubled spatial orbitals) and UHF
+    references (per-spin orbitals) alike — the equations only see
+    <pq||rs>, the orbital energies, and the occupied count.
+    Returns (e_corr, e_mp2, t1, t2)."""
     nso = aso.shape[0]
-    no, nv = nel, nso - nel
+    nv = nso - no
+    o = slice(0, no)
+    v = slice(no, nso)
     eo, ev = e_so[o], e_so[v]
     Dia = eo[:, None] - ev[None, :]
     Dijab = (eo[:, None, None, None] + eo[None, :, None, None]
@@ -285,36 +288,15 @@ def ccsd_energy(system: DFTSystem, calc=None, iterations: int = 100,
         if abs(e_corr - e_prev) < tol:
             break
         e_prev = e_corr
-    out = (float(calc.energy()) + e_corr, e_corr)
-    if return_amplitudes:
-        out = out + ((t1, t2),)
-    return out
+    return e_corr, float(e_mp2), t1, t2
 
 
-def ccsd_t_energy(system: DFTSystem, calc=None, iterations: int = 100,
-                  cc_maxiter: int = 100, tol: float = 1e-10):
-    """CCSD(T): CCSD plus the perturbative connected-triples
-    correction (the 'gold standard' of single-reference quantum
-    chemistry).  Returns (E_total, E_ccsd_corr, E_t).
-
-    Spin-orbital formulation: with D_ijkabc the triples denominator,
-
-      t3d = P(i/jk) P(a/bc) t1_ia <jk||bc> / D          (disconnected)
-      t3c = P(i/jk) P(a/bc) [ sum_e t2_jkae <ei||bc>
-                              - sum_m t2_imbc <ma||jk> ] / D
-      E(T) = 1/36 sum t3c D (t3c + t3d)
-
-    Exactness pins: a 2-electron system has no triples (E(T) = 0
-    identically), and E(T) must move CCSD toward the determinant FCI.
-    """
-    if calc is None:
-        calc = KohnShamSCF('hf', iterations=iterations).run(system)
-    e_tot, e_corr, (t1, t2) = ccsd_energy(
-        system, calc, cc_maxiter=cc_maxiter, tol=tol,
-        return_amplitudes=True)
-    h, eri, C, mo_e = _mo_integrals(system, calc)
-    aso, e_so, o, v = _spin_orbital_blocks(h, eri, mo_e, system.n_elec)
-    no = system.n_elec
+def _triples_correction(aso, e_so, no, t1, t2):
+    """Perturbative (T) energy from converged CCSD amplitudes on
+    generic spin-orbital blocks."""
+    nso = aso.shape[0]
+    o = slice(0, no)
+    v = slice(no, nso)
     eo, ev = e_so[o], e_so[v]
     oovv = aso[o, o, v, v]
     vovv = aso[v, o, v, v]
@@ -326,7 +308,7 @@ def ccsd_t_energy(system: DFTSystem, calc=None, iterations: int = 100,
           - ev[None, None, None, None, :, None]
           - ev[None, None, None, None, None, :])
 
-    def P_i_jk(x):     # i <-> j, i <-> k antisymmetrization
+    def P_i_jk(x):
         return (x - x.transpose(1, 0, 2, 3, 4, 5)
                 - x.transpose(2, 1, 0, 3, 4, 5))
 
@@ -338,6 +320,145 @@ def ccsd_t_energy(system: DFTSystem, calc=None, iterations: int = 100,
     conn = (np.einsum('jkae,eibc->ijkabc', t2, vovv)
             - np.einsum('imbc,majk->ijkabc', t2, ovoo))
     t3c = P_i_jk(P_a_bc(conn)) / D3
-    e_t = float(np.einsum('ijkabc,ijkabc->', t3c * D3, t3c + t3d)
-                / 36.0)
-    return e_tot + e_t, e_corr, e_t
+    return float(np.einsum('ijkabc,ijkabc->', t3c * D3, t3c + t3d)
+                 / 36.0)
+
+
+def ccsd_energy(system: DFTSystem, calc=None, iterations: int = 100,
+                cc_maxiter: int = 100, tol: float = 1e-10,
+                return_amplitudes: bool = False):
+    """Closed-shell CCSD total energy via the spin-orbital amplitude
+    equations.  Returns (E_total, E_corr).  Exactness pins (tests):
+    2-electron systems equal FCI; iteration 1 from t=0 equals MP2;
+    larger systems land between MP2 and the determinant FCI.
+    """
+    if calc is None:
+        calc = KohnShamSCF('hf', iterations=iterations).run(system)
+    h, eri, C, mo_e = _mo_integrals(system, calc)
+    aso, e_so, o, v = _spin_orbital_blocks(h, eri, mo_e, system.n_elec)
+    e_corr, _, t1, t2 = _ccsd_kernel(aso, e_so, system.n_elec,
+                                     cc_maxiter, tol)
+    out = (float(calc.energy()) + e_corr, e_corr)
+    if return_amplitudes:
+        out = out + ((t1, t2),)
+    return out
+
+
+def ccsd_t_energy(system: DFTSystem, calc=None, iterations: int = 100,
+                  cc_maxiter: int = 100, tol: float = 1e-10):
+    """CCSD(T): CCSD plus the perturbative connected-triples correction
+    (the 'gold standard' of single-reference quantum chemistry).
+    Returns (E_total, E_ccsd_corr, E_t).  Exactness pins: a 2-electron
+    system has no triples (E(T) = 0 identically), and E(T) must move
+    CCSD toward the determinant FCI."""
+    if calc is None:
+        calc = KohnShamSCF('hf', iterations=iterations).run(system)
+    h, eri, C, mo_e = _mo_integrals(system, calc)
+    aso, e_so, o, v = _spin_orbital_blocks(h, eri, mo_e, system.n_elec)
+    e_corr, _, t1, t2 = _ccsd_kernel(aso, e_so, system.n_elec,
+                                     cc_maxiter, tol)
+    e_t = _triples_correction(aso, e_so, system.n_elec, t1, t2)
+    return float(calc.energy()) + e_corr + e_t, e_corr, e_t
+
+
+# ------------------------------------------------- open-shell (UHF)
+
+def _uhf_spin_orbitals(system: DFTSystem, spin: Optional[int] = None,
+                       iterations: int = 200):
+    """UHF reference for open-shell correlation: runs the unrestricted
+    HF loop, rebuilds the per-spin Fock matrices, and returns
+    (E_uhf_total, Cso [nbf, nso], e_so [nso], n_occ) with spin
+    orbitals ordered occupied-first (alpha then beta), each energy-
+    sorted, and the antisymmetrized integrals built with PER-SPIN
+    spatial orbitals (spin masks kill alpha-beta exchange blocks)."""
+    import jax.numpy as jnp
+    from deepchem_tpu.dft.scf import (scf_loop_unrestricted_stable as
+                                      scf_loop_unrestricted,
+                                      _ATOM_SPIN)
+    if spin is None:
+        if len(system.symbols) == 1:
+            spin = _ATOM_SPIN.get(system.charges[0],
+                                  system.n_elec % 2)
+        else:
+            spin = system.n_elec % 2
+    na = (system.n_elec + spin) // 2
+    nb = system.n_elec - na
+    E, (Da, Db), _ = scf_loop_unrestricted(
+        jnp.asarray(system.T + system.V),
+        jnp.asarray(system.S_invsqrt), jnp.asarray(system.eri),
+        na, nb, exc_fn=None, hf_exchange=1.0,
+        iterations=iterations, mixing=0.4)
+    Da = np.asarray(Da, dtype=np.float64)
+    Db = np.asarray(Db, dtype=np.float64)
+    H = system.T + system.V
+    J = np.einsum('ijkl,kl->ij', system.eri, Da + Db)
+    Ka = np.einsum('ikjl,kl->ij', system.eri, Da)
+    Kb = np.einsum('ikjl,kl->ij', system.eri, Db)
+    Sih = system.S_invsqrt
+    orbs = {}
+    for key, (F, nocc) in (('a', (H + J - Ka, na)),
+                           ('b', (H + J - Kb, nb))):
+        w, Cp = np.linalg.eigh(Sih.T @ F @ Sih)
+        orbs[key] = (Sih @ Cp, w, nocc)
+    nbf = H.shape[0]
+    cols, energies, spins = [], [], []
+    # occupied block (alpha occ, beta occ), then virtual block
+    for occ_pass in (True, False):
+        for key, sp in (('a', 0), ('b', 1)):
+            C, w, nocc = orbs[key]
+            rng = range(nocc) if occ_pass else range(nocc, nbf)
+            for i in rng:
+                cols.append(C[:, i])
+                energies.append(w[i])
+                spins.append(sp)
+    Cso = np.stack(cols, axis=1)
+    e_so = np.asarray(energies)
+    spins = np.asarray(spins)
+    # chemists' (pq|rs) over spin orbitals, then physicists' antisym
+    chem = np.einsum('ui,vj,xk,yl,uvxy->ijkl', Cso, Cso, Cso, Cso,
+                     system.eri, optimize=True)
+    same = (spins[:, None] == spins[None, :]).astype(np.float64)
+    chem = chem * same[:, :, None, None] * same[None, None, :, :]
+    phys = chem.transpose(0, 2, 1, 3)       # <pq|rs> = (pr|qs)
+    aso = phys - phys.transpose(0, 1, 3, 2)
+    return float(E) + system.e_nuc, aso, e_so, system.n_elec
+
+
+def ump2_energy(system: DFTSystem, spin: Optional[int] = None,
+                iterations: int = 200):
+    """Open-shell (UHF-reference) MP2: returns (E_total, E_corr).
+    For spin=0 on a closed shell it equals the restricted mp2_energy
+    exactly (pinned in tests)."""
+    e_uhf, aso, e_so, nel = _uhf_spin_orbitals(system, spin,
+                                               iterations)
+    o = slice(0, nel)
+    v = slice(nel, aso.shape[0])
+    eo, ev = e_so[o], e_so[v]
+    D = (eo[:, None, None, None] + eo[None, :, None, None]
+         - ev[None, None, :, None] - ev[None, None, None, :])
+    oovv = aso[o, o, v, v]
+    e2 = 0.25 * float(np.einsum('ijab,ijab->', oovv, oovv / D))
+    return e_uhf + e2, e2
+
+
+def uccsd_energy(system: DFTSystem, spin: Optional[int] = None,
+                 iterations: int = 200, cc_maxiter: int = 200,
+                 tol: float = 1e-10):
+    """Open-shell (UHF-reference) CCSD: the SAME spin-orbital kernel as
+    the closed-shell path, fed per-spin orbitals.  Returns
+    (E_total, E_corr)."""
+    e_uhf, aso, e_so, nel = _uhf_spin_orbitals(system, spin,
+                                               iterations)
+    e_corr, _, t1, t2 = _ccsd_kernel(aso, e_so, nel, cc_maxiter, tol)
+    return e_uhf + e_corr, e_corr
+
+
+def uccsd_t_energy(system: DFTSystem, spin: Optional[int] = None,
+                   iterations: int = 200, cc_maxiter: int = 200,
+                   tol: float = 1e-10):
+    """Open-shell CCSD(T).  Returns (E_total, E_ccsd_corr, E_t)."""
+    e_uhf, aso, e_so, nel = _uhf_spin_orbitals(system, spin,
+                                               iterations)
+    e_corr, _, t1, t2 = _ccsd_kernel(aso, e_so, nel, cc_maxiter, tol)
+    e_t = _triples_correction(aso, e_so, nel, t1, t2)
+    return e_uhf + e_corr + e_t, e_corr, e_t

@@ -403,7 +403,8 @@ def scf_gradient_unrestricted(system: DFTSystem, xc='lda',
     machinery as the restricted path: native derivative integrals with
     the spin-resolved exchange contraction (intor_grad_uhf), exact XC
     term by jax.grad of the spin-density quadrature over coordinates."""
-    from deepchem_tpu.dft.scf import (scf_loop_unrestricted,
+    from deepchem_tpu.dft.scf import (scf_loop_unrestricted_stable as
+                                      scf_loop_unrestricted,
                                       _exc_energy_spin, _ATOM_SPIN)
     solver = KohnShamSCF(xc, iterations=iterations, mixing=mixing)
     if getattr(solver, 'hf_exchange_lr', 0.0):

@@ -569,7 +569,8 @@ def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
                           spin_polarized_xc: bool = False,
                           use_tau: bool = False, diis: bool = True,
                           diis_window: int = 6, diis_start: int = 8,
-                          eri_lr=None, hf_exchange_lr: float = 0.0):
+                          eri_lr=None, hf_exchange_lr: float = 0.0,
+                          D0=None, return_fock: bool = False):
     """Unrestricted (spin-polarized occupations) SCF for open-shell
     systems — atomization-energy references need isolated atoms.
 
@@ -679,9 +680,14 @@ def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
         Db = mix * Db_new + (1.0 - mix) * Db
         return (Da, Db, Fbuf, Ebuf), E
 
-    # break spin symmetry slightly so alpha != beta solutions can emerge
-    D0a = jnp.eye(n, dtype=H.dtype) * (n_alpha / max(n, 1)) * 0.1
-    D0b = jnp.zeros((n, n), dtype=H.dtype)
+    if D0 is None:
+        # break spin symmetry slightly so alpha != beta solutions can
+        # emerge
+        D0a = jnp.eye(n, dtype=H.dtype) * (n_alpha / max(n, 1)) * 0.1
+        D0b = jnp.zeros((n, n), dtype=H.dtype)
+    else:
+        D0a = jnp.asarray(D0[0], dtype=H.dtype)
+        D0b = jnp.asarray(D0[1], dtype=H.dtype)
     Fbuf0 = jnp.zeros((W, 2, n, n), dtype=H.dtype)
     Ebuf0 = jnp.zeros((W, 2, n, n), dtype=H.dtype)
     (Da, Db, _, _), _ = jax.lax.scan(step, (D0a, D0b, Fbuf0, Ebuf0),
@@ -689,7 +695,48 @@ def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
     Fa, Fb, E_final = fock(Da, Db)
     _, mo_a = density(Fa, n_alpha)
     _, mo_b = density(Fb, n_beta)
+    if return_fock:
+        return E_final, (Da, Db), (mo_a, mo_b), (Fa, Fb)
     return E_final, (Da, Db), (mo_a, mo_b)
+
+
+def scf_loop_unrestricted_stable(H, S_invsqrt, eri, n_alpha: int,
+                                 n_beta: int, restarts: int = 3,
+                                 **kw):
+    """Multi-seed UHF/UKS: aufbau self-consistency does NOT imply the
+    ground-state SCF solution — NH2/STO-3G converges 81 mHa above a
+    plain same-spatial-orbital determinant from the default symmetry-
+    broken seed (caught by the determinant-FCI oracle: the 'correlation
+    energy' came out 2.5x water's, impossible for a 98.6%-single-
+    reference state).  This wrapper re-seeds the scan from the aufbau
+    determinants of the converged alpha and beta Fock operators (both
+    spins in the SAME spatial set) and keeps the lowest converged
+    energy, iterating until no seed improves.  Eager-only (host
+    control flow around the jitted scan); traced paths keep the raw
+    loop."""
+    best = scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha, n_beta,
+                                 return_fock=True, **kw)
+    Sih = np.asarray(S_invsqrt)
+    for _ in range(max(restarts, 0)):
+        E_best = float(best[0])
+        Fa, Fb = best[3]
+        improved = False
+        for F in (Fa, Fb):
+            Fp = Sih.T @ np.asarray(F) @ Sih
+            _, Cp = np.linalg.eigh(Fp)
+            C = Sih @ Cp
+            Da0 = C[:, :n_alpha] @ C[:, :n_alpha].T
+            Db0 = C[:, :n_beta] @ C[:, :n_beta].T
+            trial = scf_loop_unrestricted(
+                H, S_invsqrt, eri, n_alpha, n_beta,
+                D0=(Da0, Db0), return_fock=True, **kw)
+            if float(trial[0]) < E_best - 1e-10:
+                best = trial
+                E_best = float(trial[0])
+                improved = True
+        if not improved:
+            break
+    return best[0], best[1], best[2]
 
 
 #: ground-state unpaired electrons for light atoms (Hund's rule)
@@ -715,7 +762,7 @@ def run_unrestricted(system: 'DFTSystem', xc='lda',
     # prefer the true spin-density functional when the preset has one
     exc = solver.exc_fn_spin if solver.exc_fn_spin is not None \
         else solver.exc_fn
-    E, (Da, Db), _ = scf_loop_unrestricted(
+    E, (Da, Db), _ = scf_loop_unrestricted_stable(
         jnp.asarray(system.T + system.V),
         jnp.asarray(system.S_invsqrt), jnp.asarray(system.eri),
         n_alpha, n_beta, exc_fn=exc,

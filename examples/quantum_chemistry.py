@@ -100,3 +100,16 @@ for xc in ('hf', 'pbe'):
           + ', '.join(f'{e:.2f} (f={f:.3f})' for e, f in
                       zip(res.energies_ev(), res.oscillator_strengths)))
 print('experiment: first singlet of water ~7.4 eV')
+
+# --- 9. coupled cluster: the gold standard, checked against exact FCI --
+from deepchem_tpu.dft import ccsd_energy, ccsd_t_energy, fci_energy
+s = DFTSystem(*water, units='angstrom', basis='sto-3g',
+              n_radial=12, grid_level=0)
+calc = KohnShamSCF('hf', iterations=100).run(s)
+e_ccsd, corr = ccsd_energy(s, calc)
+e_t, _, de_t = ccsd_t_energy(s, calc)
+e_fci = fci_energy(s, calc)
+print(f'\nH2O/STO-3G: CCSD {e_ccsd:.6f}  CCSD(T) {e_t:.6f}  '
+      f'FCI {e_fci:.6f}')
+print(f'CCSD recovers {100 * corr / (e_fci - float(calc.energy())):.2f}%'
+      ' of the exact correlation energy')

@@ -1384,3 +1384,83 @@ class TestCoupledCluster:
             assert abs(et - efci) < 0.55 * abs(eccsd - efci)
         finally:
             jax.config.update('jax_enable_x64', False)
+
+
+class TestUHFStability:
+    def test_nh2_uhf_not_trapped(self):
+        """Multi-seed UHF regression: from the default symmetry-broken
+        seed alone, NH2/STO-3G converges aufbau-self-consistently to an
+        EXCITED SCF solution at -54.7425 — 81 mHa above a plain same-
+        spatial-orbital determinant (exposed by the determinant-FCI
+        oracle: the implied 'correlation' was 2.5x water's, impossible
+        for a 98.6%-single-reference state).  The stable wrapper's
+        Fock-aufbau re-seeding must find the real solution."""
+        from deepchem_tpu.dft.scf import DFTSystem, run_unrestricted
+        jax.config.update('jax_enable_x64', True)
+        try:
+            sys_ = DFTSystem(['N', 'H', 'H'],
+                             [[0, 0, 0], [0, 1.5, 1.1], [0, -1.5, 1.1]],
+                             units='bohr', basis='sto-3g', n_radial=12,
+                             grid_level=0)
+            e = run_unrestricted(sys_, 'hf', spin=1, iterations=200)
+            assert e < -54.82, e        # trapped branch sits at -54.74
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_nh2_uccsd_near_fci(self):
+        """With the stable UHF reference, NH2 UCCSD(T) sits within
+        5e-5 Ha of the exact 735-determinant FCI."""
+        from deepchem_tpu.dft.scf import DFTSystem
+        from deepchem_tpu.dft.cc import (fci_energy, uccsd_energy,
+                                         uccsd_t_energy, ump2_energy)
+        jax.config.update('jax_enable_x64', True)
+        try:
+            sys_ = DFTSystem(['N', 'H', 'H'],
+                             [[0, 0, 0], [0, 1.5, 1.1], [0, -1.5, 1.1]],
+                             units='bohr', basis='sto-3g', n_radial=12,
+                             grid_level=0)
+            efci = fci_energy(sys_, spin=1)
+            eum, _ = ump2_energy(sys_, spin=1)
+            euc, _ = uccsd_energy(sys_, spin=1)
+            eut, _, _ = uccsd_t_energy(sys_, spin=1)
+            assert eum > euc > efci - 1e-12
+            assert abs(euc - efci) < 2e-4
+            assert abs(eut - efci) < 5e-5
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_closed_shell_u_equals_r_correlation(self):
+        """UMP2/UCCSD with spin=0 equal the restricted MP2/CCSD exactly
+        on a closed shell."""
+        from deepchem_tpu.dft.scf import DFTSystem, KohnShamSCF
+        from deepchem_tpu.dft.posthf import mp2_energy
+        from deepchem_tpu.dft.cc import (ccsd_energy, ump2_energy,
+                                         uccsd_energy)
+        jax.config.update('jax_enable_x64', True)
+        try:
+            sys_ = DFTSystem(['H', 'H'], [[0, 0, 0], [0, 0, 1.4]],
+                             units='bohr', basis='6-31g', n_radial=12,
+                             grid_level=0)
+            calc = KohnShamSCF('hf', iterations=100).run(sys_)
+            em, _ = mp2_energy(sys_, calc)
+            eum, _ = ump2_energy(sys_, spin=0)
+            ec, _ = ccsd_energy(sys_, calc)
+            euc, _ = uccsd_energy(sys_, spin=0)
+            assert abs(em - eum) < 1e-10
+            assert abs(ec - euc) < 1e-10
+        finally:
+            jax.config.update('jax_enable_x64', False)
+
+    def test_h2_triplet_uccsd_equals_fci(self):
+        """2 electrons in the Sz=1 sector: UCCSD must equal FCI."""
+        from deepchem_tpu.dft.scf import DFTSystem
+        from deepchem_tpu.dft.cc import fci_energy, uccsd_energy
+        jax.config.update('jax_enable_x64', True)
+        try:
+            sys_ = DFTSystem(['H', 'H'], [[0, 0, 0], [0, 0, 1.4]],
+                             units='bohr', basis='6-31g', n_radial=12,
+                             grid_level=0)
+            et, _ = uccsd_energy(sys_, spin=2)
+            assert abs(et - fci_energy(sys_, spin=2)) < 1e-9
+        finally:
+            jax.config.update('jax_enable_x64', False)
