@@ -1,5 +1,5 @@
 from deepchem_tpu.data.datasets import (Dataset, NumpyDataset, DiskDataset,
-                                        ImageDataset, Databag, pad_batch,
+                                        ImageDataset, Databag, pad_batch, pad_features,
                                         sparsify_features, densify_features)
 from deepchem_tpu.data.loaders import (DataLoader, CSVLoader, UserCSVLoader,
                                        JsonLoader, SDFLoader, FASTALoader,
@@ -15,7 +15,7 @@ from deepchem_tpu.data.supports import (remove_dead_examples,
 
 __all__ = [
     'Dataset', 'NumpyDataset', 'DiskDataset', 'ImageDataset', 'Databag',
-    'pad_batch', 'sparsify_features', 'densify_features',
+    'pad_batch', 'pad_features', 'sparsify_features', 'densify_features',
     'DataLoader', 'CSVLoader', 'UserCSVLoader', 'JsonLoader', 'SDFLoader',
     'FASTALoader', 'FASTQLoader', 'ImageLoader', 'InMemoryLoader',
     'DFTYamlLoader', 'SAMLoader', 'BAMLoader', 'CRAMLoader',

@@ -11,13 +11,15 @@ from deepchem_tpu.feat.molecule_featurizers import (
     ConvMolFeaturizer, MolGraphConvFeaturizer, PagtnMolGraphFeaturizer,
     WeaveFeaturizer, OneHotFeaturizer, SmilesToSeq, SmilesToImage,
     CoulombMatrix, CoulombMatrixEig, AtomicCoordinates, create_char_to_idx,
-    BPSymmetryFunctionInput, SNAPFeaturizer)
+    BPSymmetryFunctionInput, SNAPFeaturizer, DMPNNFeaturizer)
 from deepchem_tpu.feat.tokenizers import (BasicSmilesTokenizer,
                                            SmilesTokenizer,
                                            HuggingFaceFeaturizer,
                                            BertFeaturizer,
                                            RobertaFeaturizer,
-                                           RxnFeaturizer)
+                                           RxnFeaturizer,
+                                           VocabularyBuilder,
+                                           HuggingFaceVocabularyBuilder)
 from deepchem_tpu.feat.molgan_featurizer import (GraphMatrix,
                                                  MolGanFeaturizer)
 from deepchem_tpu.feat.material_featurizers import (
@@ -35,7 +37,13 @@ from deepchem_tpu.feat.deepvariant import (Read, Realigner,
                                            PileupFeaturizer)
 from deepchem_tpu.feat.complex_featurizers import (
     ContactCircularFingerprint, ContactCircularVoxelizer,
-    SplifFingerprint, SplifVoxelizer, RdkitGridFeaturizer)
+    SplifFingerprint, SplifVoxelizer, RdkitGridFeaturizer,
+    ChargeVoxelizer, SaltBridgeVoxelizer, CationPiVoxelizer,
+    PiStackVoxelizer, HydrogenBondCounter, HydrogenBondVoxelizer,
+    NeighborListAtomicCoordinates,
+    NeighborListComplexAtomicCoordinates, BindingPocketFeaturizer)
+from deepchem_tpu.feat.atomic_conformation import (
+    AtomicConformation, AtomicConformationFeaturizer)
 from deepchem_tpu.feat.conformer_featurizers import (
     RDKitConformerFeaturizer, EquivariantGraphFeaturizer)
 from deepchem_tpu.feat.polymer_featurizers import PolyWDGFeaturizer
@@ -69,4 +77,35 @@ __all__ = [
     'RDKitConformerFeaturizer', 'EquivariantGraphFeaturizer',
     'PolyWDGFeaturizer', 'PolymerFeaturizer',
     'MaterialCompositionFeaturizer', 'MaterialStructureFeaturizer',
+    'ChargeVoxelizer', 'SaltBridgeVoxelizer', 'CationPiVoxelizer',
+    'PiStackVoxelizer', 'HydrogenBondCounter', 'HydrogenBondVoxelizer',
+    'NeighborListAtomicCoordinates',
+    'NeighborListComplexAtomicCoordinates', 'BindingPocketFeaturizer',
+    'AtomicConformation', 'AtomicConformationFeaturizer',
+    'DMPNNFeaturizer', 'VocabularyBuilder',
+    'HuggingFaceVocabularyBuilder',
+    # lazily resolved from their model modules (see __getattr__)
+    'AtomicConvFeaturizer',
+    'ComplexNeighborListFragmentAtomicCoordinates', 'MATFeaturizer',
+    'MXMNetFeaturizer', 'GroverFeaturizer',
 ]
+
+# Featurizers that live next to their models (the reference keeps them
+# under feat/): resolved lazily to avoid a feat <-> models import cycle.
+_MODEL_FEATURIZERS = {
+    'AtomicConvFeaturizer': 'deepchem_tpu.models.atomic_conv',
+    'ComplexNeighborListFragmentAtomicCoordinates':
+        'deepchem_tpu.models.atomic_conv',
+    'MATFeaturizer': 'deepchem_tpu.models.mat',
+    'MXMNetFeaturizer': 'deepchem_tpu.models.mxmnet',
+    'GroverFeaturizer': 'deepchem_tpu.models.grover',
+}
+
+
+def __getattr__(name):
+    mod = _MODEL_FEATURIZERS.get(name)
+    if mod is None:
+        raise AttributeError(
+            f'module {__name__!r} has no attribute {name!r}')
+    import importlib
+    return getattr(importlib.import_module(mod), name)

@@ -22,7 +22,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from deepchem_tpu.chem.mol import Molecule, ATOMIC_SYMBOL
-from deepchem_tpu.feat.base import ComplexFeaturizer
+from deepchem_tpu.feat.base import ComplexFeaturizer, Featurizer
 from deepchem_tpu.utils.hash_utils import hash_ecfp, hash_ecfp_pair
 from deepchem_tpu.utils.voxel_utils import (convert_atom_to_voxel,
                                             voxelize)
@@ -432,3 +432,430 @@ def compute_all_sybyl(mol, indices=None) -> dict:
         else len(mol.atoms))
     idxs = range(n) if indices is None else indices
     return {int(i): sybyl_atom_type(mol, int(i)) for i in idxs}
+
+
+# ---------------------------------------------------------------------------
+# Standalone noncovalent-interaction featurizers (reference
+# feat/complex_featurizers/grid_featurizers.py: ChargeVoxelizer:44,
+# SaltBridgeVoxelizer:136, CationPiVoxelizer:233, PiStackVoxelizer:331,
+# HydrogenBondCounter:440, HydrogenBondVoxelizer:536).  Same
+# (ligand, protein) datapoint contract as the classes above; partial
+# charges come from the in-repo Gasteiger PEOE for bonded Molecules and
+# from AtomShim.partial_charge for fragments (the reference gets both
+# from RDKit ComputeGasteigerCharges).
+# ---------------------------------------------------------------------------
+
+#: reference grid_featurizers.py HBOND_DIST_BINS / HBOND_ANGLE_CUTOFFS
+HBOND_DIST_BINS = [(2.2, 2.5), (2.5, 3.2), (3.2, 4.0)]
+HBOND_ANGLE_CUTOFFS = [5., 50., 90.]
+
+
+def _voxelize_atom_dict(coords, centroid, feature_dict, box_width,
+                        voxel_width, nb_channel=1, dtype=np.float32):
+    # dtype='float': fractional charges vanish in voxelize's default
+    # int8 accumulator (the reference passes dtype="np.float16" here)
+    return voxelize(convert_atom_to_voxel, coords - centroid,
+                    box_width=box_width, voxel_width=voxel_width,
+                    hash_function=None, feature_dict=feature_dict,
+                    nb_channel=nb_channel, dtype='float').astype(dtype)
+
+
+def _rings_of(mol) -> List[List[int]]:
+    """Aromatic rings for pi featurizers; bond-less fragments have no
+    perceivable rings and contribute none (documented divergence: the
+    reference re-perceives protein bonds with RDKit)."""
+    if isinstance(mol, Molecule):
+        return [r for r in mol.rings()
+                if all(mol.atoms[i].is_aromatic for i in r)]
+    return []
+
+
+def _partial_charges(mol) -> np.ndarray:
+    """Gasteiger PEOE for bonded Molecules (H-folded, matching the
+    H-stripped complex structures), AtomShim charges for fragments."""
+    if isinstance(mol, Molecule):
+        from deepchem_tpu.chem.gasteiger import compute_gasteiger_charges
+        qh, qimp = compute_gasteiger_charges(mol)
+        return qh + qimp
+    return _charges(mol)
+
+
+class ChargeVoxelizer(ComplexFeaturizer):
+    """Voxelized partial charge of every atom in the complex
+    (reference grid_featurizers.py ChargeVoxelizer:44): each atom's
+    Gasteiger charge accumulates in the voxel containing it; output
+    shape (edge, edge, edge, 1)."""
+
+    def __init__(self, cutoff: float = 4.5, box_width: float = 16.0,
+                 voxel_width: float = 1.0,
+                 reduce_to_contacts: bool = True):
+        self.cutoff = cutoff
+        self.box_width = box_width
+        self.voxel_width = voxel_width
+        self.reduce_to_contacts = reduce_to_contacts
+
+    def _featurize(self, datapoint, **kwargs) -> np.ndarray:
+        lig, prot = datapoint
+        c1, m1 = _coords_and_mol(lig)
+        c2, m2 = _coords_and_mol(prot)
+        centroid = c1.mean(axis=0)
+        out = None
+        for coords, mol in ((c1, m1), (c2, m2)):
+            q = _partial_charges(mol)
+            t = _voxelize_atom_dict(
+                coords, centroid,
+                {i: float(q[i]) for i in range(len(q))},
+                self.box_width, self.voxel_width)
+            out = t if out is None else out + t
+        return out
+
+
+class SaltBridgeVoxelizer(ComplexFeaturizer):
+    """Voxelized salt-bridge counts (reference grid_featurizers.py
+    SaltBridgeVoxelizer:136): oppositely-charged cross-fragment atom
+    pairs within ``cutoff``; both endpoints' voxels are incremented
+    (the reference's deliberate double count)."""
+
+    def __init__(self, cutoff: float = 5.0, box_width: float = 16.0,
+                 voxel_width: float = 1.0):
+        self.cutoff = cutoff
+        self.box_width = box_width
+        self.voxel_width = voxel_width
+
+    def _featurize(self, datapoint, **kwargs) -> np.ndarray:
+        from deepchem_tpu.utils.noncovalent_utils import \
+            compute_salt_bridges
+        lig, prot = datapoint
+        c1, m1 = _coords_and_mol(lig)
+        c2, m2 = _coords_and_mol(prot)
+        centroid = c1.mean(axis=0)
+        pairs = compute_salt_bridges(c1, _partial_charges(m1),
+                                     c2, _partial_charges(m2),
+                                     cutoff=self.cutoff)
+        edge = int(self.box_width / self.voxel_width)
+        t = np.zeros((edge, edge, edge, 1), dtype=np.float32)
+        for coords, side in ((c1, 0), (c2, 1)):
+            rel = coords - centroid
+            for pair in pairs:
+                idx = np.floor((rel[pair[side]] + self.box_width / 2.0)
+                               / self.voxel_width).astype(int)
+                if np.all(idx >= 0) and np.all(idx < edge):
+                    t[idx[0], idx[1], idx[2], 0] += 1
+        return t
+
+
+class CationPiVoxelizer(ComplexFeaturizer):
+    """Voxelized cation-pi interaction counts (reference
+    grid_featurizers.py CationPiVoxelizer:233): cationic atoms
+    (Gasteiger charge > 0.3 or formal charge > 0) of one fragment
+    within ``cutoff`` of the other fragment's aromatic-ring centers,
+    with the ring-normal/center-to-cation angle within
+    ``angle_cutoff``; deposited at the cation's voxel."""
+
+    def __init__(self, cutoff: float = 6.5, angle_cutoff: float = 30.0,
+                 box_width: float = 16.0, voxel_width: float = 1.0):
+        self.cutoff = cutoff
+        self.angle_cutoff = angle_cutoff
+        self.box_width = box_width
+        self.voxel_width = voxel_width
+
+    def _cations(self, mol, coords) -> List[int]:
+        q = _partial_charges(mol)
+        return [int(i) for i in np.nonzero(q > 0.3)[0]]
+
+    def _featurize(self, datapoint, **kwargs) -> np.ndarray:
+        from deepchem_tpu.utils.noncovalent_utils import (
+            compute_ring_center, compute_ring_normal)
+        lig, prot = datapoint
+        c1, m1 = _coords_and_mol(lig)
+        c2, m2 = _coords_and_mol(prot)
+        centroid = c1.mean(axis=0)
+        edge = int(self.box_width / self.voxel_width)
+        t = np.zeros((edge, edge, edge, 1), dtype=np.float32)
+        sides = ((c1, m1, c2, m2), (c2, m2, c1, m1))
+        for ring_coords, ring_mol, cat_coords, cat_mol in sides:
+            rings = _rings_of(ring_mol)
+            cations = self._cations(cat_mol, cat_coords)
+            if not rings or not cations:
+                continue
+            rel = cat_coords - centroid
+            for r in rings:
+                center = compute_ring_center(ring_coords, r)
+                normal = compute_ring_normal(ring_coords, r)
+                for i in cations:
+                    v = cat_coords[i] - center
+                    dist = np.linalg.norm(v)
+                    if dist >= self.cutoff or dist < 1e-6:
+                        continue
+                    cosang = abs(np.dot(normal, v) /
+                                 (np.linalg.norm(normal) * dist))
+                    ang = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+                    if ang < self.angle_cutoff:
+                        idx = np.floor(
+                            (rel[i] + self.box_width / 2.0)
+                            / self.voxel_width).astype(int)
+                        if np.all(idx >= 0) and np.all(idx < edge):
+                            t[idx[0], idx[1], idx[2], 0] += 1
+        return t
+
+
+class PiStackVoxelizer(ComplexFeaturizer):
+    """Voxelized pi-stacking counts (reference grid_featurizers.py
+    PiStackVoxelizer:331): 2 channels — parallel stacks and T-shaped
+    stacks between cross-fragment aromatic rings; every ring atom's
+    voxel is incremented."""
+
+    def __init__(self, cutoff: float = 4.4, angle_cutoff: float = 30.0,
+                 box_width: float = 16.0, voxel_width: float = 1.0):
+        self.cutoff = cutoff
+        self.angle_cutoff = angle_cutoff
+        self.box_width = box_width
+        self.voxel_width = voxel_width
+
+    def _featurize(self, datapoint, **kwargs) -> np.ndarray:
+        from deepchem_tpu.utils.noncovalent_utils import (
+            compute_ring_center, compute_ring_normal, is_pi_parallel,
+            is_pi_t)
+        lig, prot = datapoint
+        c1, m1 = _coords_and_mol(lig)
+        c2, m2 = _coords_and_mol(prot)
+        centroid = c1.mean(axis=0)
+        edge = int(self.box_width / self.voxel_width)
+        t = np.zeros((edge, edge, edge, 2), dtype=np.float32)
+        rings1, rings2 = _rings_of(m1), _rings_of(m2)
+        geo1 = [(compute_ring_center(c1, r), compute_ring_normal(c1, r))
+                for r in rings1]
+        geo2 = [(compute_ring_center(c2, r), compute_ring_normal(c2, r))
+                for r in rings2]
+        for (r1, (ctr1, n1)) in zip(rings1, geo1):
+            for (r2, (ctr2, n2)) in zip(rings2, geo2):
+                if is_pi_parallel(ctr1, n1, ctr2, n2,
+                                  dist_cutoff=self.cutoff,
+                                  angle_cutoff=self.angle_cutoff):
+                    ch = 0
+                elif is_pi_t(ctr1, n1, ctr2, n2,
+                             dist_cutoff=self.cutoff + 1.1,
+                             angle_cutoff=self.angle_cutoff):
+                    ch = 1
+                else:
+                    continue
+                for coords, ring in ((c1, r1), (c2, r2)):
+                    rel = coords - centroid
+                    for i in ring:
+                        idx = np.floor(
+                            (rel[i] + self.box_width / 2.0)
+                            / self.voxel_width).astype(int)
+                        if np.all(idx >= 0) and np.all(idx < edge):
+                            t[idx[0], idx[1], idx[2], ch] += 1
+        return t
+
+
+def _hbond_pairs_binned(c1, m1, c2, m2, distance_bins
+                        ) -> List[List[tuple]]:
+    """Cross-fragment N/O donor-acceptor pairs per distance bin
+    (reference compute_hydrogen_bonds; the angle criterion needs
+    explicit hydrogens, which H-stripped complex structures lack —
+    the reference's own loader strips them too)."""
+    e1, e2 = _elements(m1), _elements(m2)
+    polar1 = [i for i, e in enumerate(e1) if e in ('N', 'O')]
+    polar2 = [j for j, e in enumerate(e2) if e in ('N', 'O')]
+    out: List[List[tuple]] = [[] for _ in distance_bins]
+    for i in polar1:
+        if not polar2:
+            break
+        d = np.linalg.norm(c2[polar2] - c1[i], axis=1)
+        for k, j in enumerate(polar2):
+            for b, (lo, hi) in enumerate(distance_bins):
+                if lo <= d[k] < hi:
+                    out[b].append((int(i), int(j)))
+    return out
+
+
+class HydrogenBondCounter(ComplexFeaturizer):
+    """Hydrogen-bond counts per distance bin (reference
+    grid_featurizers.py HydrogenBondCounter:440): output shape
+    ``(len(distance_bins),)``."""
+
+    def __init__(self, cutoff: float = 4.5, distance_bins=None,
+                 angle_cutoffs=None):
+        self.cutoff = cutoff
+        self.distance_bins = distance_bins or HBOND_DIST_BINS
+        self.angle_cutoffs = angle_cutoffs or HBOND_ANGLE_CUTOFFS
+
+    def _featurize(self, datapoint, **kwargs) -> np.ndarray:
+        lig, prot = datapoint
+        c1, m1 = _coords_and_mol(lig)
+        c2, m2 = _coords_and_mol(prot)
+        binned = _hbond_pairs_binned(c1, m1, c2, m2, self.distance_bins)
+        return np.array([len(b) for b in binned], dtype=np.float64)
+
+
+class HydrogenBondVoxelizer(ComplexFeaturizer):
+    """Voxelized hydrogen bonds (reference grid_featurizers.py
+    HydrogenBondVoxelizer:536): one channel per distance bin; both
+    endpoints' voxels are incremented."""
+
+    def __init__(self, cutoff: float = 4.5, box_width: float = 16.0,
+                 voxel_width: float = 1.0, distance_bins=None,
+                 angle_cutoffs=None):
+        self.cutoff = cutoff
+        self.box_width = box_width
+        self.voxel_width = voxel_width
+        self.distance_bins = distance_bins or HBOND_DIST_BINS
+        self.angle_cutoffs = angle_cutoffs or HBOND_ANGLE_CUTOFFS
+
+    def _featurize(self, datapoint, **kwargs) -> np.ndarray:
+        lig, prot = datapoint
+        c1, m1 = _coords_and_mol(lig)
+        c2, m2 = _coords_and_mol(prot)
+        centroid = c1.mean(axis=0)
+        binned = _hbond_pairs_binned(c1, m1, c2, m2, self.distance_bins)
+        edge = int(self.box_width / self.voxel_width)
+        t = np.zeros((edge, edge, edge, len(binned)), dtype=np.float32)
+        for ch, pairs in enumerate(binned):
+            for coords, side in ((c1, 0), (c2, 1)):
+                rel = coords - centroid
+                for pair in pairs:
+                    idx = np.floor(
+                        (rel[pair[side]] + self.box_width / 2.0)
+                        / self.voxel_width).astype(int)
+                    if np.all(idx >= 0) and np.all(idx < edge):
+                        t[idx[0], idx[1], idx[2], ch] += 1
+        return t
+
+
+def compute_neighbor_list_dict(coords: np.ndarray,
+                               neighbor_cutoff: float,
+                               max_num_neighbors: Optional[int] = None,
+                               periodic_box_size=None) -> dict:
+    """{atom: [neighbor ids]} within ``neighbor_cutoff`` angstroms
+    (reference complex_atomic_coordinates.py compute_neighbor_list,
+    there via mdtraj).  Minimum-image convention when
+    ``periodic_box_size`` is given; nearest-first truncation at
+    ``max_num_neighbors``, like the reference."""
+    coords = np.asarray(coords, dtype=np.float64)
+    n = len(coords)
+    delta = coords[:, None, :] - coords[None, :, :]
+    if periodic_box_size is not None:
+        box = np.asarray(periodic_box_size, dtype=np.float64)
+        delta -= np.round(delta / box) * box
+    d = np.linalg.norm(delta, axis=-1)
+    np.fill_diagonal(d, np.inf)
+    out = {}
+    for i in range(n):
+        nbrs = np.nonzero(d[i] < neighbor_cutoff)[0]
+        if max_num_neighbors is not None and \
+                len(nbrs) > max_num_neighbors:
+            nbrs = nbrs[np.argsort(d[i][nbrs])][:max_num_neighbors]
+        out[i] = [int(j) for j in nbrs]
+    return out
+
+
+class NeighborListAtomicCoordinates(Featurizer):
+    """(bohr coords, neighbor dict) for one molecule (reference
+    complex_atomic_coordinates.py NeighborListAtomicCoordinates:50)."""
+
+    def __init__(self, max_num_neighbors: Optional[int] = None,
+                 neighbor_cutoff: float = 4.0,
+                 periodic_box_size=None):
+        if neighbor_cutoff <= 0:
+            raise ValueError('neighbor_cutoff must be positive value.')
+        if max_num_neighbors is not None and (
+                not isinstance(max_num_neighbors, int)
+                or max_num_neighbors <= 0):
+            raise ValueError(
+                'max_num_neighbors must be positive integer.')
+        self.max_num_neighbors = max_num_neighbors
+        self.neighbor_cutoff = neighbor_cutoff
+        self.periodic_box_size = periodic_box_size
+        self.dtype = object
+
+    def _featurize(self, datapoint, **kwargs):
+        coords, _ = _coords_and_mol(datapoint)
+        neighbor_list = compute_neighbor_list_dict(
+            coords, self.neighbor_cutoff, self.max_num_neighbors,
+            self.periodic_box_size)
+        bohr_coords = coords / 0.52917721092
+        return (bohr_coords, neighbor_list)
+
+
+class NeighborListComplexAtomicCoordinates(ComplexFeaturizer):
+    """(merged coords, neighbor dict) for a (ligand, protein) complex
+    (reference NeighborListComplexAtomicCoordinates:102)."""
+
+    def __init__(self, max_num_neighbors: Optional[int] = None,
+                 neighbor_cutoff: float = 4.0):
+        if neighbor_cutoff <= 0:
+            raise ValueError('neighbor_cutoff must be positive value.')
+        if max_num_neighbors is not None and (
+                not isinstance(max_num_neighbors, int)
+                or max_num_neighbors <= 0):
+            raise ValueError(
+                'max_num_neighbors must be positive integer.')
+        self.max_num_neighbors = max_num_neighbors
+        self.neighbor_cutoff = neighbor_cutoff
+        self.dtype = object
+
+    def _featurize(self, datapoint, **kwargs):
+        lig, prot = datapoint
+        c1, _ = _coords_and_mol(lig)
+        c2, _ = _coords_and_mol(prot)
+        system_coords = np.concatenate([c1, c2], axis=0)
+        system_neighbor_list = compute_neighbor_list_dict(
+            system_coords, self.neighbor_cutoff,
+            self.max_num_neighbors, None)
+        return (system_coords, system_neighbor_list)
+
+
+def load_pdb_residues(path: str) -> Tuple[np.ndarray, List[str]]:
+    """(coords, residue names) from a PDB file's ATOM/HETATM records
+    (the reference gets residue names via mdtraj,
+    binding_pocket_features.py:119)."""
+    coords, residues = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith(('ATOM', 'HETATM')):
+                try:
+                    coords.append((float(line[30:38]),
+                                   float(line[38:46]),
+                                   float(line[46:54])))
+                except ValueError:
+                    continue
+                residues.append(line[17:20].strip().upper())
+    return np.asarray(coords, dtype=np.float64), residues
+
+
+class BindingPocketFeaturizer(Featurizer):
+    """Counts of each standard residue type inside each binding pocket
+    (reference feat/binding_pocket_features.py:47): output shape
+    ``(len(pockets), n_features)``.
+
+    ``featurize(protein_file, pockets)`` takes a PDB path and a list of
+    :class:`deepchem_tpu.dock.CoordinateBox` pockets (the output of a
+    ``BindingPocketFinder``).
+    """
+
+    residues = [
+        'ALA', 'ARG', 'ASN', 'ASP', 'CYS', 'GLN', 'GLU', 'GLY', 'HIS',
+        'ILE', 'LEU', 'LYS', 'MET', 'PHE', 'PRO', 'PYL', 'SER', 'SEC',
+        'THR', 'TRP', 'TYR', 'VAL', 'ASX', 'GLX'
+    ]
+
+    n_features = len(residues)
+
+    def featurize(self, protein_file: str, pockets) -> np.ndarray:  # type: ignore[override]
+        coords, res_names = load_pdb_residues(protein_file)
+        n_pockets = len(pockets)
+        n_residues = len(self.residues)
+        res_map = {r: i for i, r in enumerate(self.residues)}
+        all_features = np.zeros((n_pockets, n_residues))
+        for pocket_num, pocket in enumerate(pockets):
+            inside = [(pt[0], pt[1], pt[2]) in pocket for pt in coords]
+            for k in np.nonzero(inside)[0]:
+                r = res_names[k]
+                if r in res_map:
+                    all_features[pocket_num, res_map[r]] += 1
+                else:
+                    logger.info(
+                        'Warning: Non-standard residue in PDB file')
+        return all_features

@@ -292,3 +292,34 @@ def construct_hydrogen_bonding_info(mol: Molecule):
         if a.atomic_num == 9:
             out.append((a.index, 'Acceptor'))
     return out
+
+
+def get_atom_formal_charge_one_hot(
+        atom: Atom, allowable_set=(-2, -1, 0, 1, 2),
+        include_unknown_set: bool = True) -> List[float]:
+    """(reference molecule_feature_utils.get_atom_formal_charge_one_hot)"""
+    return one_hot_encode(atom.formal_charge, list(allowable_set),
+                          include_unknown_set)
+
+
+def get_atom_hydrogen_bonding_one_hot(atom: Atom, hbond_infos) -> List[float]:
+    """[is donor, is acceptor] from construct_hydrogen_bonding_info
+    output (reference molecule_feature_utils
+    get_atom_hydrogen_bonding_one_hot)."""
+    one_hot = [0.0, 0.0]
+    for hydrogen_bonding_type in ('Donor', 'Acceptor'):
+        for idx, t in hbond_infos:
+            if idx == atom.index and t == hydrogen_bonding_type:
+                one_hot[0 if hydrogen_bonding_type == 'Donor' else 1] = 1.0
+    return one_hot
+
+
+def get_bond_graph_distance_one_hot(
+        bond: Bond, graph_dist_matrix, allowable_set=tuple(range(1, 8)),
+        include_unknown_set: bool = True) -> List[float]:
+    """One-hot topological (shortest-path) distance between the bond's
+    endpoints, from a precomputed graph distance matrix (reference
+    molecule_feature_utils.get_bond_graph_distance_one_hot)."""
+    import numpy as _np
+    d = int(_np.asarray(graph_dist_matrix)[bond.a1, bond.a2])
+    return one_hot_encode(d, list(allowable_set), include_unknown_set)

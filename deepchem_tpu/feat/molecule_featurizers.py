@@ -733,3 +733,83 @@ class SNAPFeaturizer(MolecularFeaturizer):
         return GraphData(nodes, ei,
                          np.asarray(ef, dtype=np.float32).reshape(
                              ei.shape[1], 2))
+
+
+class DMPNNFeaturizer(MolecularFeaturizer):
+    """Chemprop D-MPNN featurization (reference
+    feat/molecule_featurizers/dmpnn_featurizer.py:353): GraphData with
+    133-dim atom features and 14-dim directed-bond features.
+
+    Atom (each one-hot carries chemprop's trailing unknown slot):
+    atomic number over the first 100 elements (101), degree 0-5 (7),
+    formal charge in {-1,-2,1,2,0} (6), chirality tag 0-3 (5), total
+    Hs 0-4 (6), hybridization SP/SP2/SP3/SP3D/SP3D2 (6), aromatic (1),
+    mass * 0.01 (1) = 133.  Bond: null-bond flag (1), type
+    single/double/triple/aromatic (4), conjugated (1), same ring (1),
+    stereo 0-5 + unknown (7) = 14.  Edges come in (u->v, v->u)
+    adjacent pairs — the layout the in-repo DMPNNModel's reverse-edge
+    lookup expects.
+
+    ``features_generators=['morgan']`` appends a 2048-bit Morgan count
+    vector as ``global_features`` (reference generate_global_features).
+    """
+
+    def __init__(self, features_generators: Optional[List[str]] = None,
+                 is_adding_hs: bool = False):
+        super().__init__()
+        if is_adding_hs:
+            raise NotImplementedError(
+                'explicit-H featurization not supported')
+        self.features_generators = features_generators
+
+    def _atom_features(self, a) -> List[float]:
+        f = fu.one_hot_encode(a.atomic_num, list(range(1, 101)), True)
+        f += fu.one_hot_encode(a.degree, [0, 1, 2, 3, 4, 5], True)
+        f += fu.one_hot_encode(a.formal_charge, [-1, -2, 1, 2, 0], True)
+        chir = {'': 0, '@': 1, '@@': 2}.get(a.chirality, 3)
+        f += fu.one_hot_encode(chir, [0, 1, 2, 3], True)
+        f += fu.one_hot_encode(a.total_hs, [0, 1, 2, 3, 4], True)
+        f += fu.one_hot_encode(a.hybridization,
+                               ['SP', 'SP2', 'SP3', 'SP3D', 'SP3D2'],
+                               True)
+        f += fu.get_atom_is_in_aromatic_one_hot(a)
+        f += [a.mass * 0.01]
+        return f
+
+    def _bond_features(self, b) -> List[float]:
+        f = [0.0]                                  # null-bond flag
+        f += fu.get_bond_type_one_hot(b)
+        f += fu.get_bond_is_conjugated_one_hot(b)
+        f += fu.get_bond_is_in_same_ring_one_hot(b)
+        f += fu.get_bond_stereo_one_hot(b)[:6] + [0.0]
+        return f
+
+    def _featurize(self, mol: Molecule, **kwargs) -> GraphData:
+        atom_feats = np.asarray(
+            [self._atom_features(a) for a in mol.atoms],
+            dtype=np.float32)
+        src, dst, bond_feats = [], [], []
+        for b in mol.bonds:
+            bf = self._bond_features(b)
+            src += [b.a1, b.a2]
+            dst += [b.a2, b.a1]
+            bond_feats += [bf, bf]
+        ei = np.array([src, dst], dtype=np.int64).reshape(2, -1)
+        ef = (np.asarray(bond_feats, dtype=np.float32)
+              if bond_feats else np.zeros((0, 14), dtype=np.float32))
+        kwargs_gd = {}
+        if self.features_generators:
+            gf = []
+            for gen in self.features_generators:
+                if gen == 'morgan':
+                    from deepchem_tpu.chem.fingerprints import \
+                        morgan_fingerprint
+                    gf.append(np.asarray(
+                        morgan_fingerprint(mol, radius=2, n_bits=2048),
+                        dtype=np.float32))
+                else:
+                    raise ValueError(
+                        f'unsupported features generator {gen!r}')
+            kwargs_gd['global_features'] = np.concatenate(gf)
+        return GraphData(node_features=atom_feats, edge_index=ei,
+                         edge_features=ef, **kwargs_gd)

@@ -168,3 +168,51 @@ class RxnFeaturizer(Featurizer):
                              max_length=self.max_length)
         return {'source_' + k: np.asarray(v) for k, v in src.items()} | \
                {'target_' + k: np.asarray(v) for k, v in tgt.items()}
+
+
+class VocabularyBuilder:
+    """Abstract vocabulary builder (reference
+    feat/vocabulary_builders/vocabulary_builder.py)."""
+
+    def build(self, dataset):
+        raise NotImplementedError()
+
+    @classmethod
+    def load(cls, fname: str):
+        raise NotImplementedError()
+
+    def save(self, fname: str):
+        raise NotImplementedError()
+
+
+class HuggingFaceVocabularyBuilder(VocabularyBuilder):
+    """Wrapper over huggingface ``tokenizers`` training algorithms
+    (reference feat/vocabulary_builders/hf_vocab.py:9).
+
+    Parameters
+    ----------
+    model: tokenizers.models.Model
+        The core tokenization algorithm (e.g. ``models.BPE``).
+    trainer: tokenizers.trainers.Trainer
+        The matching trainer (e.g. ``trainers.BpeTrainer``).
+    """
+
+    def __init__(self, model, trainer):
+        from tokenizers import Tokenizer
+        self.model = model
+        self.trainer = trainer
+        self.tokenizer = Tokenizer(model)
+
+    def build(self, paths):  # type: ignore[override]
+        """Train the algorithm on text files (list of paths)."""
+        self.tokenizer.train(paths, self.trainer)
+
+    @classmethod
+    def load(cls, fname: str):
+        """Load a trained vocabulary as a fast transformers tokenizer."""
+        from transformers import PreTrainedTokenizerFast
+        return PreTrainedTokenizerFast(tokenizer_file=fname)
+
+    def save(self, fname: str) -> None:
+        """Serialize the trained tokenizer to a json file."""
+        self.tokenizer.save(fname)

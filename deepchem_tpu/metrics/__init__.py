@@ -9,7 +9,8 @@ from deepchem_tpu.metrics.score_function import (
     cohen_kappa_score, mean_absolute_error, mean_squared_error,
     median_absolute_error, r2_score, pearson_r2_score, pearsonr,
     jaccard_index, pixel_error, prc_auc_score, rms_score, mae_score,
-    kappa_score, bedroc_score, concordance_index, rmse)
+    kappa_score, bedroc_score, concordance_index, rmse,
+    auc, precision_recall_curve, top_k_accuracy_score)
 
 __all__ = [
     'Metric', 'to_one_hot', 'from_one_hot', 'normalize_weight_shape',
@@ -21,5 +22,6 @@ __all__ = [
     'mean_absolute_error', 'mean_squared_error', 'median_absolute_error',
     'r2_score', 'pearson_r2_score', 'pearsonr', 'jaccard_index',
     'pixel_error', 'prc_auc_score', 'rms_score', 'mae_score', 'kappa_score',
+    'auc', 'precision_recall_curve', 'top_k_accuracy_score',
     'bedroc_score', 'concordance_index', 'rmse', 'genomic_metrics',
 ]

@@ -9,6 +9,7 @@ from sklearn.metrics import (                      # noqa: F401 re-exports
     accuracy_score, balanced_accuracy_score, auc, f1_score,
     jaccard_score, matthews_corrcoef, precision_recall_curve,
     precision_score, recall_score, roc_auc_score, roc_curve,
+    top_k_accuracy_score,
     cohen_kappa_score, mean_absolute_error, mean_squared_error,
     median_absolute_error, r2_score)
 

@@ -52,7 +52,8 @@ from deepchem_tpu.models.atomic_conv import (AtomicConvModel,
                                              AtomicConvFeaturizer)
 from deepchem_tpu.models.bert_encoder import BertEncoderMLM
 from deepchem_tpu.models.multitask import SingletaskToMultitask
-from deepchem_tpu.models.hf_models import HuggingFaceModel, Chemberta
+from deepchem_tpu.models.hf_models import (HuggingFaceModel, Chemberta,
+                                           MoLFormer, OneFormer)
 from deepchem_tpu.models.molgan import BasicMolGANModel
 from deepchem_tpu.models.trainer import DistributedTrainer
 from deepchem_tpu.models.infograph import (InfoGraphModel,
@@ -97,4 +98,58 @@ __all__ = [
     'GroverFeaturizer', 'GroverAtomVocabularyBuilder',
     'GroverBondVocabularyBuilder', 'FerminetModel', 'PINNModel',
     'DAGModel', 'MXMNetModel', 'MXMNetFeaturizer',
+]
+
+# ---------------------------------------------------------------------------
+# Reference-compat surface (deepchem/models/__init__.py):
+# attention/readout building blocks, bare-name model aliases, and the
+# legacy TensorGraph names the reference itself keeps as aliases
+# ("Compatibility imports for renamed TensorGraph models",
+# reference models/__init__.py:98).
+# ---------------------------------------------------------------------------
+from deepchem_tpu.models.attention_layers import (
+    ScaledDotProductAttention, SelfAttention, GroverReadout)
+
+# Bare-name aliases: the reference exports the raw torch nn.Modules
+# (GCN, GAT, ...) alongside their TorchModel wrappers.  In this
+# framework the module internals are flax classes; the public aliases
+# resolve to the working model class so `from deepchem_tpu.models
+# import GCN` keeps meaning "a usable GCN".
+GCN = GCNModel
+GAT = GATModel
+AttentiveFP = AttentiveFPModel
+Pagtn = PagtnModel
+DMPNN = DMPNNModel
+MXMNet = MXMNetModel
+CGCNN = CGCNNModel
+LCNN = LCNNModel
+
+# Legacy TensorGraph compat aliases (reference models/__init__.py:98).
+TextCNNTensorGraph = TextCNNModel
+WeaveTensorGraph = WeaveModel
+DTNNTensorGraph = DTNNModel
+DAGTensorGraph = DAGModel
+GraphConvTensorGraph = GraphConvModel
+MPNNTensorGraph = MPNNModel
+TensorflowMultitaskIRVClassifier = MultitaskIRVClassifier
+
+
+class XGBoostModel(GBDTModel):
+    """Deprecated alias of GBDTModel (reference
+    models/gbdt_models/gbdt_model.py XGBoostModel)."""
+
+    def __init__(self, *args, **kwargs):
+        import warnings
+        warnings.warn('XGBoostModel is deprecated; use GBDTModel',
+                      DeprecationWarning)
+        super().__init__(*args, **kwargs)
+
+
+__all__ += [
+    'ScaledDotProductAttention', 'SelfAttention', 'GroverReadout',
+    'GCN', 'GAT', 'AttentiveFP', 'Pagtn', 'DMPNN', 'MXMNet', 'CGCNN',
+    'LCNN', 'TextCNNTensorGraph', 'WeaveTensorGraph', 'DTNNTensorGraph',
+    'DAGTensorGraph', 'GraphConvTensorGraph', 'MPNNTensorGraph',
+    'TensorflowMultitaskIRVClassifier', 'XGBoostModel',
+    'MoLFormer', 'OneFormer',
 ]

@@ -248,3 +248,54 @@ class _SmilesTokenizerHFShim:
 
     def decode(self, ids):
         return self.tok.decode(ids)
+
+
+class MoLFormer(HuggingFaceModel):
+    """MoLFormer-XL wrapper (reference torch_models/molformer.py:10):
+    linear-attention chemical language model pretrained on ZINC+PubChem.
+
+    The published checkpoint ('ibm/MoLFormer-XL-both-10pct') is
+    hub-distributed custom code with no flax port; in this zero-egress
+    build the class accepts a local ``model=`` adapter (any flax
+    module with the HuggingFaceModel forward contract) and otherwise
+    raises with the exact requirements.  ChemBERTa (`Chemberta`) is
+    the in-repo runnable chemical-LM alternative.
+    """
+
+    def __init__(self, task: str = 'mlm', tokenizer=None,
+                 n_tasks: int = 1, model=None, **kwargs):
+        if model is None:
+            raise ImportError(
+                "MoLFormer needs the hub checkpoint "
+                "'ibm/MoLFormer-XL-both-10pct' (custom linear-attention "
+                "code, torch-only, trust_remote_code=True); this "
+                "environment has no model hub.  Pass a local flax "
+                "model= adapter, or use Chemberta for an in-repo "
+                "chemical LM.")
+        if tokenizer is None:
+            from deepchem_tpu.feat.tokenizers import SmilesTokenizer
+            tokenizer = _SmilesTokenizerHFShim(SmilesTokenizer())
+        super().__init__(model, tokenizer, task=task, n_tasks=n_tasks,
+                         **kwargs)
+
+
+class OneFormer(HuggingFaceModel):
+    """OneFormer universal image segmentation wrapper (reference
+    torch_models/oneformer.py): hub-distributed torch-only
+    architecture.  Accepts a local ``model=`` adapter; otherwise
+    raises with the requirements (no hub in this environment, no flax
+    port of OneFormer in transformers)."""
+
+    def __init__(self, segmentation_task: str = 'semantic',
+                 model_path: str = 'shi-labs/oneformer_ade20k_swin_tiny',
+                 torch_dtype=None, n_tasks: int = 1, model=None,
+                 tokenizer=None, **kwargs):
+        if model is None:
+            raise ImportError(
+                f"OneFormer needs the hub checkpoint {model_path!r} "
+                "(torch-only; transformers has no flax OneFormer); "
+                "this environment has no model hub.  Pass a local "
+                "flax model= adapter, or use UNetModel for in-repo "
+                "image segmentation.")
+        super().__init__(model, tokenizer, task='custom',
+                         n_tasks=n_tasks, **kwargs)

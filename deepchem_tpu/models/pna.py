@@ -142,3 +142,24 @@ class PNAModel(GraphModel):
         super().__init__(module, loss, output_types=output_types,
                          batch_size=batch_size, **kwargs)
         self._graph_shards = 1
+
+
+def aggregate_sum(msgs, edst, n, emask):
+    """(reference utils/graph_utils.py aggregate_sum)"""
+    return segment_sum(msgs * emask[:, None], edst, n)
+
+
+def aggregate_var(msgs, edst, n, emask):
+    """(reference utils/graph_utils.py aggregate_var)"""
+    mean = aggregate_mean(msgs, edst, n, emask)
+    sq = aggregate_mean(jnp.square(msgs), edst, n, emask)
+    return jnp.maximum(sq - jnp.square(mean), 0.0)
+
+
+def aggregate_moment(msgs, edst, n, emask, moment: int = 3):
+    """Standardized n-th moment aggregation (reference
+    utils/graph_utils.py aggregate_moment)."""
+    mean = aggregate_mean(msgs, edst, n, emask)
+    dev = msgs - mean[edst] * emask[:, None]
+    m_n = aggregate_mean(dev ** moment, edst, n, emask)
+    return jnp.sign(m_n) * jnp.abs(m_n + 1e-10) ** (1.0 / moment)

@@ -30,6 +30,7 @@ __all__ = [
     'load_bandgap', 'load_perovskite', 'load_mp_formation_energy',
     'load_mp_metallicity', 'CheckFeaturizer', 'CheckSplit',
     'load_toxcast', 'load_pcba', 'load_nci', 'load_ppb', 'load_sweetlead',
+    'load_sweet',
     'load_chembl25', 'load_hopv', 'load_kaggle', 'load_factors',
     'load_kinase', 'load_uv', 'load_zinc15', 'load_uspto', 'load_pdbbind',
     'load_membrane_permeability', 'load_flash_points',
@@ -40,3 +41,6 @@ __all__ = [
     'simulate_differential_accessibility', 'simulate_heterodimer_grammar',
     'simple_motif_embedding', 'motif_density', 'register_motif',
 ]
+
+# reference molnet/__init__.py exports the sweetlead loader as load_sweet
+load_sweet = load_sweetlead

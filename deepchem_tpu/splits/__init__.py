@@ -3,7 +3,8 @@ from deepchem_tpu.splits.splitters import (
     RandomGroupSplitter, RandomStratifiedSplitter,
     SingletaskStratifiedSplitter, MolecularWeightSplitter, ScaffoldSplitter,
     FingerprintSplitter, ButinaSplitter, MaxMinSplitter, TaskSplitter,
-    generate_scaffold, butina_cluster, TimeSplitter, TimeSplitterPDBbind)
+    generate_scaffold, butina_cluster, TimeSplitter, TimeSplitterPDBbind,
+    merge_fold_datasets)
 
 __all__ = [
     'Splitter', 'RandomSplitter', 'IndexSplitter', 'SpecifiedSplitter',
@@ -11,5 +12,5 @@ __all__ = [
     'SingletaskStratifiedSplitter', 'MolecularWeightSplitter',
     'ScaffoldSplitter', 'FingerprintSplitter', 'ButinaSplitter',
     'MaxMinSplitter', 'TaskSplitter', 'generate_scaffold', 'butina_cluster',
-    'TimeSplitter', 'TimeSplitterPDBbind',
+    'TimeSplitter', 'TimeSplitterPDBbind', 'merge_fold_datasets',
 ]

@@ -517,6 +517,20 @@ class TaskSplitter(Splitter):
         return folds
 
 
+def merge_fold_datasets(fold_datasets):
+    """Merge TaskSplitter fold datasets back together along the task
+    axis (reference splits/task_splitter.py merge_fold_datasets:9).
+    Assumes all folds share X and ids in the same order."""
+    from deepchem_tpu.data import NumpyDataset
+    if not len(fold_datasets):
+        return None
+    X = fold_datasets[0].X
+    ids = fold_datasets[0].ids
+    y = np.concatenate([f.y for f in fold_datasets], axis=1)
+    w = np.concatenate([f.w for f in fold_datasets], axis=1)
+    return NumpyDataset(X, y, w, ids)
+
+
 class TimeSplitter(Splitter):
     """Order-preserving split on a user-provided time ordering (reference
     splits/splitters.py:1623 TimeSplitterPDBbind generalized: pass

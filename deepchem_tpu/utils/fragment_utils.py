@@ -98,3 +98,35 @@ def strip_hydrogens(coords: np.ndarray, mol) -> Tuple[np.ndarray,
     keep = [i for i, z in enumerate(zs) if z != 1]
     return coords[keep], MolecularFragment(
         [atoms[i] for i in keep], coords[keep])
+
+
+def get_mol_subset(coords: np.ndarray, mol,
+                   atom_indices_to_keep) -> 'MolecularFragment':
+    """Extract a sub-fragment (reference fragment_utils.get_mol_subset).
+    Returns a MolecularFragment over the kept atoms; accepts a
+    Molecule, MolecularFragment, or anything with GetAtoms()."""
+    atoms = mol.GetAtoms() if hasattr(mol, 'GetAtoms') else mol.atoms
+    idx = list(atom_indices_to_keep)
+    coords = np.asarray(coords)
+    kept = []
+    for i in idx:
+        a = atoms[i]
+        z = a.GetAtomicNum() if hasattr(a, 'GetAtomicNum') \
+            else a.atomic_num
+        q = get_partial_charge(a)
+        kept.append(AtomShim(z, q, coords[i]))
+    return MolecularFragment(kept, coords[idx])
+
+
+def merge_molecular_fragments(molecules):
+    """Concatenate several MolecularFragments into one (reference
+    fragment_utils.merge_molecular_fragments); None for an empty
+    list."""
+    if len(molecules) == 0:
+        return None
+    all_atoms = []
+    all_coords = []
+    for m in molecules:
+        all_atoms.extend(m.GetAtoms())
+        all_coords.append(np.asarray(m.GetCoords()))
+    return MolecularFragment(all_atoms, np.concatenate(all_coords, 0))

@@ -55,3 +55,28 @@ def write_pdbqt(path: str, coords: np.ndarray, elements: List[str],
                     f'{x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00    '
                     f'{q:6.3f} {el:<2s}\n')
         f.write('ENDROOT\nTORSDOF 0\n')
+
+
+def convert_mol_to_pdbqt(mol, outfile: str) -> None:
+    """Write a small molecule with a conformer as rigid PDBQT
+    (reference pdbqt_utils.convert_mol_to_pdbqt, there via RDKit PDB
+    writing + pdbqt annotation).  Gasteiger charges fill the charge
+    column."""
+    from deepchem_tpu.chem.mol import ATOMIC_SYMBOL
+    import numpy as _np
+    coords = _np.asarray(mol.conformer, dtype=float)
+    elements = [ATOMIC_SYMBOL.get(a.atomic_num, 'C') for a in mol.atoms]
+    try:
+        from deepchem_tpu.chem.gasteiger import compute_gasteiger_charges
+        qh, qimp = compute_gasteiger_charges(mol)
+        charges = qh + qimp
+    except Exception:
+        charges = None
+    write_pdbqt(outfile, coords, elements, charges)
+
+
+def convert_protein_to_pdbqt(protein, outfile: str) -> None:
+    """Write a (coords, elements) protein structure as rigid PDBQT
+    (reference pdbqt_utils.convert_protein_to_pdbqt)."""
+    coords, elements = protein
+    write_pdbqt(outfile, coords, elements)

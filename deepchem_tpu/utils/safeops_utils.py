@@ -42,3 +42,35 @@ def occnumber(a, n: int):
     if floor < n:
         occ[floor] = a - floor
     return jnp.asarray(occ)
+
+
+def get_floor_and_ceil(aa):
+    """(floor, ceil) pair of a float (reference
+    safeops_utils.get_floor_and_ceil:256).
+
+    >>> get_floor_and_ceil(2.5)
+    (2, 3)
+    """
+    import math
+    return (int(math.floor(aa)), int(math.ceil(aa)))
+
+
+def safe_cdist(a, b, add_diag_eps: bool = False,
+               diag_inf: bool = False, eps: float = EPS):
+    """Pairwise L2 distances with a differentiation-safe zero guard
+    (reference safeops_utils.safe_cdist:287): an epsilon is added on
+    the diagonal (``add_diag_eps``) so the gradient at coincident
+    points is finite; ``diag_inf`` sets the diagonal to +inf for
+    neighbor searches.  a: (*, nr, nd), b: (*, nc, nd)."""
+    d2 = jnp.sum(jnp.square(a[..., :, None, :] - b[..., None, :, :]),
+                 axis=-1)
+    if add_diag_eps:
+        n = min(d2.shape[-2], d2.shape[-1])
+        eye = jnp.zeros(d2.shape).at[..., jnp.arange(n),
+                                     jnp.arange(n)].set(eps)
+        d2 = d2 + eye
+    d = jnp.sqrt(jnp.maximum(d2, eps * eps))
+    if diag_inf:
+        n = min(d.shape[-2], d.shape[-1])
+        d = d.at[..., jnp.arange(n), jnp.arange(n)].set(jnp.inf)
+    return d

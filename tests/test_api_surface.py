@@ -1,0 +1,97 @@
+"""Public-API surface parity with the reference (VERDICT r2: 'a user
+of the reference should be able to switch and find everything'): every
+name the reference's package __init__ files export must exist on the
+corresponding deepchem_tpu package, except a short documented list of
+framework-specific exports that have no meaning in a single-engine
+JAX framework.
+"""
+
+import pathlib
+import re
+
+import pytest
+
+REF = pathlib.Path('/root/reference/deepchem')
+
+# Names whose existence is tied to the reference's torch/keras/lightning
+# triple-backend design.  The single JAX engine (models/jax_model.py)
+# implements the same Model contract, so these have no analog by
+# design — each line documents why.
+EXCLUDED = {
+    'KerasModel',               # keras harness; single engine here
+    'TorchModel',               # torch harness; single engine here
+    'DCLightningModule',        # lightning DDP shim; Mesh/pjit here
+    'DCLightningDatasetModule',  # lightning data shim
+    'SequenceCollection',       # internal collections.abc alias, not API
+}
+
+SUBPACKAGES = ['feat', 'models', 'splits', 'trans', 'data', 'metrics',
+               'hyper', 'utils', 'dock', 'rl', 'metalearning', 'molnet']
+
+_IMPORT_RE = re.compile(
+    r'from\s+\S+\s+import\s+\(?([^)\n]+(?:\n[^)]+)*?)\)?$', re.M)
+
+
+def reference_exports(subpackage: str):
+    txt = (REF / subpackage / '__init__.py').read_text()
+    names = set()
+    for m in _IMPORT_RE.finditer(txt):
+        for n in m.group(1).split(','):
+            n = n.strip().split(' as ')[-1].strip()
+            if n and n.isidentifier() and not n.startswith('_'):
+                names.add(n)
+    return sorted(names)
+
+
+@pytest.mark.parametrize('sub', SUBPACKAGES)
+def test_reference_exports_present(sub):
+    import importlib
+    mod = importlib.import_module(f'deepchem_tpu.{sub}')
+    missing = [n for n in reference_exports(sub)
+               if n not in EXCLUDED and not hasattr(mod, n)]
+    assert not missing, (
+        f'deepchem_tpu.{sub} is missing reference exports: {missing}')
+
+
+def test_lazy_feat_exports_resolve():
+    # the __getattr__-resolved names must produce real classes
+    import deepchem_tpu.feat as feat
+    for name in ['AtomicConvFeaturizer', 'MATFeaturizer',
+                 'MXMNetFeaturizer', 'GroverFeaturizer',
+                 'ComplexNeighborListFragmentAtomicCoordinates']:
+        assert isinstance(getattr(feat, name), type), name
+
+
+def test_lazy_utils_exports_resolve():
+    import deepchem_tpu.utils as utils
+    for name in ['fourier_encode_dist', 'aggregate_mean',
+                 'aggregate_moment', 'scale_amplification',
+                 'segment_sum']:
+        assert callable(getattr(utils, name)), name
+
+
+def test_tensorgraph_aliases_are_models():
+    import deepchem_tpu.models as m
+    assert m.GraphConvTensorGraph is m.GraphConvModel
+    assert m.WeaveTensorGraph is m.WeaveModel
+    assert m.TensorflowMultitaskIRVClassifier is m.MultitaskIRVClassifier
+
+
+def test_gated_hub_models_raise_informatively():
+    import deepchem_tpu.models as m
+    with pytest.raises(ImportError, match='hub'):
+        m.MoLFormer()
+    with pytest.raises(ImportError, match='hub'):
+        m.OneFormer()
+
+
+def test_xgboost_model_deprecated_alias():
+    import warnings
+    import deepchem_tpu.models as m
+    import sklearn.ensemble
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        model = m.XGBoostModel(
+            sklearn.ensemble.GradientBoostingRegressor(n_estimators=2))
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    assert isinstance(model, m.GBDTModel)
