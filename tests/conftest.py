@@ -26,3 +26,28 @@ os.environ.setdefault('JAX_ENABLE_X64', '0')
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+
+# ---------------------------------------------------------------------------
+# XLA-CPU JIT accumulation guard.  The suite compiles hundreds of
+# executables (the DFT file alone ~70 lax.scan SCF variants); around the
+# ~70th heavy compilation in one process, XLA:CPU segfaults INSIDE
+# backend_compile (jax 0.9, reproducible: tests/test_dft_scf.py full file
+# crashes at TestRangeSeparated while every subset of the file passes,
+# RSS only ~4.5 GB — a JIT code-/resource-limit, not OOM).  Dropping
+# compiled executables periodically keeps the process under the limit;
+# cross-test executable reuse is rare (each test compiles its own
+# shapes), so the recompile cost is negligible.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_CLEAR_EVERY = 15
+_test_counter = {'n': 0}
+
+
+@pytest.fixture(autouse=True)
+def _periodic_jax_cache_clear():
+    yield
+    _test_counter['n'] += 1
+    if _test_counter['n'] % _CLEAR_EVERY == 0:
+        jax.clear_caches()

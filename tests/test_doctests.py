@@ -15,6 +15,10 @@ MODULES = [
     'deepchem_tpu.metrics.metric',
     'deepchem_tpu.feat.molecule_featurizers',
     'deepchem_tpu.models.fcnet',
+    'deepchem_tpu.utils.misc_utils',
+    'deepchem_tpu.utils.attribute_utils',
+    'deepchem_tpu.utils.coordinate_box_utils',
+    'deepchem_tpu.utils.safeops_utils',
 ]
 
 

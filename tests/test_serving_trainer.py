@@ -126,3 +126,36 @@ def test_trainer_single_device_fallback(tmp_path):
     m = _model(tmp_path)
     DistributedTrainer(max_epochs=5).fit(m, ds)
     assert m.get_global_step() > 0
+
+
+def test_export_graph_model_stablehlo(tmp_path):
+    """The flagship graph family exports to StableHLO too: a trained
+    GraphConvModel's 8-array padded-graph signature round-trips through
+    serialize/deserialize with inference parity."""
+    from deepchem_tpu.feat import ConvMolFeaturizer
+    from deepchem_tpu.models import GraphConvModel
+    from deepchem_tpu.serving import export_model, load_exported
+    smiles = ['CCO', 'c1ccccc1', 'CC(=O)O', 'CCN', 'CCCC', 'CO',
+              'c1ccncc1', 'CC(C)O', 'CCS', 'C1CCCCC1'] * 4
+    X = ConvMolFeaturizer().featurize(smiles)
+    y = np.array([[float(len(s))] for s in smiles], dtype=np.float32)
+    ds = NumpyDataset(np.array(X, dtype=object), y)
+    m = GraphConvModel(n_tasks=1, mode='regression', batch_size=8,
+                       graph_conv_layers=[16, 16], dense_layer_size=16,
+                       model_dir=str(tmp_path / 'g'))
+    m.fit(ds, nb_epoch=1, checkpoint_interval=0)
+    gen = m.default_generator(ds, epochs=1, mode='predict',
+                              pad_batches=True)
+    inputs = m._prepare_batch(next(iter(gen)))[0]
+    path = str(tmp_path / 'gcm.dc')
+    export_model(m, inputs, path)
+    ex = load_exported(path)
+    out = ex(*inputs)
+    assert np.asarray(out[0]).shape == (8, 1)
+    import jax.numpy as jnp
+    ref = m._forward(m.params, [jnp.asarray(x) for x in inputs],
+                     False, None)
+    if m.output_types is not None:
+        ref = [ref[i] for i in m._prediction_outputs]
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               rtol=1e-4, atol=1e-5)
