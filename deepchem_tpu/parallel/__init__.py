@@ -1,6 +1,11 @@
 from deepchem_tpu.parallel.mesh import (get_default_mesh, replicate,
                                         shard_batch_axis, mesh_context,
                                         device_count)
+from deepchem_tpu.parallel.tp import (BERT_TP_RULES, get_mesh_2d,
+                                      local_shard_shapes, param_specs,
+                                      shard_batch, shard_params, spec_for)
 
 __all__ = ['get_default_mesh', 'replicate', 'shard_batch_axis',
-           'mesh_context', 'device_count']
+           'mesh_context', 'device_count', 'BERT_TP_RULES', 'get_mesh_2d',
+           'local_shard_shapes', 'param_specs', 'shard_batch',
+           'shard_params', 'spec_for']

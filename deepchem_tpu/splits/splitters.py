@@ -462,13 +462,19 @@ class MaxMinSplitter(Splitter):
         n = len(f)
         num_test = n - int(frac_train * n) - int(frac_valid * n)
         num_valid = int(frac_valid * n)
-        picked = [int(rng.randint(n))]
-        min_dist = _tanimoto_dist_to(f, counts, picked[0])
-        while len(picked) < num_test + num_valid:
-            nxt = int(np.argmax(min_dist))
-            picked.append(nxt)
-            min_dist = np.minimum(min_dist,
-                                  _tanimoto_dist_to(f, counts, nxt))
+        # when nothing is requested outside train, pick NOTHING: the
+        # seed pick used to land in valid even at frac_valid=frac_test=0,
+        # silently dropping one sample from every k-fold train set
+        # (caught by tests/test_splitter_properties.py)
+        picked: List[int] = []
+        if num_test + num_valid > 0:
+            picked.append(int(rng.randint(n)))
+            min_dist = _tanimoto_dist_to(f, counts, picked[0])
+            while len(picked) < num_test + num_valid:
+                nxt = int(np.argmax(min_dist))
+                picked.append(nxt)
+                min_dist = np.minimum(min_dist,
+                                      _tanimoto_dist_to(f, counts, nxt))
         picked_set = set(picked)
         test = picked[:num_test]
         valid = picked[num_test:]
