@@ -151,8 +151,11 @@ class SpecifiedSplitter(Splitter):
 
     def __init__(self, valid_indices: Optional[Sequence[int]] = None,
                  test_indices: Optional[Sequence[int]] = None):
-        self.valid_indices = list(valid_indices or [])
-        self.test_indices = list(test_indices or [])
+        # `x or []` chokes on numpy arrays (ambiguous truth value)
+        self.valid_indices = [] if valid_indices is None \
+            else [int(i) for i in valid_indices]
+        self.test_indices = [] if test_indices is None \
+            else [int(i) for i in test_indices]
 
     def split(self, dataset, frac_train=0.8, frac_valid=0.1, frac_test=0.1,
               seed=None, log_every_n=None):

@@ -51,6 +51,15 @@ def test_specified_splitter():
     assert 1 not in tr and 3 in te and 2 in va
 
 
+def test_specified_splitter_numpy_indices():
+    # `x or []` raised on numpy arrays (ambiguous truth value) — pinned
+    ds = NumpyDataset(np.random.rand(10, 2), np.arange(10))
+    tr, va, te = SpecifiedSplitter(np.array([1, 2]), np.array([3])).split(ds)
+    assert sorted(va) == [1, 2] and list(te) == [3]
+    tr2, va2, te2 = SpecifiedSplitter(test_indices=np.array([0])).split(ds)
+    assert list(te2) == [0] and len(va2) == 0 and len(tr2) == 9
+
+
 def test_scaffold_splitter_groups_same_scaffold():
     ds = _mol_dataset()
     splitter = ScaffoldSplitter()
