@@ -23,6 +23,13 @@ from deepchem_tpu.dft.posthf import (mp2_energy, fci_2e_energy,
                                      energy_in_field, polarizability)
 from deepchem_tpu.dft.cc import (fci_energy, ccsd_energy,
                                  ccsd_t_energy)
+from deepchem_tpu.dft.orbparams import (BaseOrbParams, QROrbParams,
+                                        MatExpOrbParams,
+                                        scf_direct_minimize)
+from deepchem_tpu.dft.pbc import (Lattice, PBCIntOption,
+                                  get_default_options,
+                                  get_default_kpts, pbc_eval_gto,
+                                  pbc_overlap, pbc_kinetic)
 
 __all__ = ['lda_exchange', 'lda_correlation_vwn', 'pbe_exchange',
            'pbe_correlation', 'lda_xc', 'pbe_xc', 'NNLDA', 'NNPBE',
@@ -37,4 +44,7 @@ __all__ = ['lda_exchange', 'lda_correlation_vwn', 'pbe_exchange',
            'even_tempered_aux', 'ri_fit', 'ri_tensors', 'ri_j',
            'scf_gradient_unrestricted', 'tda_excitations',
            'cis_excitations', 'TDAResult', 'fci_energy', 'ccsd_energy',
-           'ccsd_t_energy']
+           'ccsd_t_energy', 'BaseOrbParams', 'QROrbParams',
+           'MatExpOrbParams', 'scf_direct_minimize', 'Lattice',
+           'PBCIntOption', 'get_default_options', 'get_default_kpts',
+           'pbc_eval_gto', 'pbc_overlap', 'pbc_kinetic']

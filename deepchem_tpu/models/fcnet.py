@@ -33,24 +33,51 @@ def _activation(name) -> Callable:
 
 
 class _MLPTrunk(nn.Module):
-    """Shared MLP trunk with per-layer dropout."""
+    """Shared MLP trunk with per-layer dropout.
+
+    With ``residual=True`` the trunk composes PRE-activation residual
+    blocks (reference fcnet.py:127-144: y = dense(act(x)) + x whenever
+    consecutive widths match, final activation after the loop) — the
+    form that trains deep fingerprint MLPs."""
     layer_sizes: Sequence[int]
     dropouts: Sequence[float]
     activation_fns: Sequence[Callable]
     weight_init_stddevs: Sequence[float]
     bias_init_consts: Sequence[float]
     use_kfac: bool = False    # KFACDense curvature probes (models/kfac.py)
+    residual: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        for i, size in enumerate(self.layer_sizes):
-            dense_cls = _kfac_dense() if self.use_kfac else nn.Dense
-            x = dense_cls(
+        dense_cls = _kfac_dense() if self.use_kfac else nn.Dense
+
+        def dense(i, size, h):
+            return dense_cls(
                 size,
                 kernel_init=nn.initializers.truncated_normal(
                     self.weight_init_stddevs[i]),
                 bias_init=nn.initializers.constant(
-                    self.bias_init_consts[i]))(x)
+                    self.bias_init_consts[i]))(h)
+
+        if self.residual:
+            prev_size = x.shape[-1]
+            next_act = None
+            for i, size in enumerate(self.layer_sizes):
+                y = x if next_act is None else next_act(x)
+                y = dense(i, size, y)
+                if self.dropouts[i] > 0:
+                    y = nn.Dropout(self.dropouts[i],
+                                   deterministic=not training)(y)
+                if prev_size == size:
+                    y = x + y
+                x = y
+                prev_size = size
+                next_act = self.activation_fns[i]
+            if next_act is not None:
+                x = next_act(x)
+            return x
+        for i, size in enumerate(self.layer_sizes):
+            x = dense(i, size, x)
             x = self.activation_fns[i](x)
             if self.dropouts[i] > 0:
                 x = nn.Dropout(self.dropouts[i],
@@ -79,13 +106,14 @@ class _MultitaskClassifierModule(nn.Module):
     weight_init_stddevs: Sequence[float]
     bias_init_consts: Sequence[float]
     use_kfac: bool = False
+    residual: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         x = jnp.asarray(x, jnp.float32)
         x = _MLPTrunk(self.layer_sizes, self.dropouts, self.activation_fns,
                       self.weight_init_stddevs, self.bias_init_consts,
-                      self.use_kfac)(x, training)
+                      self.use_kfac, self.residual)(x, training)
         logits = nn.Dense(self.n_tasks * self.n_classes,
                           name='output_head')(x)
         logits = logits.reshape(-1, self.n_tasks, self.n_classes)
@@ -136,7 +164,7 @@ class MultitaskClassifier(JaxModel):
                                  for a in _per_layer(activation_fns, n)),
             weight_init_stddevs=tuple(_per_layer(weight_init_stddevs, n)),
             bias_init_consts=tuple(_per_layer(bias_init_consts, n)),
-            use_kfac=use_kfac)
+            use_kfac=use_kfac, residual=residual)
         loss: Loss = SoftmaxCrossEntropy()
         if weight_decay_penalty != 0.0:
             kwargs.setdefault('regularization_loss',
@@ -176,13 +204,14 @@ class _MultitaskRegressorModule(nn.Module):
     bias_init_consts: Sequence[float]
     uncertainty: bool = False
     use_kfac: bool = False
+    residual: bool = False
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         x = jnp.asarray(x, jnp.float32)
         x = _MLPTrunk(self.layer_sizes, self.dropouts, self.activation_fns,
                       self.weight_init_stddevs, self.bias_init_consts,
-                      self.use_kfac)(x, training)
+                      self.use_kfac, self.residual)(x, training)
         y = nn.Dense(self.n_tasks, name='output_head')(x)
         if self.uncertainty:
             log_var = nn.Dense(self.n_tasks, name='uncertainty_head')(x)
@@ -220,7 +249,8 @@ class MultitaskRegressor(JaxModel):
                                  for a in _per_layer(activation_fns, n)),
             weight_init_stddevs=tuple(_per_layer(weight_init_stddevs, n)),
             bias_init_consts=tuple(_per_layer(bias_init_consts, n)),
-            uncertainty=uncertainty, use_kfac=use_kfac)
+            uncertainty=uncertainty, use_kfac=use_kfac,
+            residual=residual)
         if uncertainty:
             def loss(outputs, labels, weights):
                 y, var, _, log_var = outputs

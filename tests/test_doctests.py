@@ -19,6 +19,8 @@ MODULES = [
     'deepchem_tpu.utils.attribute_utils',
     'deepchem_tpu.utils.coordinate_box_utils',
     'deepchem_tpu.utils.safeops_utils',
+    'deepchem_tpu.dft.pbc',
+    'deepchem_tpu.dft.orbparams',
 ]
 
 
