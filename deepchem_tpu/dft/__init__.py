@@ -30,6 +30,16 @@ from deepchem_tpu.dft.pbc import (Lattice, PBCIntOption,
                                   get_default_options,
                                   get_default_kpts, pbc_eval_gto,
                                   pbc_overlap, pbc_kinetic)
+from deepchem_tpu.dft.radial import (get_xw_integration,
+                                     BaseGridTransform,
+                                     DE2Transformation,
+                                     LogM3Transformation,
+                                     TreutlerM4Transformation,
+                                     get_grid_transform, BaseGrid,
+                                     RadialGrid, SlicedRadialGrid,
+                                     BaseTruncationRules, NoTrunc,
+                                     NWChemTrunc, angular_quadrature,
+                                     pruned_molecular_grid)
 
 __all__ = ['lda_exchange', 'lda_correlation_vwn', 'pbe_exchange',
            'pbe_correlation', 'lda_xc', 'pbe_xc', 'NNLDA', 'NNPBE',
@@ -47,4 +57,10 @@ __all__ = ['lda_exchange', 'lda_correlation_vwn', 'pbe_exchange',
            'ccsd_t_energy', 'BaseOrbParams', 'QROrbParams',
            'MatExpOrbParams', 'scf_direct_minimize', 'Lattice',
            'PBCIntOption', 'get_default_options', 'get_default_kpts',
-           'pbc_eval_gto', 'pbc_overlap', 'pbc_kinetic']
+           'pbc_eval_gto', 'pbc_overlap', 'pbc_kinetic',
+           'get_xw_integration', 'BaseGridTransform',
+           'DE2Transformation', 'LogM3Transformation',
+           'TreutlerM4Transformation', 'get_grid_transform',
+           'BaseGrid', 'RadialGrid', 'SlicedRadialGrid',
+           'BaseTruncationRules', 'NoTrunc', 'NWChemTrunc',
+           'angular_quadrature', 'pruned_molecular_grid']

@@ -267,7 +267,7 @@ class DFTSystem:
                  charge: int = 0, units: str = 'angstrom',
                  n_radial: int = 50, grid_level: int = 2,
                  basis: str = 'sto-3g', density_fit: bool = False,
-                 aux_beta: float = 2.5):
+                 aux_beta: float = 2.5, grid_scheme: str = 'product'):
         coords = np.asarray(coords, dtype=np.float64)
         if units == 'angstrom':
             coords = coords * ANGSTROM_TO_BOHR
@@ -291,8 +291,20 @@ class DFTSystem:
             self.eri = ints.eri_tensor(self.basis)
         self.e_nuc = nuclear_repulsion(self.charges, coords)
         self.grid_params = (n_radial, grid_level)
-        pts, wts = molecular_grid(self.symbols, coords,
-                                  n_radial=n_radial, level=grid_level)
+        if grid_scheme == 'pruned':
+            # NWChem zone pruning over the RadialGrid/transform stack
+            # (dft/radial.py) — fewer points at matched accuracy
+            from deepchem_tpu.dft.radial import pruned_molecular_grid
+            pts, wts = pruned_molecular_grid(
+                self.symbols, coords, n_radial=n_radial,
+                prec=(9, 17, 23)[min(grid_level, 3) - 1])
+        elif grid_scheme == 'product':
+            pts, wts = molecular_grid(self.symbols, coords,
+                                      n_radial=n_radial,
+                                      level=grid_level)
+        else:
+            raise ValueError(f'unknown grid_scheme {grid_scheme!r} '
+                             "(available: 'product', 'pruned')")
         self.grid_points = pts
         self.grid_weights = wts
         self.phi, self.dphi = ints.ao_values(self.basis, pts)

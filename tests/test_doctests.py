@@ -21,6 +21,7 @@ MODULES = [
     'deepchem_tpu.utils.safeops_utils',
     'deepchem_tpu.dft.pbc',
     'deepchem_tpu.dft.orbparams',
+    'deepchem_tpu.dft.radial',
 ]
 
 
