@@ -22,6 +22,7 @@ MODULES = [
     'deepchem_tpu.dft.pbc',
     'deepchem_tpu.dft.orbparams',
     'deepchem_tpu.dft.radial',
+    'deepchem_tpu.utils.dft_utils',
 ]
 
 
