@@ -32,10 +32,7 @@ class LinearOperator:
 
     @classmethod
     def from_matrix(cls, mat: jnp.ndarray) -> 'LinearOperator':
-        mat = jnp.asarray(mat)
-        return cls(lambda x: mat @ x, mat.shape,
-                   mv_t=lambda x: mat.T @ x,
-                   is_hermitian=bool(mat.shape[0] == mat.shape[1]))
+        return MatrixLinearOperator(mat)
 
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
         return self._mv(x)
@@ -60,35 +57,17 @@ class LinearOperator:
     def matmul(self, other: 'LinearOperator') -> 'LinearOperator':
         """Operator composition A @ B (reference linop.py
         MatmulLinearOperator)."""
-        if self.shape[1] != other.shape[0]:
-            raise ValueError(
-                f'shape mismatch {self.shape} @ {other.shape}')
-        return LinearOperator(
-            lambda x: self.mv(other.mv(x)),
-            (self.shape[0], other.shape[1]),
-            mv_t=(lambda x: other.rmv(self.rmv(x)))
-            if self._mv_t and other._mv_t else None)
+        return MatmulLinearOperator(self, other)
 
     @property
     def H(self) -> 'LinearOperator':
         """Adjoint operator (reference linop.py AdjointLinearOperator)."""
         if self.is_hermitian:
             return self
-        if self._mv_t is None:
-            raise ValueError('transpose mv not provided')
-        return LinearOperator(self._mv_t,
-                              (self.shape[1], self.shape[0]),
-                              mv_t=self._mv)
+        return AdjointLinearOperator(self)
 
     def __add__(self, other: 'LinearOperator') -> 'LinearOperator':
-        if self.shape != other.shape:
-            raise ValueError(
-                f'shape mismatch {self.shape} + {other.shape}')
-        return LinearOperator(
-            lambda x: self.mv(x) + other.mv(x), self.shape,
-            mv_t=(lambda x: self.rmv(x) + other.rmv(x))
-            if self._mv_t and other._mv_t else None,
-            is_hermitian=self.is_hermitian and other.is_hermitian)
+        return AddLinearOperator(self, other)
 
     def __sub__(self, other: 'LinearOperator') -> 'LinearOperator':
         return self + (-1.0) * other
@@ -97,12 +76,66 @@ class LinearOperator:
         return (-1.0) * self
 
     def __mul__(self, c) -> 'LinearOperator':
-        return LinearOperator(lambda x: c * self.mv(x), self.shape,
-                              mv_t=(lambda x: c * self.rmv(x))
-                              if self._mv_t else None,
-                              is_hermitian=self.is_hermitian)
+        return MulLinearOperator(self, c)
 
     __rmul__ = __mul__
+
+
+class MatrixLinearOperator(LinearOperator):
+    """Dense-matrix-backed operator (reference linop.py
+    MatrixLinearOperator)."""
+
+    def __init__(self, mat: jnp.ndarray):
+        mat = jnp.asarray(mat)
+        self.mat = mat
+        super().__init__(
+            lambda x: mat @ x, mat.shape, mv_t=lambda x: mat.T @ x,
+            is_hermitian=bool(mat.shape[0] == mat.shape[1]))
+
+
+class AddLinearOperator(LinearOperator):
+    """A + B (reference linop.py AddLinearOperator)."""
+
+    def __init__(self, a: LinearOperator, b: LinearOperator):
+        if a.shape != b.shape:
+            raise ValueError(f'shape mismatch {a.shape} + {b.shape}')
+        super().__init__(
+            lambda x: a.mv(x) + b.mv(x), a.shape,
+            mv_t=(lambda x: a.rmv(x) + b.rmv(x))
+            if a._mv_t and b._mv_t else None,
+            is_hermitian=a.is_hermitian and b.is_hermitian)
+
+
+class MulLinearOperator(LinearOperator):
+    """c * A for scalar c (reference linop.py MulLinearOperator)."""
+
+    def __init__(self, a: LinearOperator, c):
+        super().__init__(lambda x: c * a.mv(x), a.shape,
+                         mv_t=(lambda x: c * a.rmv(x))
+                         if a._mv_t else None,
+                         is_hermitian=a.is_hermitian)
+
+
+class MatmulLinearOperator(LinearOperator):
+    """A @ B (reference linop.py MatmulLinearOperator)."""
+
+    def __init__(self, a: LinearOperator, b: LinearOperator):
+        if a.shape[1] != b.shape[0]:
+            raise ValueError(f'shape mismatch {a.shape} @ {b.shape}')
+        super().__init__(
+            lambda x: a.mv(b.mv(x)), (a.shape[0], b.shape[1]),
+            mv_t=(lambda x: b.rmv(a.rmv(x)))
+            if a._mv_t and b._mv_t else None)
+
+
+class AdjointLinearOperator(LinearOperator):
+    """A^H (reference linop.py AdjointLinearOperator)."""
+
+    def __init__(self, a: LinearOperator):
+        if a._mv_t is None:
+            raise ValueError('transpose mv not provided')
+        super().__init__(a._mv_t, (a.shape[1], a.shape[0]),
+                         mv_t=a._mv)
 
 
 def solve(A: LinearOperator, b: jnp.ndarray,
@@ -841,3 +874,373 @@ def adam(fcn: Callable, x0, lr: float = 0.05, beta1: float = 0.9,
         step, (x0, jnp.zeros_like(x0), jnp.zeros_like(x0)),
         jnp.arange(maxiter))
     return x
+
+
+# ---------------------------------------------------------------------------
+# Reference-name surface: solver aliases, broadcast/dict helpers, and
+# the functionalization shims (reference differentiation_utils exports
+# that remain after the JAX redesign collapses xitorch's autograd
+# machinery into plain function composition).
+
+def cg(A: LinearOperator, B: jnp.ndarray, **kwargs) -> jnp.ndarray:
+    """Conjugate-gradient solve with a matrix RHS [n, ncols]
+    (reference solve.py cg)."""
+    B = jnp.asarray(B)
+    if B.ndim == 1:
+        return cg_solve(A.mv, B, **kwargs)
+    return jax.vmap(lambda b: cg_solve(A.mv, b, **kwargs),
+                    in_axes=1, out_axes=1)(B)
+
+
+def gmres(A: LinearOperator, B: jnp.ndarray, **kwargs) -> jnp.ndarray:
+    """Restarted-GMRES solve with a matrix RHS (reference solve.py
+    gmres)."""
+    B = jnp.asarray(B)
+    mv_t = A._mv_t
+    if B.ndim == 1:
+        return gmres_solve(A.mv, B, mv_t=mv_t, **kwargs)
+    return jax.vmap(lambda b: gmres_solve(A.mv, b, mv_t=mv_t, **kwargs),
+                    in_axes=1, out_axes=1)(B)
+
+
+wrap_gmres = gmres
+
+
+def bicgstab(A: LinearOperator, B: jnp.ndarray, **kwargs) -> jnp.ndarray:
+    """BiCGStab solve with a matrix RHS (reference solve.py
+    bicgstab)."""
+    B = jnp.asarray(B)
+    mv_t = A._mv_t
+    if B.ndim == 1:
+        return bicgstab_solve(A.mv, B, mv_t=mv_t, **kwargs)
+    return jax.vmap(
+        lambda b: bicgstab_solve(A.mv, b, mv_t=mv_t, **kwargs),
+        in_axes=1, out_axes=1)(B)
+
+
+broyden1 = broyden
+broyden1_solve = broyden
+
+
+def broyden2(fcn: Callable, x0: jnp.ndarray, maxiter: int = 50,
+             tol: float = 1e-9, alpha: float = -1.0) -> jnp.ndarray:
+    """Broyden's SECOND ("bad") method: rank-1 updates of the inverse
+    Jacobian using dx = -H f, H <- H + (s - H y) y^T / (y^T y)
+    (reference rootfinder broyden2), with the same implicit-diff
+    custom_root wrapper as broyden1."""
+    x0 = jnp.asarray(x0, dtype=jnp.result_type(float))
+    shape = x0.shape
+
+    def f_flat(z):
+        return jnp.ravel(fcn(z.reshape(shape)))
+
+    def solve_fn(f, z0):
+        n = z0.shape[0]
+
+        def body(state):
+            x, fx, H, it = state
+            dx = -H @ fx
+            x_new = x + dx
+            f_new = f(x_new)
+            y = f_new - fx
+            yy = jnp.vdot(y, y)
+            H_new = H + jnp.outer(dx - H @ y, y) / jnp.maximum(yy,
+                                                               1e-30)
+            H_new = jnp.where(yy > 1e-30, H_new, H)
+            return x_new, f_new, H_new, it + 1
+
+        def cond(state):
+            _, fx, _, it = state
+            return jnp.logical_and(jnp.vdot(fx, fx) > tol,
+                                   it < maxiter)
+
+        H0 = -alpha * jnp.eye(n, dtype=z0.dtype)
+        x, *_ = jax.lax.while_loop(cond, body,
+                                   (z0, f(z0), H0, 0))
+        return x
+
+    def tangent_solve(g, y):
+        n = y.shape[0]
+        J = jax.vmap(g, in_axes=1, out_axes=1)(jnp.eye(n,
+                                                       dtype=y.dtype))
+        return jnp.linalg.solve(J, y)
+
+    xr = jax.lax.custom_root(f_flat, x0.reshape(-1), solve_fn,
+                             tangent_solve)
+    return xr.reshape(shape)
+
+
+def linearmixing(fcn: Callable, x0: jnp.ndarray, maxiter: int = 100,
+                 tol: float = 1e-9, alpha: float = -1.0) -> jnp.ndarray:
+    """Damped fixed-point/root iteration x <- x - alpha f(x)
+    (reference rootfinder linearmixing) with implicit-diff gradients."""
+    x0 = jnp.asarray(x0, dtype=jnp.result_type(float))
+    shape = x0.shape
+
+    def f_flat(z):
+        return jnp.ravel(fcn(z.reshape(shape)))
+
+    def solve_fn(f, z0):
+        def body(state):
+            x, it = state
+            return x + alpha * f(x), it + 1
+
+        def cond(state):
+            x, it = state
+            fx = f(x)
+            return jnp.logical_and(jnp.vdot(fx, fx) > tol,
+                                   it < maxiter)
+        x, _ = jax.lax.while_loop(cond, body, (z0, 0))
+        return x
+
+    def tangent_solve(g, y):
+        n = y.shape[0]
+        J = jax.vmap(g, in_axes=1, out_axes=1)(jnp.eye(n,
+                                                       dtype=y.dtype))
+        return jnp.linalg.solve(J, y)
+
+    xr = jax.lax.custom_root(f_flat, x0.reshape(-1), solve_fn,
+                             tangent_solve)
+    return xr.reshape(shape)
+
+
+def lsymeig(A, neig: Optional[int] = None, **kwargs):
+    """Lowest-``neig`` eigenpairs of a Hermitian operator (reference
+    symeig.py lsymeig)."""
+    return symeig(A, neig=neig, mode='lowest', **kwargs)
+
+
+def usymeig(A, neig: Optional[int] = None, **kwargs):
+    """Highest-``neig`` eigenpairs (reference symeig.py usymeig)."""
+    return symeig(A, neig=neig, mode='uppest', **kwargs)
+
+
+def svd(A, k: Optional[int] = None
+        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Differentiable (truncated) SVD of a LinearOperator or matrix
+    (reference linop svd): right vectors from symeig of A^T A, left
+    vectors from A v / s."""
+    mat = A.fullmatrix() if isinstance(A, LinearOperator) \
+        else jnp.asarray(A)
+    evals, V = jnp.linalg.eigh(mat.T @ mat)
+    order = jnp.argsort(-evals)
+    evals, V = evals[order], V[:, order]
+    if k is not None:
+        evals, V = evals[:k], V[:, :k]
+    s = jnp.sqrt(jnp.maximum(evals, 1e-300))
+    U = (mat @ V) / s[None, :]
+    return U, s, V.T
+
+
+def jac(fcn: Callable, x: jnp.ndarray) -> LinearOperator:
+    """The Jacobian of ``fcn`` at ``x`` as a matrix-free
+    LinearOperator: mv = jvp, rmv = vjp (reference grad/jachess.py
+    jac) — in JAX the linearization IS the operator."""
+    x = jnp.asarray(x)
+    y, jvp_fn = jax.linearize(fcn, x)
+    _, vjp_fn = jax.vjp(fcn, x)
+    return LinearOperator(jvp_fn, (y.size, x.size),
+                          mv_t=lambda v: vjp_fn(v)[0])
+
+
+# --------------------------------------------- misc xitorch helpers
+
+def dot(A, x: jnp.ndarray) -> jnp.ndarray:
+    """A @ x for LinearOperator or array A (reference solve.py dot)."""
+    if isinstance(A, LinearOperator):
+        return A.mv(x) if x.ndim == 1 else A.mm(x)
+    return jnp.asarray(A) @ x
+
+
+def safedenom(x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Push tiny denominators away from zero keeping their sign
+    (reference solve.py safedenom)."""
+    sign = jnp.where(x >= 0, 1.0, -1.0)
+    return jnp.where(jnp.abs(x) < eps, sign * eps, x)
+
+
+def normalize_bcast_dims(*shapes):
+    """Left-pad shapes with 1s to a common rank (reference
+    utils/bcast.py)."""
+    maxlen = max(len(s) for s in shapes)
+    return [[1] * (maxlen - len(s)) + list(s) for s in shapes]
+
+
+def get_bcasted_dims(*shapes):
+    """Broadcasted result shape of the padded shapes."""
+    shapes = normalize_bcast_dims(*shapes)
+    return [max(dims) for dims in zip(*shapes)]
+
+
+def match_dim(*xs: jnp.ndarray, contiguous: bool = False):
+    """Broadcast all arrays' batch dims (all but the last two) to a
+    common shape (reference utils/bcast.py match_dim)."""
+    batch_shapes = [x.shape[:-2] for x in xs]
+    bdims = tuple(get_bcasted_dims(*batch_shapes))
+    return tuple(jnp.broadcast_to(x, bdims + x.shape[-2:]) for x in xs)
+
+
+def get_batchdims(a: jnp.ndarray, na: int, b: Optional[jnp.ndarray],
+                  nb: Optional[int]):
+    """Common batch shape of two batched matrices (reference
+    solve.py get_batchdims)."""
+    if b is not None:
+        return get_bcasted_dims(a.shape[:-na], b.shape[:-nb])
+    return list(a.shape[:-na])
+
+
+def set_default_option(defopt: dict, opt: Optional[dict]) -> dict:
+    """Overlay user options on defaults (reference utils/misc.py)."""
+    out = dict(defopt)
+    if opt:
+        out.update(opt)
+    return out
+
+
+def get_and_pop_keys(d: dict, keys) -> dict:
+    """Remove ``keys`` from d and return them as a new dict (reference
+    utils/misc.py)."""
+    return {k: d.pop(k) for k in list(keys)}
+
+
+def get_method(algname: str, methods: dict, method):
+    """Resolve a method that may be a name or a callable (reference
+    utils/misc.py get_method)."""
+    if callable(method):
+        return method
+    if isinstance(method, str) and method.lower() in methods:
+        return methods[method.lower()]
+    raise RuntimeError(
+        f'invalid method {method!r} for {algname} '
+        f'(available: {sorted(methods)})')
+
+
+class dummy_context_manager:
+    """No-op context manager (reference utils/misc.py)."""
+
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *exc):
+        return False
+
+
+def assert_runtime(cond, msg: str = '') -> None:
+    """Raise RuntimeError unless cond (reference utils/assertfuncs.py)."""
+    if not cond:
+        raise RuntimeError(msg)
+
+
+def make_sibling(*pfuncs) -> Callable:
+    """Decorator marking a function as a sibling of pure functions —
+    xitorch uses this to register shared autograd state; with JAX
+    functions already pure it simply tags and returns the function
+    (reference utils/misc.py make_sibling, degenerate by design)."""
+    def decorator(fcn):
+        fcn._siblings = pfuncs
+        return fcn
+    return decorator
+
+
+# --------------------------------- functionalization (EditableModule)
+
+class EditableModule:
+    """Parameter-carrying object whose methods can be functionalized
+    (reference editable_module.py).  xitorch needs this to thread
+    tensors through torch autograd; in JAX the same contract is three
+    small methods over named attributes."""
+
+    def getparamnames(self, methodname: str, prefix: str = ''):
+        raise NotImplementedError
+
+    def getparams(self, methodname: str):
+        return [_rgetattr(self, name)
+                for name in self.getparamnames(methodname)]
+
+    def setparams(self, methodname: str, *params):
+        names = self.getparamnames(methodname)
+        for name, val in zip(names, params):
+            _rsetattr(self, name, val)
+        return len(names)
+
+
+def _rgetattr(obj, name: str):
+    for part in name.split('.'):
+        obj = getattr(obj, part)
+    return obj
+
+
+def _rsetattr(obj, name: str, val):
+    parts = name.split('.')
+    for part in parts[:-1]:
+        obj = getattr(obj, part)
+    setattr(obj, parts[-1], val)
+
+
+class PureFunction:
+    """A bound method turned into a pure function of (params, *args)
+    (reference pure_function.py PureFunction): captures the object's
+    parameters so solvers can differentiate through them explicitly."""
+
+    def __init__(self, fcn: Callable):
+        self._fcn = fcn
+        obj = getattr(fcn, '__self__', None)
+        self._obj = obj if isinstance(obj, EditableModule) else None
+        self._method = fcn.__name__ if self._obj is not None else None
+
+    def objparams(self):
+        if self._obj is None:
+            return []
+        return self._obj.getparams(self._method)
+
+    def __call__(self, *args, **kwargs):
+        return self._fcn(*args, **kwargs)
+
+    def useobjparams(self, params):
+        """Context manager temporarily swapping the object's params."""
+        outer = self
+
+        class _Swap:
+            def __enter__(self):
+                if outer._obj is not None:
+                    self._saved = outer._obj.getparams(outer._method)
+                    outer._obj.setparams(outer._method, *params)
+                return outer
+
+            def __exit__(self, *exc):
+                if outer._obj is not None:
+                    outer._obj.setparams(outer._method, *self._saved)
+                return False
+        return _Swap()
+
+
+def get_pure_function(fcn: Callable) -> PureFunction:
+    """Wrap a callable/bound method as a PureFunction (reference
+    pure_function.py get_pure_function)."""
+    return fcn if isinstance(fcn, PureFunction) else PureFunction(fcn)
+
+
+# ------------------------------------------------- solver plumbing
+
+def setup_precond(precond: Optional[LinearOperator] = None) -> Callable:
+    """Return a preconditioner-apply function (identity when None)
+    (reference solve.py setup_precond)."""
+    if precond is None:
+        return lambda x: x
+    return lambda x: (precond.mv(x) if x.ndim == 1 else precond.mm(x))
+
+
+def setup_linear_problem(A: LinearOperator, B: jnp.ndarray,
+                         E: Optional[jnp.ndarray] = None,
+                         M: Optional[LinearOperator] = None):
+    """Reduce (A - E M) x = B to a plain matvec + RHS pair (reference
+    solve.py setup_linear_problem: the generalized shifted problem
+    every symeig/solve backward needs).  Returns (matvec, B)."""
+    if E is None:
+        return A.mv, jnp.asarray(B)
+    E = jnp.asarray(E)
+    M_mv = M.mv if M is not None else (lambda x: x)
+
+    def matvec(x):
+        return A.mv(x) - E * M_mv(x)
+    return matvec, jnp.asarray(B)

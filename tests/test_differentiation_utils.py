@@ -411,3 +411,173 @@ class TestIntegratorsAndMisc:
                                      maxiter=800) - 2).max()) < 1e-6
         assert float(jnp.abs(du.gd(f, jnp.zeros(3), lr=0.2,
                                    maxiter=300) - 2).max()) < 1e-6
+
+
+class TestReferenceSurface:
+    """The remaining reference differentiation_utils exports (typed
+    operator classes, solver aliases, xitorch misc/functionalization
+    helpers) behave, not just import."""
+
+    def test_typed_operator_classes(self):
+        from deepchem_tpu.utils import differentiation_utils as du
+        rng = np.random.RandomState(0)
+        Am = rng.randn(4, 4)
+        Bm = rng.randn(4, 3)
+        A = du.LinearOperator.from_matrix(jnp.asarray(Am))
+        B = du.LinearOperator.from_matrix(jnp.asarray(Bm))
+        assert isinstance(A, du.MatrixLinearOperator)
+        assert isinstance(A + A, du.AddLinearOperator)
+        assert isinstance(2.0 * A, du.MulLinearOperator)
+        assert isinstance(A @ B, du.MatmulLinearOperator)
+        assert isinstance(B.H, du.AdjointLinearOperator)
+        assert np.allclose((A + 2.0 * A).fullmatrix(), 3 * Am,
+                           atol=1e-12)
+        assert np.allclose((A @ B).fullmatrix(), Am @ Bm, atol=1e-12)
+        assert np.allclose(B.H.fullmatrix(), Bm.T, atol=1e-12)
+        with pytest.raises(ValueError):
+            B + A
+        with pytest.raises(ValueError):
+            B @ B
+
+    def test_matrix_rhs_solvers(self):
+        from deepchem_tpu.utils import differentiation_utils as du
+        rng = np.random.RandomState(1)
+        M = rng.randn(6, 6)
+        spd = M @ M.T + 6 * np.eye(6)
+        B = rng.randn(6, 2)
+        x_ref = np.linalg.solve(spd, B)
+        A = du.LinearOperator.from_matrix(jnp.asarray(spd))
+        for solver in (du.cg, du.gmres, du.bicgstab, du.wrap_gmres):
+            X = solver(A, jnp.asarray(B))
+            assert np.allclose(X, x_ref, atol=1e-5), solver.__name__
+        # vector RHS path
+        x1 = du.cg(A, jnp.asarray(B[:, 0]))
+        assert np.allclose(x1, x_ref[:, 0], atol=1e-6)
+
+    def test_broyden2_and_linearmixing(self):
+        from deepchem_tpu.utils import differentiation_utils as du
+
+        def make(a):
+            return lambda x: jnp.tanh(a * x) - x + 0.3
+
+        root2 = du.broyden2(make(0.5), jnp.zeros(1))
+        assert float(jnp.abs(make(0.5)(root2)).max()) < 1e-4
+        # f' in (-1, -0.5) here, so the damped iteration contracts
+        # for positive alpha (|1 + alpha f'| < 1)
+        rootm = du.linearmixing(make(0.5), jnp.zeros(1), alpha=0.8)
+        assert float(jnp.abs(make(0.5)(rootm)).max()) < 1e-4
+        assert np.allclose(root2, rootm, atol=1e-4)
+        # implicit gradient vs finite differences
+        g = jax.grad(lambda a: du.broyden2(make(a),
+                                           jnp.zeros(1)).sum())(0.5)
+        h = 1e-5
+        fd = (du.broyden2(make(0.5 + h), jnp.zeros(1)).sum()
+              - du.broyden2(make(0.5 - h), jnp.zeros(1)).sum()) / (2 * h)
+        assert abs(float(g) - float(fd)) < 1e-4
+
+    def test_lsymeig_usymeig_svd(self):
+        from deepchem_tpu.utils import differentiation_utils as du
+        rng = np.random.RandomState(2)
+        M = rng.randn(5, 5)
+        S = jnp.asarray(M + M.T)
+        lo, Vlo = du.lsymeig(du.LinearOperator.from_matrix(S), neig=2)
+        hi, Vhi = du.usymeig(du.LinearOperator.from_matrix(S), neig=2)
+        w = np.linalg.eigvalsh(np.asarray(S))
+        assert np.allclose(lo, w[:2], atol=1e-10)
+        assert np.allclose(hi, w[-2:], atol=1e-10)
+        U, s, Vt = du.svd(du.LinearOperator.from_matrix(
+            jnp.asarray(M)))
+        assert np.allclose(U * s[None, :] @ Vt, M, atol=1e-8)
+        s_ref = np.linalg.svd(M, compute_uv=False)
+        assert np.allclose(np.sort(s)[::-1], s_ref, atol=1e-8)
+        U2, s2, _ = du.svd(jnp.asarray(M), k=2)
+        assert s2.shape == (2,) and np.allclose(s2, s_ref[:2],
+                                                atol=1e-8)
+
+    def test_jac_operator(self):
+        from deepchem_tpu.utils import differentiation_utils as du
+
+        def f(x):
+            return jnp.stack([x[0] * x[1], jnp.sin(x[2]),
+                              x.sum()])
+
+        x0 = jnp.asarray([1.0, 2.0, 0.5])
+        J = du.jac(f, x0)
+        Jm = jax.jacobian(f)(x0)
+        assert np.allclose(J.fullmatrix(), Jm, atol=1e-12)
+        v = jnp.asarray([0.3, -0.2, 0.1])
+        assert np.allclose(J.H.mv(v), Jm.T @ v, atol=1e-12)
+
+    def test_misc_helpers(self):
+        from deepchem_tpu.utils import differentiation_utils as du
+        A = du.LinearOperator.from_matrix(jnp.eye(2) * 3.0)
+        assert np.allclose(du.dot(A, jnp.ones(2)), 3.0)
+        assert np.allclose(du.dot(jnp.eye(2), jnp.ones(2)), 1.0)
+        sd = du.safedenom(jnp.asarray([1e-20, -1e-20, 2.0]), 1e-10)
+        assert float(sd[0]) == 1e-10 and float(sd[1]) == -1e-10 \
+            and float(sd[2]) == 2.0
+        assert du.normalize_bcast_dims([3, 2], [4, 1, 2]) \
+            == [[1, 3, 2], [4, 1, 2]]
+        assert du.get_bcasted_dims([3, 1], [1, 5]) == [3, 5]
+        a = jnp.zeros((2, 1, 3, 3))
+        b = jnp.zeros((4, 3, 3))
+        am, bm = du.match_dim(a, b)
+        assert am.shape == (2, 4, 3, 3) and bm.shape == (2, 4, 3, 3)
+        assert du.get_batchdims(a, 2, b, 2) == [2, 4]
+        opt = du.set_default_option({'a': 1, 'b': 2}, {'b': 3})
+        assert opt == {'a': 1, 'b': 3}
+        d = {'x': 1, 'y': 2, 'z': 3}
+        popped = du.get_and_pop_keys(d, ['x', 'z'])
+        assert popped == {'x': 1, 'z': 3} and d == {'y': 2}
+        assert du.get_method('alg', {'cg': du.cg}, 'cg') is du.cg
+        with pytest.raises(RuntimeError):
+            du.get_method('alg', {}, 'nope')
+        with du.dummy_context_manager():
+            pass
+        du.assert_runtime(True)
+        with pytest.raises(RuntimeError):
+            du.assert_runtime(False, 'boom')
+
+        @du.make_sibling(du.cg)
+        def child(x):
+            return x
+        assert child._siblings == (du.cg,)
+
+    def test_editable_module_and_pure_function(self):
+        from deepchem_tpu.utils import differentiation_utils as du
+
+        class Quad(du.EditableModule):
+            def __init__(self, a, b):
+                self.a = a
+                self.b = b
+
+            def f(self, x):
+                return self.a * x ** 2 + self.b
+
+            def getparamnames(self, methodname, prefix=''):
+                assert methodname == 'f'
+                return [prefix + 'a', prefix + 'b']
+
+        q = Quad(2.0, 1.0)
+        assert q.getparams('f') == [2.0, 1.0]
+        q.setparams('f', 3.0, 0.5)
+        assert q.a == 3.0 and q.b == 0.5
+        pf = du.get_pure_function(q.f)
+        assert du.get_pure_function(pf) is pf
+        assert pf(2.0) == 3.0 * 4 + 0.5
+        assert pf.objparams() == [3.0, 0.5]
+        with pf.useobjparams([1.0, 0.0]):
+            assert pf(2.0) == 4.0
+        assert q.a == 3.0   # restored on exit
+
+    def test_setup_precond_and_linear_problem(self):
+        from deepchem_tpu.utils import differentiation_utils as du
+        P = du.LinearOperator.from_matrix(jnp.eye(3) * 0.5)
+        apply_p = du.setup_precond(P)
+        assert np.allclose(apply_p(jnp.ones(3)), 0.5)
+        assert np.allclose(du.setup_precond(None)(jnp.ones(3)), 1.0)
+        A = du.LinearOperator.from_matrix(jnp.diag(
+            jnp.asarray([2.0, 3.0, 4.0])))
+        mv, B = du.setup_linear_problem(A, jnp.ones(3), E=jnp.asarray(1.0))
+        # (A - E I) x
+        assert np.allclose(mv(jnp.ones(3)), jnp.asarray([1.0, 2.0, 3.0]))
