@@ -573,7 +573,8 @@ class BAMLoader(SAMLoader):
 
 class CRAMLoader(SAMLoader):
     """Load aligned reads from CRAM files (reference
-    data_loader.py:2087); CRAM codecs require pysam."""
+    data_loader.py:2087); decoded by the in-repo pure-Python CRAM 3.0
+    reader (``utils/cramlib.py``), no pysam needed."""
 
     def __init__(self, featurizer=None):
         if featurizer is None:

@@ -1,11 +1,11 @@
 """Aligned-read featurizers (reference deepchem/feat/bio_seq_featurizer.py
 SAMFeaturizer:19, BAMFeaturizer:104, CRAMFeaturizer:253).
 
-SAM is parsed as text and BAM with the in-repo pure-Python BGZF/BAM
-reader (``deepchem_tpu.utils.bamlib``), so neither needs pysam; if
-pysam IS installed it is preferred (identical output layout).  CRAM
-(reference-based compression, custom codecs) stays gated on pysam,
-matching the reference's optional-dependency behavior.
+SAM is parsed as text, BAM with the in-repo pure-Python BGZF/BAM
+reader (``deepchem_tpu.utils.bamlib``), and CRAM with the in-repo
+CRAM 3.0 reader (``deepchem_tpu.utils.cramlib``: rANS 4x8 + gzip
+codecs, read-feature sequence reconstruction) — none need pysam; if
+pysam IS installed it is preferred (identical output layout).
 
 Column layouts match the reference exactly:
 - SAMFeaturizer rows: [query_name, query_sequence, query_length,
@@ -211,11 +211,14 @@ class BAMFeaturizer(SAMFeaturizer):
 class CRAMFeaturizer(SAMFeaturizer):
     """(reference bio_seq_featurizer.py CRAMFeaturizer): emits the SAM
     7-column layout, NOT the BAM 9-column one — matching the reference's
-    class hierarchy.  CRAM decoding needs htslib's codec stack — gated
-    on pysam."""
+    class hierarchy.  Decoding uses the in-repo pure-Python CRAM 3.0
+    reader (``utils/cramlib.py``: container framing, rANS 4x8 + gzip
+    codecs, read-feature sequence reconstruction) so no pysam/htslib is
+    needed; when pysam IS installed it is preferred (identical layout)."""
 
     def featurize(self, path: str) -> np.ndarray:
-        if not _HAS_PYSAM:
-            raise ImportError('CRAMFeaturizer requires pysam (CRAM '
-                              'codecs); BAM/SAM work without it')
-        return self.get_features(pysam.AlignmentFile(path, 'rc'))
+        if _HAS_PYSAM:
+            return self.get_features(pysam.AlignmentFile(path, 'rc'))
+        from deepchem_tpu.utils.cramlib import read_cram
+        return self.get_features(_RecordIter(read_cram(
+            path, max_records=self.max_records).records))
