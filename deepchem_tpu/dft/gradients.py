@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from deepchem_tpu.dft import integrals as ints
 from deepchem_tpu.dft.integrals import _pack_basis
 from deepchem_tpu.dft.scf import (DFTSystem, KohnShamSCF, _exc_energy,
+                                  f32_matmuls,
                                   eigh_safe)
 
 #: symmetric (axis, axis) -> packed 6-component hessian index
@@ -107,6 +108,7 @@ def _nuclear_repulsion_grad(charges, coords: np.ndarray) -> np.ndarray:
     return g
 
 
+@f32_matmuls
 def scf_gradient(system: DFTSystem, xc='hf', iterations: int = 80,
                  mixing: float = 0.5,
                  calc=None) -> Tuple[float, np.ndarray]:
@@ -393,6 +395,7 @@ def harmonic_frequencies(symbols, coords, xc='hf',
     return freqs, V
 
 
+@f32_matmuls
 def scf_gradient_unrestricted(system: DFTSystem, xc='lda',
                               spin: Optional[int] = None,
                               iterations: int = 80,

@@ -26,6 +26,8 @@ from typing import Callable, List, Optional
 import jax
 import jax.numpy as jnp
 
+from deepchem_tpu.dft.scf import f32_matmuls
+
 __all__ = ['BaseOrbParams', 'QROrbParams', 'MatExpOrbParams',
            'scf_direct_minimize']
 
@@ -156,6 +158,7 @@ def _electronic_energy(D, H, eri, exc_fn, phi, dphi, weights,
     return E
 
 
+@f32_matmuls
 def scf_direct_minimize(system, xc='hf', maxiter: int = 200,
                         tol: float = 1e-12,
                         perturbation: Optional[Callable] = None):

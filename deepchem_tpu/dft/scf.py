@@ -40,6 +40,26 @@ ANGSTROM_TO_BOHR = 1.0 / 0.52917721092
 _RHO_SCREEN = 1e-10
 
 
+def f32_matmuls(fn):
+    """Force true-f32 matmul precision inside ``fn``.
+
+    TPU executes f32 matmuls at bf16 MXU precision by default — fine
+    for neural nets, fatal for SCF: H2/STO-3G Hartree-Fock converges
+    8.8 mHa high (-1.10789 vs the literature -1.11671) under bf16
+    contractions.  The context is trace-time, so it applies whether
+    ``fn`` runs eagerly or inside an outer jit, and it is scoped to
+    quantum chemistry only (the ML model zoo keeps MXU-speed bf16).
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision('float32'):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
+@f32_matmuls
 def _exc_energy(D, phi, dphi, weights, exc_fn, use_sigma,
                 use_tau=False):
     """Quadrature Exc as a function of the density matrix (jnp).
@@ -68,6 +88,7 @@ def _exc_energy(D, phi, dphi, weights, exc_fn, use_sigma,
     return jnp.sum(weights * jnp.where(rho_raw > _RHO_SCREEN, e, 0.0))
 
 
+@f32_matmuls
 def _exc_energy_spin(Da, Db, phi, dphi, weights, exc_fn, use_sigma,
                      use_tau=False):
     """Quadrature Exc for spin-resolved functionals
@@ -161,6 +182,7 @@ def _diis_fock(Fbuf, Ebuf, idx, window):
     return jnp.einsum('a,aij->ij', c, Fbuf)
 
 
+@f32_matmuls
 def scf_loop(H, S_invsqrt, eri, n_occ: int,
              exc_fn: Optional[Callable] = None,
              phi=None, dphi=None, weights=None,
@@ -572,6 +594,7 @@ class XCNNSCF:
         return solver.run(system)
 
 
+@f32_matmuls
 def scf_loop_unrestricted(H, S_invsqrt, eri, n_alpha: int, n_beta: int,
                           exc_fn: Optional[Callable] = None,
                           phi=None, dphi=None, weights=None,

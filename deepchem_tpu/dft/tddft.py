@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from deepchem_tpu.dft.scf import (DFTSystem, KohnShamSCF, _exc_energy,
+                                  f32_matmuls,
                                   _exc_energy_spin)
 
 
@@ -85,6 +86,7 @@ class TDAResult:
         return self.energies * 27.211386245988
 
 
+@f32_matmuls
 def tda_excitations(system: DFTSystem, xc='hf', nstates: int = 3,
                     triplet: bool = False, iterations: int = 100,
                     calc=None, solver: Optional[KohnShamSCF] = None
@@ -213,6 +215,7 @@ def tda_excitations(system: DFTSystem, xc='hf', nstates: int = 3,
                      e_ground=float(calc.energy()), triplet=triplet)
 
 
+@f32_matmuls
 def cis_excitations(system: DFTSystem, nstates: int = 3,
                     triplet: bool = False,
                     iterations: int = 100) -> TDAResult:

@@ -40,6 +40,39 @@ def test_h2_hartree_fock(h2):
     assert abs(float(calc.energy()) - (-1.11671)) < 1e-4
 
 
+def test_scf_overrides_low_matmul_precision(h2):
+    """The SCF must pin true-f32 contractions regardless of the ambient
+    matmul precision.  TPU runs f32 matmuls at bf16 MXU precision by
+    default, which converged H2/STO-3G Hartree-Fock 8.8 mHa high
+    (-1.10789 vs -1.11671) before scf.f32_matmuls scoped the precision
+    to the quantum-chemistry entry points.  XLA:CPU computes f32
+    regardless, so the energy alone cannot fail here — the load-bearing
+    assertion is on the LOWERED IR: every dot in the decorated SCF body
+    must carry HIGHEST precision even under an ambient bf16 default."""
+    import re
+    import jax
+    import jax.numpy as jnp
+    from deepchem_tpu.dft.scf import f32_matmuls
+
+    with jax.default_matmul_precision('bfloat16'):
+        calc = KohnShamSCF(xc='hf', iterations=40).run(h2)
+        e = float(calc.energy())
+    assert abs(e - (-1.11671)) < 1e-4, e
+
+    @f32_matmuls
+    def body(a, b):
+        return jnp.einsum('ij,jk->ik', a, b)
+
+    a = jnp.ones((4, 4), jnp.float32)
+    with jax.default_matmul_precision('bfloat16'):
+        guarded = jax.jit(body).lower(a, a).as_text()
+        ambient = jax.jit(
+            lambda x, y: jnp.einsum('ij,jk->ik', x, y)).lower(a, a).as_text()
+    dots = re.findall(r'precision = \[(\w+), (\w+)\]', guarded)
+    assert dots and all(p == ('HIGHEST', 'HIGHEST') for p in dots), guarded
+    assert 'HIGHEST' not in ambient  # the ambient default really is low
+
+
 def test_h2_lda(h2):
     calc = KohnShamSCF(xc='lda', iterations=40).run(h2)
     e = float(calc.energy())
