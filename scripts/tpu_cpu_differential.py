@@ -277,6 +277,30 @@ def fam_nei_ops():
             'pred_head': [float(v) for v in g.ravel()[:8]]}
 
 
+def fam_dft_scf():
+    """SCF energy + neural-XC parameter gradient — the round-3
+    precision-bug site; must agree to f32 tightness now that
+    dft.scf.f32_matmuls pins true-f32 contractions on both backends."""
+    import jax
+    import jax.numpy as jnp
+    from deepchem_tpu.dft import KohnShamSCF, DFTSystem
+    from deepchem_tpu.dft.scf import XCNNSCF
+    from deepchem_tpu.dft.nnxc import NNLDA
+    h2 = DFTSystem(['H', 'H'], [[0, 0, 0], [0, 0, 1.4]], units='bohr')
+    e_hf = float(KohnShamSCF(xc='hf', iterations=40).run(h2).energy())
+    e_lda = float(KohnShamSCF(xc='lda', iterations=40).run(h2).energy())
+    nn = NNLDA(hidden=(8,))
+    params = nn.init(jax.random.PRNGKey(0), jnp.ones(4))
+    solver = XCNNSCF(nn, params, iterations=30)
+    efn = solver.energy_fn(h2)
+    g = jax.grad(efn)(params)
+    gflat = np.concatenate(
+        [np.asarray(x, np.float64).ravel() for x in jax.tree.leaves(g)])
+    return {'losses': [e_hf, e_lda], 'pred_mean': float(gflat.mean()),
+            'pred_absmax': float(np.abs(gflat).max()),
+            'pred_head': [float(v) for v in gflat[:8]]}
+
+
 FAMILIES = [
     ('dense', fam_dense), ('graphconv', fam_graphconv), ('gat', fam_gat),
     ('attentivefp', fam_attentivefp), ('mpnn', fam_mpnn),
@@ -284,7 +308,7 @@ FAMILIES = [
     ('mxmnet', fam_mxmnet), ('grover_packed', fam_grover_packed),
     ('textcnn', fam_textcnn), ('cnn', fam_cnn),
     ('atomicconv', fam_atomicconv), ('flash_bert', fam_flash_bert),
-    ('nei_ops', fam_nei_ops),
+    ('nei_ops', fam_nei_ops), ('dft_scf', fam_dft_scf),
 ]
 
 
