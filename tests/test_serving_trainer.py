@@ -79,6 +79,75 @@ def test_exported_model_runs_without_source_module(tmp_path):
     assert np.isfinite(np.asarray(out[0])).all()
 
 
+def test_export_int_input_model(tmp_path):
+    """Integer token inputs (TextCNN) keep their dtype through export:
+    the float64->float32 coercion must not touch int sequences."""
+    from deepchem_tpu.models import TextCNNModel
+    from deepchem_tpu.serving import export_model, load_exported
+    smiles = ['CCO', 'CCC', 'c1ccccc1', 'CC(=O)O', 'CCN', 'c1ccncc1',
+              'C1CCCCC1', 'CCCC', 'CCOC', 'CC(C)C']
+    y = np.array([1, 0, 1, 0, 1, 1, 0, 0, 0, 0], dtype=float)[:, None]
+    ds = NumpyDataset(np.zeros((10, 1)), y,
+                      ids=np.array(smiles, dtype=object))
+    cd, sl = TextCNNModel.build_char_dict(ds)
+    m = TextCNNModel(n_tasks=1, char_dict=cd, seq_length=sl,
+                     batch_size=10, mode='classification', dropout=0.0,
+                     model_dir=str(tmp_path / 't'))
+    m.fit(ds, nb_epoch=1, checkpoint_interval=0)
+    gen = m.default_generator(ds, epochs=1, mode='predict',
+                              pad_batches=True)
+    inputs = m._prepare_batch(next(iter(gen)))[0]
+    assert any(np.issubdtype(np.asarray(x).dtype, np.integer)
+               for x in inputs)
+    path = str(tmp_path / 'textcnn.dc')
+    export_model(m, inputs, path)
+    ex = load_exported(path)
+    out = ex(*inputs)
+    import jax.numpy as jnp
+    ref = m._forward(m.params, [jnp.asarray(x) for x in inputs],
+                     False, None)
+    if m.output_types is not None:
+        ref = [ref[i] for i in m._prediction_outputs]
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2,
+                    reason='needs multi-device mesh')
+def test_export_after_data_parallel_training(tmp_path):
+    """Exporting a DP-trained model pulls the sharded params to host:
+    the exported program is single-device and matches the mesh model's
+    predictions."""
+    from deepchem_tpu.serving import export_model, load_exported
+    ds = _dataset(n=64)
+    m = _model(tmp_path / 'dp', batch_size=16, data_parallel=True)
+    m.fit(ds, nb_epoch=2, checkpoint_interval=0)
+    path = str(tmp_path / 'dp.dc')
+    export_model(m, [ds.X[:16]], path)
+    ex = load_exported(path)
+    out = ex(ds.X[:16])
+    ref = m.predict(NumpyDataset(ds.X[:16], None, None))
+    np.testing.assert_allclose(np.asarray(out[0]), ref, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_export_multi_platform_lowering(tmp_path):
+    """platforms=['cpu', 'tpu'] produces one portable artifact that
+    still loads and runs on the current (CPU) backend — the deploy-
+    to-fleet path."""
+    from deepchem_tpu.serving import export_model, load_exported
+    ds = _dataset()
+    m = _model(tmp_path / 'mp')
+    m.fit(ds, nb_epoch=1, checkpoint_interval=0)
+    path = str(tmp_path / 'multi.dc')
+    export_model(m, [ds.X[:16]], path, platforms=['cpu', 'tpu'])
+    ex = load_exported(path)
+    out = ex(ds.X[:16])
+    ref = m.predict(NumpyDataset(ds.X[:16], None, None))
+    np.testing.assert_allclose(np.asarray(out[0]), ref, rtol=1e-4,
+                               atol=1e-5)
+
+
 # -- DistributedTrainer ----------------------------------------------------
 
 @pytest.mark.skipif(len(jax.devices()) < 2,
