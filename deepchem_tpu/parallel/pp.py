@@ -76,6 +76,23 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x: jnp.ndarray,
     Returns f(x) == stage_{S-1}(...stage_0(x)) exactly — the schedule
     changes the order of work, not the math (pinned vs the sequential
     oracle in tests/test_pipeline_parallel.py).
+
+    Examples
+    --------
+    >>> import jax, jax.numpy as jnp, numpy as np
+    >>> from deepchem_tpu.parallel.pp import (get_pipeline_mesh,
+    ...     pipeline_apply, stack_stage_params)
+    >>> S = min(2, len(jax.devices()))
+    >>> stages = [{'w': jnp.eye(4) * (i + 2.0)} for i in range(S)]
+    >>> stage_fn = lambda p, h: h @ p['w']
+    >>> mesh = get_pipeline_mesh(S, devices=jax.devices()[:S])
+    >>> x = jnp.ones((4, 4))
+    >>> out = pipeline_apply(stage_fn, stack_stage_params(stages), x,
+    ...                      mesh, n_microbatches=2)
+    >>> want = x
+    >>> for p in stages: want = stage_fn(p, want)
+    >>> bool(jnp.allclose(out, want))
+    True
     """
     S = mesh.shape['stage']
     M = n_microbatches

@@ -23,6 +23,7 @@ MODULES = [
     'deepchem_tpu.dft.orbparams',
     'deepchem_tpu.dft.radial',
     'deepchem_tpu.utils.dft_utils',
+    'deepchem_tpu.parallel.pp',
 ]
 
 
