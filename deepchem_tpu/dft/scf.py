@@ -581,7 +581,11 @@ class XCNNSCF:
         dm = self.density_matrix_fn(system)
         phi = jnp.asarray(system.phi)
 
+        @f32_matmuls
         def dens(params):
+            # f32_matmuls: the grid einsum otherwise contracts at bf16
+            # MXU precision on TPU, silently degrading dens-entry
+            # neural-XC training targets (same class as the SCF bug).
             D = dm(params)
             return jnp.einsum('ij,gi,gj->g', D, phi, phi)
         return dens

@@ -99,6 +99,10 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x: jnp.ndarray,
     B = x.shape[0]
     if B % M:
         raise ValueError(f'batch {B} not divisible by microbatches {M}')
+    if 'data' in mesh.axis_names and (B // M) % mesh.shape['data']:
+        raise ValueError(
+            f'per-microbatch batch {B // M} not divisible by data-parallel '
+            f"axis size {mesh.shape['data']}")
     mb = x.reshape(M, B // M, *x.shape[1:])
 
     data_axes = ('data',) if 'data' in mesh.axis_names else ()

@@ -342,6 +342,11 @@ def diff(path_a, path_b, tol=0.05):
             bad.append((name, 'errored on one side'))
             continue
         for key in ('losses', 'pred_head'):
+            if key not in ra or key not in rb:
+                # dumps from different script versions: a missing
+                # family/key is itself a divergence, not a crash
+                bad.append((name, f'{key} missing on one side'))
+                continue
             va, vb = np.array(ra[key]), np.array(rb[key])
             if not (np.isfinite(va).all() and np.isfinite(vb).all()):
                 bad.append((name, f'{key}: non-finite'))
