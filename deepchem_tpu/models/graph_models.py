@@ -80,6 +80,60 @@ class GraphModel(JaxModel):
         n = getattr(self, '_graph_shards', 1)
         return n
 
+    def distribute(self, mesh=None, devices=None, dataset=None):
+        """One-switch graph data parallelism: sets the mesh, derives the
+        per-device subgraph shard count from the mesh's 'data' axis,
+        rebuilds the module for the per-device graph-slot count, and
+        (when ``dataset`` is given) derives padding quanta from observed
+        batch statistics — the public replacement for hand-setting
+        ``_graph_shards`` / ``node_quantum`` / ``edge_quantum``.
+        """
+        super().distribute(mesh=mesh, devices=devices)
+        n = self.mesh.shape['data'] if self.mesh is not None else 1
+        if self.batch_size % n:
+            raise ValueError(
+                f'batch_size {self.batch_size} must be divisible by the '
+                f"mesh 'data' axis size {n}")
+        self._graph_shards = n
+        per_dev = self.batch_size // n
+        if hasattr(self.module, 'num_graphs') \
+                and self.module.num_graphs != per_dev:
+            import dataclasses
+            # params are independent of num_graphs (it only sizes the
+            # segment readout), so the rebuilt module reuses them
+            self.module = dataclasses.replace(self.module,
+                                              num_graphs=per_dev)
+            self._train_step_fn = None
+            self._predict_fn_cache = {}
+            self._loss_fn_compiled = None
+        if dataset is not None:
+            self.derive_quanta(dataset)
+        return self
+
+    def derive_quanta(self, dataset: Dataset,
+                      max_batches: int = 64) -> Tuple[int, int]:
+        """Set node/edge padding quanta from observed batch statistics:
+        the quantum becomes the max per-device sub-batch node/edge count
+        (over up to ``max_batches`` batches) rounded up to a multiple of
+        64, so typical batches land in one compilation bucket without
+        the padding waste of the class defaults on small graphs."""
+        per_dev = max(1, self.batch_size // max(self._n_shards, 1))
+        max_n = max_e = 0
+        for i, (X_b, _, _, _) in enumerate(dataset.iterbatches(
+                batch_size=per_dev, deterministic=True,
+                pad_batches=False)):
+            b = BatchGraphData(list(X_b))
+            max_n = max(max_n, b.num_nodes + 1)
+            max_e = max(max_e, max(b.num_edges, 1))
+            if i + 1 >= max_batches:
+                break
+        if max_n:
+            self.node_quantum = max(64, -(-max_n // 64) * 64)
+            self.edge_quantum = max(64, -(-max_e // 64) * 64)
+            # prepared batches baked the old padding caps
+            self._fit_data_cache = None
+        return self.node_quantum, self.edge_quantum
+
     def _module_init_inputs(self, sample_inputs):
         if self._n_shards > 1:
             return [a[0] for a in sample_inputs]

@@ -254,6 +254,62 @@ class JaxModel(Model):
             return params, opt_state, loss
         return jax.jit(step, donate_argnums=(0, 1))
 
+    # -- distribution ------------------------------------------------------
+    def distribute(self, mesh=None, devices=None, dataset=None):
+        """One-switch multi-device distribution (the public analog of the
+        reference trainer's one-arg strategy UX, models/trainer.py:56).
+
+        Sets the data-parallel mesh and derives every family-specific
+        piece of distribution state — dense models shard the leading
+        batch axis; graph models additionally derive per-device subgraph
+        shards and padding quanta (GraphModel.distribute).  No private
+        attributes needed in user code.
+
+        Parameters
+        ----------
+        mesh: jax.sharding.Mesh, optional
+            An existing mesh with a 'data' axis.  Built from ``devices``
+            when absent.
+        devices: int or sequence of jax devices, optional
+            Device count (prefix of ``jax.devices()``) or explicit
+            device list; defaults to every device.
+        dataset: Dataset, optional
+            Used by subclasses that derive padding/bucketing statistics
+            from the data (ignored here).
+
+        Returns ``self`` so calls chain: ``model.distribute().fit(ds)``.
+        """
+        del dataset  # base model needs no data statistics
+        if mesh is None:
+            if devices is None:
+                devices = jax.devices()
+            elif isinstance(devices, int):
+                devices = jax.devices()[:devices]
+            devices = list(devices)
+            if len(devices) <= 1:
+                self.mesh = None
+                self._fit_data_cache = None
+                self._train_step_fn = None
+                self._predict_fn_cache = {}
+                return self
+            mesh = Mesh(np.array(devices), ('data',))
+        if 'data' not in mesh.axis_names:
+            raise ValueError("mesh must carry a 'data' axis, got "
+                             f'{mesh.axis_names}')
+        self.mesh = mesh
+        # prepared-batch cache bakes the OLD batch layout (shard count /
+        # padding caps) — always invalid after redistribution
+        self._fit_data_cache = None
+        if self._built:
+            rep = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, rep)
+            self.opt_state = jax.device_put(self.opt_state, rep)
+            # compiled steps bake input shardings — rebuild lazily
+            self._train_step_fn = None
+            self._predict_fn_cache = {}
+            self._loss_fn_compiled = None
+        return self
+
     #: subclasses whose inputs are NOT batch-major (e.g. flat COO graph
     #: arrays) set this False so inputs replicate instead of shard —
     #: sharding a node-flat array would make GSPMD insert cross-device

@@ -12,8 +12,6 @@ from __future__ import annotations
 import logging
 from typing import Optional
 
-import numpy as np
-
 logger = logging.getLogger(__name__)
 
 
@@ -38,14 +36,20 @@ class DistributedTrainer:
         self.log_every_n_steps = log_every_n_steps
 
     def fit(self, model, dataset, on_device: bool = False) -> float:
-        """Train ``model`` (a JaxModel) on ``dataset`` over the mesh."""
+        """Train ``model`` (a JaxModel) on ``dataset`` over the mesh.
+
+        ``model.distribute`` derives every family-specific piece of
+        distribution state — dense models shard the batch axis; graph
+        models additionally derive subgraph shards and padding quanta
+        from the dataset — so this works unchanged for
+        ``DistributedTrainer().fit(GraphConvModel(...), ds)``.
+        """
         import jax
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from jax.sharding import NamedSharding, PartitionSpec as P
         devices = jax.devices()
         if self.devices is not None:
             devices = devices[:self.devices]
-        if len(devices) > 1:
-            model.mesh = Mesh(np.array(devices), ('data',))
+        model.distribute(devices=devices, dataset=dataset)
         model.log_frequency = self.log_every_n_steps
         if self.distributed_strategy == 'fsdp' and model.mesh is not None \
                 and model._built:
