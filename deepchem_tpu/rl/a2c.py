@@ -37,7 +37,7 @@ class A2C:
                  value_weight: float = 1.0,
                  entropy_weight: float = 0.01,
                  optimizer=None, model_dir: Optional[str] = None,
-                 seed: int = 0):
+                 seed: int = 0, use_hindsight: bool = False):
         self._env = env
         self._policy = policy
         self.max_rollout_length = max_rollout_length
@@ -45,6 +45,7 @@ class A2C:
         self.advantage_lambda = advantage_lambda
         self.value_weight = value_weight
         self.entropy_weight = entropy_weight
+        self.use_hindsight = use_hindsight
         self.continuous = env.n_actions is None
         if model_dir is None:
             import tempfile
@@ -130,7 +131,13 @@ class A2C:
         values = self.predict(states_np)[
             self._policy.output_names.index('value')][:, 0]
         rewards = np.asarray(rewards, dtype=np.float32)
-        # GAE
+        discounted, advantages = self._gae(rewards, values, final_value)
+        return (states_np, np.asarray(actions, dtype=np.int32),
+                discounted, advantages)
+
+    def _gae(self, rewards: np.ndarray, values: np.ndarray,
+             final_value: float) -> Tuple[np.ndarray, np.ndarray]:
+        """Generalized Advantage Estimation over one rollout."""
         T = len(rewards)
         advantages = np.zeros(T, dtype=np.float32)
         discounted = np.zeros(T, dtype=np.float32)
@@ -146,7 +153,36 @@ class A2C:
             ret = rewards[t] + self.discount_factor * ret
             discounted[t] = ret
             next_value = values[t]
-        return (states_np, np.asarray(actions, dtype=np.int32),
+        return discounted, advantages
+
+    def hindsight_rollout(self, states: np.ndarray, actions: np.ndarray
+                          ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                              np.ndarray, np.ndarray]]:
+        """Re-label a rollout with its final state as the goal (HER).
+
+        Implements Hindsight Experience Replay (Andrychowicz et al. 2017;
+        reference a2c.py:108,253,492): the environment must define
+        ``apply_hindsight(states, actions, goal) -> (new_states, rewards)``
+        rewriting the rollout as if ``goal`` (here: the last visited state)
+        had been the target.  The rewritten rollout necessarily reaches its
+        goal, so sparse-reward tasks see a reward signal every update.
+        Returns the same 4-tuple as :meth:`create_rollout`, or ``None``
+        when the rewritten rollout is empty.
+        """
+        new_states, rewards = self._env.apply_hindsight(
+            list(states), list(np.asarray(actions)), states[-1])
+        if len(rewards) == 0:
+            return None
+        states_np = np.stack(
+            [np.asarray(s, dtype=np.float32) for s in new_states])
+        states_np = states_np[:len(rewards)]
+        values = self.predict(states_np)[
+            self._policy.output_names.index('value')][:, 0]
+        rewards = np.asarray(rewards, dtype=np.float32)
+        # the hindsight rollout terminates at its (achieved) goal
+        discounted, advantages = self._gae(rewards, values, 0.0)
+        return (states_np,
+                np.asarray(actions[:len(rewards)], dtype=np.int32),
                 discounted, advantages)
 
     def fit(self, total_steps: int,
@@ -169,6 +205,14 @@ class A2C:
                 self._params, self._opt_state,
                 jnp.asarray(states), jnp.asarray(actions),
                 jnp.asarray(discounted), jnp.asarray(advantages))
+            if self.use_hindsight:
+                hs = self.hindsight_rollout(states, actions)
+                if hs is not None:
+                    h_s, h_a, h_d, h_adv = hs
+                    self._params, self._opt_state, _ = self._update_fn(
+                        self._params, self._opt_state,
+                        jnp.asarray(h_s), jnp.asarray(h_a),
+                        jnp.asarray(h_d), jnp.asarray(h_adv))
         self.save_checkpoint(max_checkpoints_to_keep)
 
     def predict(self, states: np.ndarray) -> List[np.ndarray]:

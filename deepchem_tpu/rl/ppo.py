@@ -34,10 +34,11 @@ class PPO(A2C):
                  value_weight: float = 1.0,
                  entropy_weight: float = 0.01,
                  optimizer=None, model_dir: Optional[str] = None,
-                 seed: int = 0):
+                 seed: int = 0, use_hindsight: bool = False):
         super().__init__(env, policy, max_rollout_length, discount_factor,
                          advantage_lambda, value_weight, entropy_weight,
-                         optimizer, model_dir, seed)
+                         optimizer, model_dir, seed,
+                         use_hindsight=use_hindsight)
         self.optimization_rollouts = optimization_rollouts
         self.optimization_epochs = optimization_epochs
         self.batch_size = batch_size
@@ -94,6 +95,13 @@ class PPO(A2C):
                 all_r.append(r)
                 all_adv.append(adv)
                 steps += len(s)
+                if self.use_hindsight:
+                    hs = self.hindsight_rollout(s, a)
+                    if hs is not None:
+                        all_s.append(hs[0])
+                        all_a.append(hs[1])
+                        all_r.append(hs[2])
+                        all_adv.append(hs[3])
             S = np.concatenate(all_s)
             A = np.concatenate(all_a)
             R = np.concatenate(all_r)
