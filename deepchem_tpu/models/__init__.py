@@ -53,7 +53,8 @@ from deepchem_tpu.models.atomic_conv import (AtomicConvModel,
 from deepchem_tpu.models.bert_encoder import BertEncoderMLM
 from deepchem_tpu.models.multitask import SingletaskToMultitask
 from deepchem_tpu.models.hf_models import (HuggingFaceModel, Chemberta,
-                                           MoLFormer, OneFormer)
+                                           MoLFormer, OneFormer,
+                                           ProtBERT, DeepAbLLM)
 from deepchem_tpu.models.molgan import BasicMolGANModel
 from deepchem_tpu.models.trainer import DistributedTrainer
 from deepchem_tpu.models.infograph import (InfoGraphModel,
@@ -151,5 +152,5 @@ __all__ += [
     'LCNN', 'TextCNNTensorGraph', 'WeaveTensorGraph', 'DTNNTensorGraph',
     'DAGTensorGraph', 'GraphConvTensorGraph', 'MPNNTensorGraph',
     'TensorflowMultitaskIRVClassifier', 'XGBoostModel',
-    'MoLFormer', 'OneFormer',
+    'MoLFormer', 'OneFormer', 'ProtBERT', 'DeepAbLLM',
 ]

@@ -250,6 +250,282 @@ class _SmilesTokenizerHFShim:
         return self.tok.decode(ids)
 
 
+class _ProteinTokenizer:
+    """Character-level amino-acid tokenizer with the ProtBERT conventions
+    (space-separated residues, '[CLS] seq [SEP]' framing, ProtBERT vocab
+    order).  Stands in for ``BertTokenizer.from_pretrained('Rostlab/
+    prot_bert')`` in zero-egress environments."""
+
+    SPECIALS = ['[PAD]', '[UNK]', '[CLS]', '[SEP]', '[MASK]']
+    AA = list('LAGVESIKRDTPNQFYMHCWXUBZO')
+
+    def __init__(self):
+        tokens = self.SPECIALS + self.AA
+        self.vocab = {t: i for i, t in enumerate(tokens)}
+        self.inv_vocab = {i: t for t, i in self.vocab.items()}
+        self.pad_token_id = self.vocab['[PAD]']
+        self.cls_token_id = self.vocab['[CLS]']
+        self.sep_token_id = self.vocab['[SEP]']
+        self.mask_token_id = self.vocab['[MASK]']
+        self.mask_token = '[MASK]'
+
+    @property
+    def vocab_size(self):
+        return len(self.vocab)
+
+    def _encode_one(self, text: str, max_length: int) -> List[int]:
+        text = text.replace(' ', '').upper()
+        ids = [self.cls_token_id]
+        i = 0
+        while i < len(text) and len(ids) < max_length - 1:
+            if text.startswith('[MASK]', i):
+                ids.append(self.mask_token_id)
+                i += len('[MASK]')
+            else:
+                ids.append(self.vocab.get(text[i], self.vocab['[UNK]']))
+                i += 1
+        ids.append(self.sep_token_id)
+        ids += [self.pad_token_id] * (max_length - len(ids))
+        return ids[:max_length]
+
+    def __call__(self, texts, truncation=True, padding='max_length',
+                 max_length=128, return_tensors=None):
+        if isinstance(texts, str):
+            texts = [texts]
+        arr = np.asarray([self._encode_one(t, max_length) for t in texts],
+                         dtype=np.int32)
+        attn = (arr != self.pad_token_id).astype(np.int32)
+        return {'input_ids': arr, 'attention_mask': attn}
+
+    def decode(self, ids):
+        out = []
+        for i in np.asarray(ids).reshape(-1):
+            tok = self.inv_vocab.get(int(i), '[UNK]')
+            if tok not in ('[PAD]', '[CLS]', '[SEP]'):
+                out.append(tok)
+        return ''.join(out)
+
+
+class _BertWithHeadAdapter:
+    """FlaxBertModel + a custom flax classifier head over the pooled
+    output — the 'FFN'/'custom' classifier modes of ProtBERT (reference
+    prot_bert.py:110-118).  Param tree keeps the encoder under the
+    'bert' scope so ``load_from_pretrained`` path-matching transfers
+    MLM-pretrained encoders."""
+
+    def __init__(self, bert, head_module):
+        self.bert = bert
+        self.head = head_module
+
+    def init(self, rngs, *inputs, training: bool = False):
+        input_ids, attn = inputs[0], inputs[1]
+        out = self.bert(input_ids=jnp.asarray(input_ids,
+                                              dtype=jnp.int32),
+                        attention_mask=jnp.asarray(attn, dtype=jnp.int32),
+                        params=self.bert.params, train=False)
+        head_params = self.head.init(rngs, out.pooler_output)
+        return {'params': {'bert': self.bert.params,
+                           'head': head_params['params']}}
+
+    def apply(self, params, input_ids, attention_mask, training=False,
+              rngs=None):
+        dropout_rng = rngs.get('dropout') if rngs else None
+        out = self.bert(
+            input_ids=input_ids.astype(jnp.int32),
+            attention_mask=attention_mask.astype(jnp.int32),
+            params=params['params']['bert'], dropout_rng=dropout_rng,
+            train=bool(training))
+        logits = self.head.apply({'params': params['params']['head']},
+                                 out.pooler_output)
+        return jax.nn.softmax(logits, -1), logits
+
+
+class ProtBERT(HuggingFaceModel):
+    """ProtBERT protein language model (reference torch_models/
+    prot_bert.py:7): BERT over space-separated amino-acid sequences;
+    supports 'mlm' pretraining and 'classification' with a LogReg, FFN,
+    or custom head.
+
+    Zero-egress: built random-init from a ``BertConfig`` with the in-repo
+    amino-acid tokenizer by default (the published 'Rostlab/prot_bert'
+    checkpoint is hub-only); pass ``model=`` for a local checkpoint.
+    Size kwargs (num_hidden_layers/hidden_size/num_attention_heads/
+    intermediate_size) shrink the architecture for tests."""
+
+    def __init__(self, task: str = 'mlm', model_path: str =
+                 'Rostlab/prot_bert', n_tasks: int = 1,
+                 cls_name: str = 'LogReg', classifier_net=None,
+                 n_classes: int = 2, tokenizer=None, model=None,
+                 max_length: int = 128, **kwargs):
+        import flax.linen as nn
+        from transformers import (BertConfig, FlaxBertForMaskedLM,
+                                  FlaxBertForSequenceClassification,
+                                  FlaxBertModel)
+        if tokenizer is None:
+            tokenizer = _ProteinTokenizer()
+        size = dict(
+            hidden_size=kwargs.pop('hidden_size', 1024),
+            num_hidden_layers=kwargs.pop('num_hidden_layers', 30),
+            num_attention_heads=kwargs.pop('num_attention_heads', 16),
+            intermediate_size=kwargs.pop('intermediate_size', 4096))
+        config = BertConfig(vocab_size=tokenizer.vocab_size,
+                            max_position_embeddings=max_length + 2,
+                            num_labels=n_classes, **size)
+        if task == 'mlm':
+            if model is None:
+                model = FlaxBertForMaskedLM(config, seed=0)
+            super().__init__(model, tokenizer, task='mlm',
+                             n_tasks=n_tasks, max_length=max_length,
+                             **kwargs)
+            return
+        if task != 'classification':
+            raise ValueError(f'Invalid task: {task}.')
+        if cls_name == 'LogReg':
+            if model is None:
+                model = FlaxBertForSequenceClassification(config, seed=0)
+            super().__init__(model, tokenizer, task='classification',
+                             n_tasks=n_tasks, max_length=max_length,
+                             **kwargs)
+            return
+        if cls_name == 'FFN':
+            head = nn.Sequential([nn.Dense(512), nn.relu,
+                                  nn.Dense(n_classes)])
+        elif cls_name == 'custom':
+            if classifier_net is None:
+                raise ValueError(
+                    "cls_name='custom' requires classifier_net=")
+            head = classifier_net
+        else:
+            raise ValueError(f'Invalid classifier: {cls_name}.')
+        bert = FlaxBertModel(config, seed=0) if model is None else model
+        adapter = _BertWithHeadAdapter(bert, head)
+        # skip HuggingFaceModel.__init__'s adapter construction: install
+        # the head adapter with the classification loss directly
+        self.hf_model = bert
+        self.tokenizer = tokenizer
+        self.task = 'classification'
+        self.mlm_probability = 0.15
+        self.max_length = max_length
+        self.n_tasks = n_tasks
+
+        def loss(outputs, labels, weights):
+            logits = outputs[1]
+            target = labels[0].astype(jnp.int32).reshape(-1)
+            logp = jax.nn.log_softmax(logits, -1)
+            nll = -jnp.take_along_axis(logp, target[:, None],
+                                       axis=-1)[:, 0]
+            w = weights[0].reshape(-1) if weights else 1.0
+            return jnp.sum(nll * w) / jnp.maximum(
+                jnp.sum(w * jnp.ones_like(nll)), 1e-8)
+
+        JaxModel.__init__(self, adapter, loss,
+                          output_types=['prediction', 'loss'],
+                          batch_size=kwargs.pop('batch_size', 16),
+                          **kwargs)
+
+
+class DeepAbLLM(HuggingFaceModel):
+    """Antibody redesign via masked-language-model mutagenesis (reference
+    torch_models/antibody_modeling.py:7, extending Hie et al. 2023):
+    mask a residue, rescore with the protein LM, propose substitutions.
+
+    Architecture-agnostic like the reference: any model honoring the
+    HuggingFaceModel forward contract works via ``model=``; the default
+    is a random-init BERT-MLM over the in-repo amino-acid tokenizer
+    (hub checkpoints are unavailable in this environment).
+    ``is_esm_variant`` controls residue spacing when re-serializing
+    sequences ('A M I N O' vs 'AMINO')."""
+
+    def __init__(self, task: str = 'mlm',
+                 model_path: str = 'Rostlab/prot_bert',
+                 n_tasks: int = 1, is_esm_variant: bool = False,
+                 config: Optional[Dict[Any, Any]] = None,
+                 tokenizer=None, model=None, max_length: int = 128,
+                 **kwargs):
+        from transformers import BertConfig, FlaxBertForMaskedLM
+        if tokenizer is None:
+            tokenizer = _ProteinTokenizer()
+        self.is_esm_variant = is_esm_variant
+        if model is None:
+            cfg_kwargs = dict(hidden_size=128, num_hidden_layers=2,
+                              num_attention_heads=4,
+                              intermediate_size=256)
+            cfg_kwargs.update(config or {})
+            bert_config = BertConfig(
+                vocab_size=tokenizer.vocab_size,
+                max_position_embeddings=max_length + 2, **cfg_kwargs)
+            model = FlaxBertForMaskedLM(bert_config, seed=0)
+        super().__init__(model, tokenizer, task=task, n_tasks=n_tasks,
+                         max_length=max_length, **kwargs)
+
+    def _mask_seq_pos(self, sequence: str, idx: int) -> str:
+        """Replace the residue at ``idx`` with the mask token (reference
+        antibody_modeling.py:167)."""
+        if not isinstance(idx, int):
+            raise TypeError(f'Index must be an int, got {type(idx)}')
+        cleaned = sequence.replace(' ', '')
+        if abs(idx) >= len(cleaned):
+            raise ValueError(f'index {idx} out of range for sequence of '
+                             f'length {len(cleaned)}')
+        chars = list(cleaned)
+        chars[idx] = '*'
+        joiner = '' if self.is_esm_variant else ' '
+        return joiner.join(chars).replace(
+            '*', self.tokenizer.mask_token)
+
+    def redesign_residue(self, sequence: str, residue_index: int,
+                         top_k: int = 10, verbose: bool = False):
+        """Mask + unmask one residue; returns [(token_str, full_sequence,
+        score)] sorted by score (reference antibody_modeling.py:208)."""
+        masked = self._mask_seq_pos(sequence, residue_index)
+        per_mask = self.fill_mask([masked], top_k=top_k)[0]
+        cleaned = sequence.replace(' ', '')
+        out = []
+        if per_mask:
+            for cand in per_mask[0]:
+                tok = cand['token_str']
+                full = (cleaned[:residue_index] + tok +
+                        cleaned[residue_index + 1:])
+                out.append((tok, full, cand['score']))
+        if verbose:
+            print(f'Original residue at {residue_index}: '
+                  f'{cleaned[residue_index]}')
+            for i, (tok, _, score) in enumerate(out):
+                print(f'Redesigned residue {i + 1}: {tok}, '
+                      f'score: {score}')
+        return out
+
+    def _optimize_residue_pos(self, sequence: str, residue_index: int,
+                              verbose: bool = False,
+                              threshold: float = 0.0, **kwargs):
+        """Proposals scoring above both the threshold and the original
+        residue (reference antibody_modeling.py:255)."""
+        if not 0.0 <= threshold <= 1.0:
+            raise ValueError('threshold must be within [0, 1]')
+        proposals = self.redesign_residue(
+            sequence, residue_index, top_k=kwargs.get('top_k', 10),
+            verbose=verbose)
+        original = sequence.replace(' ', '')[residue_index]
+        optimized = []
+        for tok, full, score in proposals:
+            if tok == original:
+                break                 # proposals are score-sorted
+            if score > threshold:
+                optimized.append((tok, full, score))
+        return optimized
+
+    def redesign_sequence(self, sequence: str, **kwargs):
+        """Optimize every residue position; returns [(index, token,
+        sequence, score)] (reference antibody_modeling.py:310)."""
+        cleaned = sequence.replace(' ', '')
+        out = []
+        for i in range(len(cleaned)):
+            out += [(i,) + x
+                    for x in self._optimize_residue_pos(sequence, i,
+                                                        **kwargs)]
+        return out
+
+
 class MoLFormer(HuggingFaceModel):
     """MoLFormer-XL wrapper (reference torch_models/molformer.py:10):
     linear-attention chemical language model pretrained on ZINC+PubChem.
