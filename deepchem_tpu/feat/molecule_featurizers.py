@@ -118,15 +118,28 @@ class Mol2VecFingerprint(MolecularFeaturizer):
 
 
 class MordredDescriptors(MolecularFeaturizer):
-    """Mordred descriptor vectors (reference mordred_descriptors.py)
-    need the mordred package (absent); construction raises.  Use
-    RDKitDescriptors for the in-repo descriptor set."""
+    """Mordred-family descriptor vectors, computed natively.
+
+    The reference (mordred_descriptors.py) wraps the external ``mordred``
+    package (1613 2D descriptors), which is absent here; this featurizer
+    computes 398 descriptors in mordred's most-cited families directly on
+    the in-repo molecular graph (chem/mordred_like.py): Moreau-Broto /
+    Moran / Geary autocorrelations over 8 carbon-scaled atomic properties,
+    BCUT Burden-matrix eigenvalues, EState aggregates, and classical
+    topological indices.  Values are this framework's own stable
+    definitions (golden-pinned), not bit-reproductions of mordred.
+    ``descriptors`` lists names in output order; ``ignore_3D`` is accepted
+    for signature parity (only 2D families are computed)."""
 
     def __init__(self, ignore_3D: bool = True):
-        raise ImportError(
-            'MordredDescriptors requires the mordred package, which is '
-            'not available in this environment. RDKitDescriptors '
-            'provides the in-repo descriptor set.')
+        super().__init__()
+        from deepchem_tpu.chem.mordred_like import descriptor_names
+        self.ignore_3D = ignore_3D
+        self.descriptors = descriptor_names()
+
+    def _featurize(self, mol: Molecule, **kwargs) -> np.ndarray:
+        from deepchem_tpu.chem.mordred_like import mordred_descriptors
+        return mordred_descriptors(mol).astype(np.float32)
 
 
 class RDKitDescriptors(MolecularFeaturizer):
