@@ -79,12 +79,23 @@ def main() -> None:
         print(f'# eval failed: {e}', file=sys.stderr)
         valid_score = float('nan')
 
+    # regression pin (VERDICT r3 item 4): standard fit() must stay within
+    # 10% of the device loop — the r2 incident was fit() silently falling
+    # off the scan path (2,919 vs 175,025 mol-graphs/s).
+    fit_ratio = fit_mols_per_sec / mols_per_sec
+    if fit_ratio < 0.9:
+        print(f'# REGRESSION: fit/fit_on_device ratio {fit_ratio:.2f} '
+              '< 0.9 — standard fit() has fallen off the scan path',
+              file=sys.stderr)
+
     result = {
         'metric': 'graphconv_tox21_train_throughput',
         'value': round(mols_per_sec, 1),
         'unit': 'mol-graphs/s/chip',
         'vs_baseline': round(mols_per_sec / REFERENCE_MOLS_PER_SEC, 3),
         'fit_value': round(fit_mols_per_sec, 1),
+        'fit_ratio': round(fit_ratio, 3),
+        'fit_ratio_ok': bool(fit_ratio >= 0.9),
     }
     print(json.dumps(result))
     print(f'# device={jax.devices()[0]} epochs={n_epochs} '
