@@ -34,7 +34,7 @@ from deepchem_tpu.models.graph_layers import (
     AttentiveFPLayer, EdgeNetworkMPNN, GATLayer, GCNLayer, GraphConv,
     GraphGather, MaskedBatchNorm, SetGather, graph_pool_max)
 from deepchem_tpu.ops import (graph_pool, node_degrees, segment_softmax,
-                              segment_sum)
+                              segment_softmax_sorted, segment_sum)
 
 logger = logging.getLogger(__name__)
 
@@ -70,6 +70,11 @@ class GraphModel(JaxModel):
     uses_rev_slot = False
     #: directed MPNNs get an incoming-EDGE-id table (nei_sum_edges)
     uses_edge_table = False
+    #: models whose modules softmax over edge destinations set this so
+    #: batches arrive dst-sorted and attention can take the fused Pallas
+    #: CSR path (ops.segment_softmax_sorted, 1.35-2.7x on v5e); every
+    #: other COO op is edge-order invariant, so the sort is free
+    sorts_edges_by_dst = False
     max_neighbors = 10
     # flat-COO arrays replicate; in DP mode the stacked leading axis is the
     # device axis and IS sharded (see _shard_batch logic + _n_shards)
@@ -175,6 +180,12 @@ class GraphModel(JaxModel):
                   num_graphs: int) -> List[np.ndarray]:
         batch = BatchGraphData(graphs)
         d = batch.pad(node_cap, edge_cap, num_graphs=num_graphs)
+        if self.sorts_edges_by_dst:
+            perm = np.argsort(d['edge_index'][1], kind='stable')
+            d['edge_index'] = d['edge_index'][:, perm]
+            d['edge_mask'] = d['edge_mask'][perm]
+            if 'edge_features' in d:
+                d['edge_features'] = d['edge_features'][perm]
         inputs = [d['node_features'], d['edge_index'][0],
                   d['edge_index'][1], d['graph_index'], d['node_mask'],
                   d['edge_mask']]
@@ -650,6 +661,8 @@ class PagtnLayer(nn.Module):
     """
     hidden_features: int
     n_heads: int = 1
+    #: batches from PagtnModel arrive dst-sorted -> fused Pallas softmax
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, h, ef, esrc, edst, emask):
@@ -658,8 +671,10 @@ class PagtnLayer(nn.Module):
         pair = jnp.concatenate([src_h, ef], axis=-1)
         logits = nn.Dense(H, name='attn')(nn.leaky_relu(
             nn.Dense(H * F, name='attn_hidden')(pair), 0.2))
-        alpha = segment_softmax(logits, edst, h.shape[0],
-                                mask=emask)             # [E, H]
+        softmax = (segment_softmax_sorted if self.sorted_edges
+                   else segment_softmax)
+        alpha = softmax(logits, edst, h.shape[0],
+                        mask=emask)                     # [E, H]
         msg = nn.Dense(H * F, name='msg')(pair).reshape(-1, H, F)
         weighted = msg * alpha[..., None] * emask[:, None, None]
         agg = segment_sum(weighted.reshape(-1, H * F), edst, h.shape[0])
@@ -677,6 +692,7 @@ class _PagtnModule(nn.Module):
     num_heads: int = 1
     dropout: float = 0.1
     pool_mode: str = 'sum'
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, nf, esrc, edst, gidx, nmask, emask, ef,
@@ -688,6 +704,7 @@ class _PagtnModule(nn.Module):
         h = nn.leaky_relu(h0, 0.2)
         for i in range(self.num_layers):
             m = PagtnLayer(self.hidden_features, self.num_heads,
+                           sorted_edges=self.sorted_edges,
                            name=f'pagtn_{i}')(h, ef, esrc, edst, emask)
             # residual to the layer-0 embedding each round (PAGTN keeps a
             # global residual so deep stacks stay trainable)
@@ -711,6 +728,7 @@ class PagtnModel(GraphModel):
     features on a complete graph; feature dims are read from the data)."""
 
     uses_edge_features = True
+    sorts_edges_by_dst = True        # fused Pallas attention softmax
     # complete-graph edges grow as n^2; use a larger edge quantum so the
     # bucketing doesn't thrash
     edge_quantum = 2048
@@ -733,7 +751,7 @@ class PagtnModel(GraphModel):
             hidden_features=hidden_features,
             output_node_features=output_node_features,
             num_layers=num_layers, num_heads=num_heads, dropout=dropout,
-            pool_mode=pool_mode)
+            pool_mode=pool_mode, sorted_edges=True)
         loss, output_types = _gnn_loss_outputs(mode)
         super().__init__(module, loss, output_types=output_types,
                          batch_size=batch_size, **kwargs)

@@ -72,6 +72,92 @@ def segment_softmax(logits: jnp.ndarray, segment_ids: jnp.ndarray,
     return exp / jnp.maximum(denom[segment_ids], 1e-16)
 
 
+# fused Pallas kernel VMEM budget: [E, H<=128] buffers are lane-padded to
+# 128, so E*128*4 bytes each; 32768 edges measured safe on v5e, 65536 OOMs
+_CSR_SOFTMAX_MAX_EDGES = 32768
+# below this the op-level win (1.35-2.7x isolated) is eaten end-to-end by
+# fusion breakage: the kernel is a custom call, so the logits producer and
+# attention consumer can no longer fuse through it, and the [E, H] buffer
+# round-trips lane-padded to 128.  Measured end-to-end on v5e
+# (fit_on_device, 5-layer PAGTN): H=1/E=2048 0.61x, H=8/E~8k 0.88x —
+# while COMPILE time drops 6-20x (243s -> 38s), a real win on this
+# tunneled backend where XLA's scatter chains inflate compilation.
+_CSR_SOFTMAX_MIN_EDGES = 16384
+_CSR_SOFTMAX_MIN_WIDTH = 8
+
+
+def _csr_softmax_eligible(shape: Tuple[int, ...], dtype,
+                          mode: Optional[str] = None) -> bool:
+    """Dispatch predicate for the fused kernel (unit-tested directly).
+
+    mode: None reads DEEPCHEM_TPU_CSR_SOFTMAX ('auto' default / 'on' /
+    'off').  'on' skips the shape heuristics (for compile-time-bound
+    sessions); hard requirements (TPU backend, f32, VMEM envelope)
+    always hold.
+    """
+    import os
+    mode = mode or os.environ.get('DEEPCHEM_TPU_CSR_SOFTMAX', 'auto')
+    E = shape[0]
+    hard_ok = (jax.default_backend() == 'tpu'
+               and dtype == jnp.float32
+               and len(shape) in (1, 2)
+               and (len(shape) == 1 or shape[1] <= 128)
+               and E <= _CSR_SOFTMAX_MAX_EDGES)
+    if not hard_ok or mode == 'off':
+        return False
+    if mode == 'on':
+        return True
+    return (len(shape) == 2 and shape[1] >= _CSR_SOFTMAX_MIN_WIDTH
+            and E >= _CSR_SOFTMAX_MIN_EDGES)
+
+
+def segment_softmax_sorted(logits: jnp.ndarray,
+                           segment_ids_sorted: jnp.ndarray,
+                           num_segments: int,
+                           mask: Optional[jnp.ndarray] = None
+                           ) -> jnp.ndarray:
+    """:func:`segment_softmax` for segment ids in NON-DECREASING order.
+
+    On TPU this can dispatch to the fused Pallas CSR kernel
+    (ops/pallas_segment.py csr_segment_softmax) — one VMEM pass replaces
+    XLA's scatter-max + gather + scatter-add + gather chain, measured
+    1.35-2.70x faster ISOLATED across GAT/AttentiveFP/PAGTN batch shapes
+    on v5e (scripts/bench_pallas_softmax.py).  End-to-end the custom
+    call breaks XLA fusion, so by default ('auto') the kernel engages
+    only in the wide regime (E >= 16384, H >= 8) where the isolated win
+    clears the fusion cost; DEEPCHEM_TPU_CSR_SOFTMAX=on forces it
+    everywhere (6-20x faster compiles on the tunneled backend, ~12%
+    slower steps at molecular shapes), =off disables.  Falls back to the
+    XLA oracle whenever ineligible.  Callers must guarantee sortedness
+    (the graph models sort edges by destination at batch packing);
+    results are garbage otherwise.
+    """
+    E = logits.shape[0]
+    if not _csr_softmax_eligible(logits.shape, logits.dtype):
+        return segment_softmax(logits, segment_ids_sorted, num_segments,
+                               mask)
+    from deepchem_tpu.ops.pallas_segment import csr_segment_softmax
+    squeeze = logits.ndim == 1
+    l = logits[:, None] if squeeze else logits
+    m = None
+    if mask is not None:
+        m = mask if mask.ndim == l.ndim else \
+            mask.reshape(mask.shape + (1,) * (l.ndim - mask.ndim))
+        l = jnp.where(m > 0, l, NEG)
+    # row_ptr from the sorted ids; segment count rounded up to the
+    # kernel's node-block multiple (tail segments are empty)
+    n_pad = ((num_segments + 7) // 8) * 8
+    row_ptr = jnp.searchsorted(
+        segment_ids_sorted,
+        jnp.arange(n_pad + 1, dtype=segment_ids_sorted.dtype),
+        side='left').astype(jnp.int32)
+    row_ptr = jnp.minimum(row_ptr, E)
+    y = csr_segment_softmax(l, row_ptr, n_pad)
+    if m is not None:
+        y = y * m
+    return y[:, 0] if squeeze else y
+
+
 def gather_neighbors_sum(node_feats: jnp.ndarray, edge_src: jnp.ndarray,
                          edge_dst: jnp.ndarray,
                          edge_mask: Optional[jnp.ndarray] = None

@@ -301,6 +301,72 @@ def fam_dft_scf():
             'pred_head': [float(v) for v in gflat[:8]]}
 
 
+def fam_csr_softmax():
+    """Fused Pallas CSR segment-softmax (round-4 kernel): forward + the
+    custom-VJP gradient vs the XLA segment_softmax path, both jitted on
+    the current backend.  On TPU segment_softmax_sorted takes the Pallas
+    kernel; on CPU it falls back to XLA — so the cross-backend diff
+    checks the kernel itself against the oracle."""
+    import jax
+    import jax.numpy as jnp
+    from deepchem_tpu.ops import segment_softmax_sorted
+    rng = np.random.RandomState(0)
+    n, e, h = 128, 512, 8
+    dst = np.sort(rng.randint(0, n, e)).astype(np.int32)
+    logits = jnp.asarray(rng.randn(e, h).astype(np.float32))
+    mask = jnp.asarray((rng.rand(e) > 0.1).astype(np.float32))
+    w = jnp.asarray(rng.randn(e, h).astype(np.float32))
+
+    def f(l):
+        y = segment_softmax_sorted(l, jnp.asarray(dst), n, mask=mask)
+        return jnp.sum(y * w)
+
+    val = float(jax.jit(f)(logits))
+    g = np.asarray(jax.jit(jax.grad(f))(logits), np.float64)
+    # pagtn layer end-to-end on the same sorted batch
+    from deepchem_tpu.models.graph_models import PagtnLayer
+    ef = jnp.asarray(rng.randn(e, 6).astype(np.float32))
+    x = jnp.asarray(rng.randn(n, 16).astype(np.float32))
+    src = jnp.asarray(rng.randint(0, n, e).astype(np.int32))
+    layer = PagtnLayer(hidden_features=8, n_heads=2, sorted_edges=True)
+    params = layer.init(jax.random.PRNGKey(0), x, ef, src,
+                        jnp.asarray(dst), mask)
+    out = np.asarray(jax.jit(lambda p: layer.apply(
+        p, x, ef, src, jnp.asarray(dst), mask))(params), np.float64)
+    return {'losses': [val, float(out.sum())],
+            'pred_mean': float(g.mean()),
+            'pred_absmax': float(np.abs(g).max()),
+            'pred_head': [float(v) for v in g.ravel()[:8]]}
+
+
+def fam_csr_segment_sum():
+    """CSR Pallas aggregation kernels (ops/pallas_segment.py round-1
+    set): csr_segment_sum + fused_gather_segment_sum, compiled on TPU /
+    interpret on CPU, against identical inputs."""
+    import jax
+    import jax.numpy as jnp
+    from deepchem_tpu.ops.pallas_segment import (
+        csr_segment_sum, fused_gather_segment_sum, edges_to_csr)
+    rng = np.random.RandomState(0)
+    n, e, f = 64, 256, 32
+    dst = rng.randint(0, n, e)
+    src = rng.randint(0, n, e).astype(np.int32)
+    perm, row_ptr = edges_to_csr(dst, n)
+    msgs = jnp.asarray(rng.randn(e, f).astype(np.float32)[perm])
+    h = jnp.asarray(rng.randn(n, f).astype(np.float32))
+    interp = jax.default_backend() != 'tpu'
+    rp = jnp.asarray(row_ptr)
+    s1 = np.asarray(csr_segment_sum(msgs, rp, n, interpret=interp),
+                    np.float64)
+    s2 = np.asarray(fused_gather_segment_sum(
+        h, jnp.asarray(src[perm]), rp, n, interpret=interp), np.float64)
+    both = np.concatenate([s1.ravel(), s2.ravel()])
+    return {'losses': [float(s1.sum()), float(s2.sum())],
+            'pred_mean': float(both.mean()),
+            'pred_absmax': float(np.abs(both).max()),
+            'pred_head': [float(v) for v in both[:8]]}
+
+
 FAMILIES = [
     ('dense', fam_dense), ('graphconv', fam_graphconv), ('gat', fam_gat),
     ('attentivefp', fam_attentivefp), ('mpnn', fam_mpnn),
@@ -309,6 +375,8 @@ FAMILIES = [
     ('textcnn', fam_textcnn), ('cnn', fam_cnn),
     ('atomicconv', fam_atomicconv), ('flash_bert', fam_flash_bert),
     ('nei_ops', fam_nei_ops), ('dft_scf', fam_dft_scf),
+    ('csr_softmax', fam_csr_softmax),
+    ('csr_segment_sum', fam_csr_segment_sum),
 ]
 
 
