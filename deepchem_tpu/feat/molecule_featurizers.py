@@ -104,17 +104,47 @@ class PubChemFingerprint(MolecularFeaturizer):
 
 
 class Mol2VecFingerprint(MolecularFeaturizer):
-    """Mol2Vec embeddings (reference mol2vec_fingerprint.py) need the
-    pretrained gensim corpus model, which cannot be downloaded in this
-    offline build; construction raises with instructions."""
+    """Mol2Vec substructure embeddings, computed natively.
+
+    The reference (mol2vec_fingerprint.py) wraps the mol2vec/gensim
+    pipeline with a 300-dim word2vec model pretrained on 20M compounds
+    (hub download).  This implementation runs the same construction on
+    the in-repo stack (chem/mol2vec.py): molecules become sentences of
+    Morgan identifiers and a natively-trained skip-gram/negative-sampling
+    model embeds them; the fingerprint is the sentence vector sum.
+
+    ``pretrain_model_path`` loads a saved :class:`Mol2VecModel` (.npz);
+    ``model=`` passes one in-memory; with neither, the framework's own
+    corpus model (trained once on the local tox21 mirror, cached) is
+    used — same construction as the published model, smaller corpus."""
 
     def __init__(self, pretrain_model_path: Optional[str] = None,
-                 radius: int = 1, unseen: str = 'UNK'):
-        raise ImportError(
-            'Mol2VecFingerprint requires the pretrained mol2vec gensim '
-            'model (model_300dim.pkl) and the gensim package; neither is '
-            'available in this environment. Use CircularFingerprint or '
-            'MACCSKeysFingerprint instead.')
+                 radius: int = 1, unseen: str = 'UNK', model=None,
+                 vector_size: int = 300):
+        super().__init__()
+        from deepchem_tpu.chem.mol2vec import (Mol2VecModel,
+                                               default_corpus_model)
+        self.radius = radius
+        self.unseen = unseen
+        if model is not None:
+            self.model = model
+        elif pretrain_model_path is not None:
+            self.model = Mol2VecModel.load(pretrain_model_path)
+        else:
+            self.model = default_corpus_model(radius=radius,
+                                              vector_size=vector_size)
+
+    def sentences2vec(self, sentences, model, unseen=None) -> np.ndarray:
+        """(reference mol2vec features.sentences2vec surface)"""
+        from deepchem_tpu.chem.mol2vec import sentences2vec
+        return sentences2vec(sentences, model, unseen)
+
+    def _featurize(self, mol: Molecule, **kwargs) -> np.ndarray:
+        from deepchem_tpu.chem.mol2vec import (mol_to_sentence,
+                                               sentences2vec)
+        sentence = mol_to_sentence(mol, self.radius)
+        return sentences2vec([sentence], self.model,
+                             self.unseen)[0].astype(np.float32)
 
 
 class MordredDescriptors(MolecularFeaturizer):

@@ -80,11 +80,13 @@ def test_maccs_and_pubchem_fingerprints():
 
 
 def test_gated_featurizers_raise():
-    # MordredDescriptors is now native (tests/test_mordred_native.py);
-    # Mol2Vec still needs the pretrained gensim corpus.
-    from deepchem_tpu.feat import Mol2VecFingerprint
-    with pytest.raises(ImportError):
-        Mol2VecFingerprint()
+    # both former gates are native now: MordredDescriptors
+    # (tests/test_mordred_native.py) and Mol2VecFingerprint
+    # (tests/test_mol2vec.py) construct and run without external
+    # packages.
+    from deepchem_tpu.feat import Mol2VecFingerprint, MordredDescriptors
+    assert MordredDescriptors is not None
+    assert Mol2VecFingerprint is not None
 
 
 def test_complex_featurizers():
