@@ -8,10 +8,15 @@ v5e at ChemBERTa-77M scale while a plain bf16 matmul chain reaches 71%
 (scripts/bench_chemberta_mfu.py).  This module is the framework-owned
 encoder for the dense-transformer compute path:
 
-- attention through the Pallas TPU flash kernel
-  (jax.experimental.pallas.ops.tpu.flash_attention) — no S x S score
-  materialization; XLA einsum fallback elsewhere (CPU tests, padding
-  masks the kernel build doesn't cover);
+- attention through the XLA einsum path by default: the r4 crossover
+  probe (scripts/attn_crossover.py, v5e) measured einsum FASTER than
+  the Pallas flash kernel at EVERY sequence length at this head
+  config — 1.85x at S=128 (one 128-token block leaves the kernel's
+  grid/DMA machinery nothing to amortize) growing to 4.7x at S=4096
+  (13.2 vs 7.1 TF/s ... 76.5 vs 16.3 TF/s).  The flash kernel
+  (jax.experimental.pallas.ops.tpu.flash_attention) stays available
+  via ``use_flash=True`` for memory-bound regimes where the [B,H,S,S]
+  score materialization, not throughput, is the constraint;
 - one computation ``dtype`` knob (bf16 activations, f32 params /
   softmax/layernorm accumulations — the mixed-precision recipe);
 - weight-tied MLM head, RoBERTa parameterization (post-LN, gelu,
@@ -44,12 +49,15 @@ def flash_or_xla_attention(q, k, v, mask: Optional[jnp.ndarray],
                            use_flash: Optional[bool] = None):
     """[B, S, H, D] q/k/v -> [B, S, H, D]; mask [B, S] (1 = keep).
 
-    On TPU without padding (mask all-ones or None) the Pallas flash
-    kernel runs; otherwise a masked XLA einsum with f32 softmax."""
+    Default is the XLA einsum path with f32 softmax — measured faster
+    than the Pallas flash kernel at every sequence length on v5e
+    (scripts/attn_crossover.py: 1.85x at S=128 up to 4.7x at S=4096).
+    Pass ``use_flash=True`` (TPU, mask-free only) when the S x S score
+    materialization is the memory constraint."""
     B, S, H, D = q.shape
     scale = 1.0 / float(np.sqrt(D))
     if use_flash is None:
-        use_flash = _on_tpu() and (mask is None)
+        use_flash = False
     if use_flash:
         from jax.experimental.pallas.ops.tpu.flash_attention import (
             flash_attention)
@@ -72,6 +80,7 @@ class _EncoderLayer(nn.Module):
     intermediate: int
     dropout: float
     dtype: jnp.dtype
+    ln_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, training: bool = False):
@@ -87,17 +96,18 @@ class _EncoderLayer(nn.Module):
         if self.dropout > 0:
             att = nn.Dropout(self.dropout,
                              deterministic=not training)(att)
-        # post-LN (RoBERTa): f32 layernorm statistics
-        x = nn.LayerNorm(dtype=jnp.float32, name='ln_att')(
-            (x + att).astype(jnp.float32)).astype(self.dtype)
+        # post-LN (RoBERTa): f32 layernorm statistics by default
+        # (ln_dtype=bf16 is the scripts/mfu_ablation.py experiment arm)
+        x = nn.LayerNorm(dtype=self.ln_dtype, name='ln_att')(
+            (x + att).astype(self.ln_dtype)).astype(self.dtype)
         h = nn.Dense(self.intermediate, dtype=self.dtype,
                      name='mlp_in')(x)
         h = nn.gelu(h)
         h = nn.Dense(self.hidden, dtype=self.dtype, name='mlp_out')(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=not training)(h)
-        x = nn.LayerNorm(dtype=jnp.float32, name='ln_mlp')(
-            (x + h).astype(jnp.float32)).astype(self.dtype)
+        x = nn.LayerNorm(dtype=self.ln_dtype, name='ln_mlp')(
+            (x + h).astype(self.ln_dtype)).astype(self.dtype)
         return x
 
 
@@ -115,6 +125,7 @@ class BertEncoderMLM(nn.Module):
     max_positions: int = 130
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    ln_dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
     @nn.compact
@@ -138,7 +149,7 @@ class BertEncoderMLM(nn.Module):
             Layer = nn.remat(_EncoderLayer, static_argnums=(3,))
         for i in range(self.layers):
             x = Layer(self.hidden, self.heads, self.intermediate,
-                      self.dropout, self.dtype,
+                      self.dropout, self.dtype, self.ln_dtype,
                       name=f'layer_{i}')(x, mask, training)
         # MLM head: dense + gelu + LN + tied vocab projection
         h = nn.Dense(self.hidden, dtype=self.dtype, name='head_dense')(x)

@@ -1056,6 +1056,24 @@ class JaxModel(Model):
         return evaluator.compute_model_performance(metrics,
                                                    per_task_metrics)
 
+    def evaluate_on_device(self, dataset: Dataset, metrics,
+                           transformers: Sequence = (),
+                           per_task_metrics: bool = False,
+                           use_sample_weights: bool = False,
+                           n_classes: int = 2):
+        """``evaluate`` through :meth:`predict_on_device`: all batches
+        upload once and the forward pass runs as one scanned dispatch.
+        Same scores as ``evaluate`` — the win is wall-clock when device
+        dispatch has latency (remote/tunneled chips): the MUV scale run
+        spent 230 s in per-batch ``predict`` round trips that this path
+        collapses to one."""
+        from deepchem_tpu.utils.evaluate import Evaluator
+        evaluator = Evaluator(self, dataset, transformers,
+                              use_device_path=True)
+        return evaluator.compute_model_performance(
+            metrics, per_task_metrics=per_task_metrics,
+            use_sample_weights=use_sample_weights, n_classes=n_classes)
+
     # -- checkpoints -------------------------------------------------------
     def _state_dict(self) -> Dict:
         return {'params': jax.tree.map(np.asarray, self.params),

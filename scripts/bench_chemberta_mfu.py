@@ -8,15 +8,21 @@ config: 12 layers, hidden 768, seq 128.
 
 Run: python scripts/bench_chemberta_mfu.py [batch]
 
-Measured (2026-08-17, TPU v5 lite, batch 512):
+Measured (2026-08-19, TPU v5 lite, batch 512, honest scalar-fetch
+timing — the axon plugin's block_until_ready returns early, see
+scripts/mfu_ablation.py):
   HF FlaxRoberta f32:          909.8 ms/step  MFU 21.8%  563 seq/s
   HF FlaxRoberta bf16 compute: 808.0 ms/step  MFU 23.6%  634 seq/s
-  native flash encoder (bf16): 559.2 ms/step  MFU 35.4%  916 seq/s
+  native encoder (bf16, r3):   559.0 ms/step  MFU 35.4%  916 seq/s
+  native encoder (bf16, r4):   302.9 ms/step  MFU 60.6%  1691 seq/s
 The round-2 'bf16 slower than f32' finding was a mixed-dtype artifact
 (params cast to bf16 while the module computed f32 -> per-op converts);
-with the computation dtype set properly bf16 > f32, and the native
-encoder (deepchem_tpu/models/bert_encoder.py: Pallas flash attention,
-f32 LN/softmax islands) clears the 35% MFU bar.
+with the computation dtype set properly bf16 > f32.  The r3->r4 jump
+is the attention dispatch flip: the MFU ablation found the Pallas
+flash kernel 1.85x slower than plain XLA einsum attention at S=128,
+and the crossover probe (scripts/attn_crossover.py) showed einsum
+wins at EVERY sequence length on this chip, so the native encoder
+(deepchem_tpu/models/bert_encoder.py) now defaults to einsum.
 """
 import os
 import sys
@@ -64,12 +70,12 @@ def main():
                             max_positions=seq + 2,
                             dtype=jnp.bfloat16)
 
-    for label in ('f32', 'bf16', 'native-flash'):
+    for label in ('f32', 'bf16', 'native'):
         model = bf16_model if label == 'bf16' else f32_model
         # fresh params per arm (the scan donates its input buffers);
         # HBM is tight across 3 arms — init lazily, free between arms
         jax.clear_caches()
-        if label == 'native-flash':
+        if label == 'native':
             params = native.init(jax.random.PRNGKey(0), ids)
         else:
             params = jax.tree.map(jnp.array, f32_model.params)
@@ -78,8 +84,8 @@ def main():
 
         def step(params, opt_state):
             def loss_fn(p):
-                if label == 'native-flash':
-                    logits = native.apply(p, ids)  # no padding: flash
+                if label == 'native':
+                    logits = native.apply(p, ids)
                 else:
                     logits = model(input_ids=ids, attention_mask=mask,
                                    params=p, train=False).logits
@@ -101,10 +107,14 @@ def main():
                 body, (params, opt_state), None, length=n_scan)
             return params, opt_state, losses[-1]
         jrun = jax.jit(run, donate_argnums=(0, 1))
-        params, opt_state, _ = jrun(params, opt_state)
+        params, opt_state, loss = jrun(params, opt_state)
+        # scalar host read: on the axon plugin block_until_ready()
+        # returns before the computation finishes (measured 2026-08-19,
+        # see scripts/mfu_ablation.py) — float() is the honest fence
+        _ = float(loss)
         t0 = time.time()
         params, opt_state, loss = jrun(params, opt_state)
-        loss.block_until_ready()
+        _ = float(loss)
         dt = (time.time() - t0) / n_scan
         print(f'chemberta MLM step [{label}]: {dt*1e3:.1f} ms/step, '
               f'{fl/1e9:.0f} GFLOP/step, MFU {100*mfu(fl, dt):.1f}% '

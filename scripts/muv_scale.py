@@ -83,10 +83,12 @@ def main() -> None:
 
     t0 = time.time()
     metric = Metric(roc_auc_score, np.mean)
-    valid_auc = model.evaluate(valid, [metric],
-                               transformers)['roc_auc_score']
-    train_auc = model.evaluate(train, [metric],
-                               transformers)['roc_auc_score']
+    # device-resident eval: one scanned dispatch per dataset instead of
+    # a tunnel round trip per batch (was 230 s of the 989 s total)
+    valid_auc = model.evaluate_on_device(valid, [metric],
+                                         transformers)['roc_auc_score']
+    train_auc = model.evaluate_on_device(train, [metric],
+                                         transformers)['roc_auc_score']
     timings['eval_s'] = round(time.time() - t0, 1)
 
     total_s = sum(timings.values())

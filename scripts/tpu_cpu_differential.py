@@ -215,8 +215,11 @@ def fam_atomicconv():
 
 
 def fam_flash_bert():
-    """Native MLM encoder: Pallas flash attention on TPU, XLA attention
-    on CPU — a direct cross-implementation check of the hot kernel."""
+    """Native MLM encoder TPU-vs-CPU.  Since r4 the encoder defaults to
+    XLA einsum attention on every backend (the flash kernel measured
+    slower at all lengths — docs/DESIGN_NOTES.md); this family now
+    checks the bf16 einsum-attention step against the CPU oracle, and
+    tests/test_round3_fixes.py pins flash==einsum when flash is used."""
     import jax
     import jax.numpy as jnp
     import optax

@@ -173,3 +173,39 @@ def test_metric_use_sample_weights():
                                 n_tasks=1, use_sample_weights=True)
     assert plain == pytest.approx(0.7)
     assert weighted > 0.95
+
+
+def test_evaluate_on_device_matches_evaluate(fitted_classifier):
+    """evaluate_on_device routes through predict_on_device (one scanned
+    dispatch) and must score identically to the per-batch evaluate path."""
+    model, ds = fitted_classifier
+    metric = Metric(roc_auc_score, np.mean)
+    host = model.evaluate(ds, [metric])
+    dev = model.evaluate_on_device(ds, [metric])
+    assert dev['roc_auc_score'] == pytest.approx(
+        host['roc_auc_score'], abs=1e-6)
+
+
+def test_evaluate_on_device_graph_model_with_transformers(tmp_path):
+    """Graph-model variant with an undo-transform in the loop: the
+    device path must apply the same untransform chain as evaluate."""
+    from deepchem_tpu.feat import ConvMolFeaturizer
+    from deepchem_tpu.models import GraphConvModel
+    from deepchem_tpu.trans import NormalizationTransformer
+    from deepchem_tpu.metrics import mean_absolute_error
+    smiles = ['CCO', 'CCC', 'CCCC', 'CCN', 'CCCO', 'c1ccccc1',
+              'CC(C)O', 'CCCCC', 'CCOC', 'CC=O', 'CCCN', 'c1ccncc1']
+    X = ConvMolFeaturizer().featurize(smiles)
+    rng = np.random.RandomState(0)
+    y = rng.rand(len(smiles), 1) * 10 + 5
+    ds = NumpyDataset(X, y)
+    trans = NormalizationTransformer(transform_y=True, dataset=ds)
+    ds_t = trans.transform(ds)
+    model = GraphConvModel(n_tasks=1, mode='regression', batch_size=4,
+                           graph_conv_layers=[16], dense_layer_size=16)
+    model.fit(ds_t, nb_epoch=2)
+    metric = Metric(mean_absolute_error, np.mean)
+    host = model.evaluate(ds_t, [metric], [trans])
+    dev = model.evaluate_on_device(ds_t, [metric], [trans])
+    assert dev['mean_absolute_error'] == pytest.approx(
+        host['mean_absolute_error'], rel=1e-4)
