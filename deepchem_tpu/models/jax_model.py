@@ -87,6 +87,12 @@ class JaxModel(Model):
                  rng_collections: Sequence[str] = ('dropout',),
                  **kwargs) -> None:
         super().__init__(model=module, model_dir=model_dir, **kwargs)
+        # persistent XLA compile cache: recurring compiles (same model
+        # family + padded shapes) become disk hits across processes —
+        # the MUV scale run paid 630 s of compile that this amortizes.
+        # Opt-out / redirect via DEEPCHEM_COMPILE_CACHE.
+        from deepchem_tpu.utils.compile_cache import enable_compile_cache
+        enable_compile_cache()
         self.module = module
         self.batch_size = batch_size
         self.log_frequency = log_frequency
