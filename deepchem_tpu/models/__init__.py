@@ -53,8 +53,9 @@ from deepchem_tpu.models.atomic_conv import (AtomicConvModel,
 from deepchem_tpu.models.bert_encoder import BertEncoderMLM
 from deepchem_tpu.models.multitask import SingletaskToMultitask
 from deepchem_tpu.models.hf_models import (HuggingFaceModel, Chemberta,
-                                           MoLFormer, OneFormer,
+                                           MoLFormer,
                                            ProtBERT, DeepAbLLM)
+from deepchem_tpu.models.oneformer import OneFormer
 from deepchem_tpu.models.molgan import BasicMolGANModel
 from deepchem_tpu.models.trainer import DistributedTrainer
 from deepchem_tpu.models.infograph import (InfoGraphModel,

@@ -555,23 +555,7 @@ class MoLFormer(HuggingFaceModel):
                          **kwargs)
 
 
-class OneFormer(HuggingFaceModel):
-    """OneFormer universal image segmentation wrapper (reference
-    torch_models/oneformer.py): hub-distributed torch-only
-    architecture.  Accepts a local ``model=`` adapter; otherwise
-    raises with the requirements (no hub in this environment, no flax
-    port of OneFormer in transformers)."""
-
-    def __init__(self, segmentation_task: str = 'semantic',
-                 model_path: str = 'shi-labs/oneformer_ade20k_swin_tiny',
-                 torch_dtype=None, n_tasks: int = 1, model=None,
-                 tokenizer=None, **kwargs):
-        if model is None:
-            raise ImportError(
-                f"OneFormer needs the hub checkpoint {model_path!r} "
-                "(torch-only; transformers has no flax OneFormer); "
-                "this environment has no model hub.  Pass a local "
-                "flax model= adapter, or use UNetModel for in-repo "
-                "image segmentation.")
-        super().__init__(model, tokenizer, task='custom',
-                         n_tasks=n_tasks, **kwargs)
+# OneFormer moved to deepchem_tpu/models/oneformer.py: a native flax
+# architecture (the reference instantiates random-init weights from
+# config anyway — oneformer.py:143 from_config — so the hub gate here
+# was never load-bearing).

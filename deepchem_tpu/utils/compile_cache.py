@@ -56,6 +56,14 @@ def enable_compile_cache(cache_dir=None) -> str:
             if env:
                 cache_dir = env
             else:
+                # auto-enable only for accelerator backends: CPU
+                # compiles are cheap, and XLA:CPU AOT entries embed
+                # machine features that warn on reload (observed:
+                # "+prefer-no-gather is not supported on the host")
+                import jax
+                if jax.default_backend() == 'cpu':
+                    _enabled_dir = ''
+                    return _enabled_dir
                 from deepchem_tpu.utils.data_utils import get_data_dir
                 cache_dir = os.path.join(get_data_dir(), 'xla_cache')
         try:

@@ -81,8 +81,8 @@ def test_gated_hub_models_raise_informatively():
     import deepchem_tpu.models as m
     with pytest.raises(ImportError, match='hub'):
         m.MoLFormer()
-    with pytest.raises(ImportError, match='hub'):
-        m.OneFormer()
+    # OneFormer is native since r4 — constructs without a hub
+    assert m.OneFormer().num_labels == 2
 
 
 def test_xgboost_model_deprecated_alias():

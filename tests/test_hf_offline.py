@@ -198,9 +198,14 @@ def test_molformer_local_adapter_runs():
     assert len(out[0][0]) == 2
 
 
-def test_molformer_and_oneformer_hub_gates():
+def test_molformer_hub_gate_and_native_oneformer():
     from deepchem_tpu.models import MoLFormer, OneFormer
     with pytest.raises(ImportError, match='MoLFormer'):
         MoLFormer()
-    with pytest.raises(ImportError, match='OneFormer'):
-        OneFormer()
+    # OneFormer is native since r4 (tests/test_oneformer.py trains it);
+    # construction needs no hub, and non-semantic tasks raise like the
+    # reference (oneformer.py:31-33)
+    m = OneFormer(id2label={0: 'bg', 1: 'fg'})
+    assert m.num_labels == 2 and m.task == 'universal_segmentation'
+    with pytest.raises(ValueError, match='not supported'):
+        OneFormer(segmentation_task='panoptic')
