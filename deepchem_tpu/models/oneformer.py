@@ -30,11 +30,14 @@ Heads produce per-query class logits (num_labels + 1 no-object slot)
 and per-query mask embeddings; masks are one einsum against the pixel
 embedding.  Semantic logits compose the two exactly like the
 mask2former-style semantic post-processing —
-``sem[k] = sum_q p(class=k | q) * sigmoid(mask_q)`` — and training is
-per-pixel cross-entropy on that composition at stride 4 (the semantic
-task needs no Hungarian matching, which would be host-side
-``linear_sum_assignment`` inside the step — the composed-CE objective
-is the TPU-native formulation of the same semantic supervision).
+``sem[k] = sum_q p(class=k | q) * sigmoid(mask_q)``.  Training follows
+OneFormer's loss recipe (class CE + mask BCE + mask dice) with FIXED
+query<->class matching for the semantic task: semantic ground truth is
+one mask per class, so the Hungarian assignment (a host-side
+``linear_sum_assignment`` that cannot live inside a jitted step)
+degenerates to a permutation we pin, plus composed per-pixel CE tying
+the ensemble together.  Composed CE alone was measured insufficient —
+it under-constrains individual query masks and collapses to background.
 
 Omitted relative to the full OneFormer recipe (documented, not hidden):
 the query-text contrastive loss (needs the text tower) and the
