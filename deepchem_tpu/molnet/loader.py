@@ -152,7 +152,14 @@ class _MolnetLoader:
             return self.tasks, (dataset,), transformers_applied
         logger.info('About to split dataset with %s splitter.',
                     _dirname(self.splitter))
-        train, valid, test = self.splitter.train_valid_test_split(dataset)
+        # splitter_seed (reference run_benchmark.py:32 seed=123 protocol)
+        # pins the split so benchmark runs are reproducible — and the
+        # derived graph-padding caps are stable, which keeps the epoch
+        # scan's HLO identical run-to-run for the persistent compile
+        # cache (an unseeded split varies the caps and misses)
+        seed = self.args.get('splitter_seed')
+        train, valid, test = self.splitter.train_valid_test_split(
+            dataset, **({} if seed is None else {'seed': seed}))
         transformers_applied = [
             t.create_transformer(train) for t in self.transformers]
         for t in transformers_applied:

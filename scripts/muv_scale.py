@@ -49,8 +49,13 @@ def main() -> None:
     t0 = time.time()
     # reload=False forces a fresh featurize+split so phase timings are
     # honest (no cache hits)
+    # splitter_seed=123 follows the reference benchmark protocol
+    # (run_benchmark.py:32) and pins the split — also keeping the
+    # derived padding caps (and hence the scan HLO) stable so repeat
+    # runs hit the persistent compile cache
     tasks, (train, valid, test), transformers = load_muv(
-        featurizer='graphconv', splitter='random', reload=False)
+        featurizer='graphconv', splitter='random', reload=False,
+        splitter_seed=123)
     timings['featurize_and_split_s'] = round(time.time() - t0, 1)
     n_train = len(train)
     n_total = n_train + len(valid) + len(test)

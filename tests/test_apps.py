@@ -219,6 +219,30 @@ def test_run_benchmark_smoke(tmp_path, monkeypatch):
     assert (tmp_path / 'results.csv').exists()
 
 
+def test_molnet_splitter_seed_pins_split(tmp_path, monkeypatch):
+    """splitter_seed (reference run_benchmark.py:32 seed protocol) must
+    make the molnet random split reproducible across fresh loads."""
+    from deepchem_tpu.molnet import load_delaney
+    import pandas as pd
+    smiles = ['CCO', 'CCC', 'c1ccccc1', 'CC(=O)O', 'CCN', 'c1ccncc1',
+              'C1CCCCC1', 'CCCC', 'CCOC', 'CC(C)C', 'CCCO', 'CC=O'] * 2
+    df = pd.DataFrame({
+        'smiles': smiles,
+        'measured log solubility in mols per litre':
+            np.random.RandomState(0).randn(len(smiles))})
+    (tmp_path / 'delaney-processed.csv').write_text(df.to_csv(index=False))
+    monkeypatch.setenv('DEEPCHEM_DATA_DIR', str(tmp_path))
+    _, (tr1, va1, te1), _ = load_delaney(
+        featurizer='ecfp', splitter='random', reload=False,
+        splitter_seed=123)
+    _, (tr2, va2, te2), _ = load_delaney(
+        featurizer='ecfp', splitter='random', reload=False,
+        splitter_seed=123)
+    assert list(tr1.ids) == list(tr2.ids)
+    assert list(va1.ids) == list(va2.ids)
+    assert list(te1.ids) == list(te2.ids)
+
+
 def test_gaussian_process_hyperparam_search():
     from deepchem_tpu.hyper import GaussianProcessHyperparamOpt
     from deepchem_tpu.models import MultitaskRegressor
