@@ -790,9 +790,20 @@ class JaxModel(Model):
         inputs0 = batches[0][0]
         if not self._built:
             self.build([jnp.asarray(a) for a in inputs0])
-        stacked = [jnp.asarray(np.stack([b[0][i] for b in batches]))
-                   for i in range(len(inputs0))]
+        host = [np.stack([b[0][i] for b in batches])
+                for i in range(len(inputs0))]
         S = len(batches)
+        # FIXED scan length: pad the batch axis to a multiple of CP and
+        # run CP-sized chunks, so ONE executable (keyed on per-batch
+        # shapes only) serves every dataset size — on the tunneled
+        # backend each distinct scan length was a fresh multi-minute
+        # compile (train-eval and valid-eval compiled separately in the
+        # MUV scale run); padded-batch compute is forward-only and cheap
+        CP = min(32, S)
+        Spad = -(-S // CP) * CP
+        if Spad != S:
+            host = [np.concatenate(
+                [a, np.repeat(a[-1:], Spad - S, axis=0)]) for a in host]
 
         def run(params, s_in):
             def body(_, inputs):
@@ -801,14 +812,20 @@ class JaxModel(Model):
                 return _, tuple(outs)
             _, outs = jax.lax.scan(body, None, tuple(s_in))
             return outs
-        cache_key = ('predict_on_device',
-                     tuple(a.shape for a in stacked))
+        cache_key = ('predict_on_device', CP,
+                     tuple(a.shape[1:] for a in host))
         fn = self._predict_fn_cache.get(cache_key)
         if fn is None:
             fn = jax.jit(run)
             self._predict_fn_cache[cache_key] = fn
-        outs = fn(self.params, stacked)
-        outs = [np.asarray(o).reshape((-1,) + o.shape[2:]) for o in outs]
+        # dispatch every chunk before fetching any result: uploads and
+        # forward passes pipeline against each other on the device queue
+        parts = [fn(self.params, [jnp.asarray(a[lo:lo + CP])
+                                  for a in host])
+                 for lo in range(0, Spad, CP)]
+        outs = [np.concatenate([np.asarray(p[i]) for p in parts])
+                for i in range(len(parts[0]))]
+        outs = [o.reshape((-1,) + o.shape[2:]) for o in outs]
         if self.output_types is not None:
             if output_types is not None:
                 idx = [i for i, t in enumerate(self.output_types)

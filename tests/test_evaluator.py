@@ -209,3 +209,17 @@ def test_evaluate_on_device_graph_model_with_transformers(tmp_path):
     dev = model.evaluate_on_device(ds_t, [metric], [trans])
     assert dev['mean_absolute_error'] == pytest.approx(
         host['mean_absolute_error'], rel=1e-4)
+
+
+def test_predict_on_device_chunked_matches_predict(fitted_classifier):
+    """S > 32 batches exercises the fixed-chunk scan (pad + trim): the
+    chunked device path must agree with per-batch predict exactly."""
+    model, _ = fitted_classifier
+    rng = np.random.RandomState(1)
+    X = rng.rand(700, 8).astype(np.float32)       # 35 batches of 20
+    big = NumpyDataset(X, np.zeros((700, 1)))
+    host = model.predict(big)
+    dev = model.predict_on_device(big)
+    assert dev.shape == host.shape
+    np.testing.assert_allclose(np.asarray(dev), np.asarray(host),
+                               rtol=1e-5, atol=1e-6)
