@@ -513,10 +513,14 @@ class DiskDataset(Dataset):
             w = np.ones_like(np.asarray(y), dtype=np.float32)
         if ids is None:
             ids = np.arange(n)
+        # compress=1: measured on a real 8192-mol graph shard, level 1
+        # loads 6.3x faster than level 3 (0.85 s vs 5.33 s) and writes
+        # 18% faster for +40% size — and every split/select/transform
+        # re-reads shards, so load speed dominates the pipeline phase
         joblib.dump(
             {'X': np.asarray(X) if not isinstance(X, np.ndarray) else X,
              'y': y, 'w': w, 'ids': np.asarray(ids, dtype=object)},
-            os.path.join(data_dir, f'shard-{i}.joblib'), compress=3)
+            os.path.join(data_dir, f'shard-{i}.joblib'), compress=1)
         return n
 
     # -- shard access ------------------------------------------------------
