@@ -155,3 +155,47 @@ __all__ += [
     'TensorflowMultitaskIRVClassifier', 'XGBoostModel',
     'MoLFormer', 'OneFormer', 'ProtBERT', 'DeepAbLLM',
 ]
+
+
+class _BackendHarnessShim:
+    """Migration shim for the reference's per-backend training harnesses.
+
+    The reference maintains three parallel harnesses — KerasModel
+    (models/keras_model.py:37), TorchModel (models/torch_models/
+    torch_model.py:42) and the Lightning wrappers — that all expose the
+    same fit/predict/evaluate contract.  This framework deliberately has
+    ONE engine (JaxModel) implementing that contract TPU-first, so these
+    names exist only to point reference users at the migration path
+    instead of an AttributeError.
+    """
+
+    _replacement = 'JaxModel'
+
+    def __init__(self, *args, **kwargs):
+        raise NotImplementedError(
+            f'{type(self).__name__} is a reference-API name: this '
+            'framework has a single TPU-native engine. Wrap your '
+            'architecture as a flax module and construct '
+            f'deepchem_tpu.models.{self._replacement} (same '
+            'fit/predict/evaluate/checkpoint contract; see docs/API.md '
+            '"Engine").')
+
+
+class KerasModel(_BackendHarnessShim):
+    pass
+
+
+class TorchModel(_BackendHarnessShim):
+    pass
+
+
+class DCLightningModule(_BackendHarnessShim):
+    pass
+
+
+class DCLightningDatasetModule(_BackendHarnessShim):
+    pass
+
+
+__all__ += ['KerasModel', 'TorchModel', 'DCLightningModule',
+            'DCLightningDatasetModule']

@@ -13,15 +13,12 @@ import pytest
 
 REF = pathlib.Path('/root/reference/deepchem')
 
-# Names whose existence is tied to the reference's torch/keras/lightning
-# triple-backend design.  The single JAX engine (models/jax_model.py)
-# implements the same Model contract, so these have no analog by
-# design — each line documents why.
+# Names that are not real reference API surface.  The reference's
+# torch/keras/lightning harness names (KerasModel, TorchModel,
+# DCLightning*Module) now exist as migration shims that raise a pointed
+# NotImplementedError naming JaxModel (see test below), so the only
+# exclusion left is an internal alias.
 EXCLUDED = {
-    'KerasModel',               # keras harness; single engine here
-    'TorchModel',               # torch harness; single engine here
-    'DCLightningModule',        # lightning DDP shim; Mesh/pjit here
-    'DCLightningDatasetModule',  # lightning data shim
     'SequenceCollection',       # internal collections.abc alias, not API
 }
 
@@ -95,3 +92,16 @@ def test_xgboost_model_deprecated_alias():
             sklearn.ensemble.GradientBoostingRegressor(n_estimators=2))
         assert any(issubclass(x.category, DeprecationWarning) for x in w)
     assert isinstance(model, m.GBDTModel)
+
+
+@pytest.mark.parametrize('name', ['KerasModel', 'TorchModel',
+                                  'DCLightningModule',
+                                  'DCLightningDatasetModule'])
+def test_backend_harness_shims_point_at_the_engine(name):
+    """The reference's per-backend harness names exist and raise a
+    migration message naming the single JAX engine, instead of an
+    AttributeError (reference models/keras_model.py:37,
+    torch_models/torch_model.py:42)."""
+    import deepchem_tpu.models as m
+    with pytest.raises(NotImplementedError, match='JaxModel'):
+        getattr(m, name)()
