@@ -191,6 +191,10 @@ class Dataset:
             out += [y_means, y_stds]
         return tuple(out)
 
+    def to_csv(self, path: str) -> None:
+        """Write the dataset to a CSV file (reference datasets.py:700)."""
+        self.to_dataframe().to_csv(path, index=False)
+
     def to_dataframe(self):
         """Construct a pandas DataFrame (reference datasets.py:579)."""
         import pandas as pd
@@ -469,8 +473,41 @@ class DiskDataset(Dataset):
             self._manifest = json.load(f)
         self._cache: dict = {}
         self._cache_order: List[int] = []
-        self.memory_cache_size = 100 * 1024 * 1024   # bytes, like reference
+        self._memory_cache_size = 100 * 1024 * 1024  # bytes, like reference
+        self._cache_used = 0
         self._lock = threading.Lock()
+
+    @property
+    def memory_cache_size(self) -> int:
+        """Byte budget of the shard LRU cache (reference datasets.py:2614)."""
+        return self._memory_cache_size
+
+    @memory_cache_size.setter
+    def memory_cache_size(self, size: int) -> None:
+        self._memory_cache_size = size
+        with self._lock:
+            self._evict_locked()
+
+    @staticmethod
+    def _shard_nbytes(d: dict) -> int:
+        total = 0
+        for v in d.values():
+            arr = np.asarray(v) if v is not None else None
+            if arr is None:
+                continue
+            if arr.dtype == object:
+                # object arrays report pointer size only; approximate
+                total += arr.size * 64
+            else:
+                total += arr.nbytes
+        return total
+
+    def _evict_locked(self) -> None:
+        while self._cache_used > self._memory_cache_size and self._cache_order:
+            old = self._cache_order.pop(0)
+            gone = self._cache.pop(old, None)
+            if gone is not None:
+                self._cache_used -= self._shard_nbytes(gone)
 
     # -- construction ------------------------------------------------------
     @staticmethod
@@ -505,23 +542,8 @@ class DiskDataset(Dataset):
 
     @staticmethod
     def write_shard(data_dir: str, i: int, X, y, w, ids) -> int:
-        import joblib
-        n = len(X)
-        y = _as_numpy(y)
-        w = _as_numpy(w)
-        if y is not None and w is None:
-            w = np.ones_like(np.asarray(y), dtype=np.float32)
-        if ids is None:
-            ids = np.arange(n)
-        # compress=1: measured on a real 8192-mol graph shard, level 1
-        # loads 6.3x faster than level 3 (0.85 s vs 5.33 s) and writes
-        # 18% faster for +40% size — and every split/select/transform
-        # re-reads shards, so load speed dominates the pipeline phase
-        joblib.dump(
-            {'X': np.asarray(X) if not isinstance(X, np.ndarray) else X,
-             'y': y, 'w': w, 'ids': np.asarray(ids, dtype=object)},
-            os.path.join(data_dir, f'shard-{i}.joblib'), compress=1)
-        return n
+        return DiskDataset.write_data_to_disk(
+            data_dir, f'shard-{i}', X, y, w, ids)['rows']
 
     # -- shard access ------------------------------------------------------
     @property
@@ -539,8 +561,15 @@ class DiskDataset(Dataset):
             return 0
         return self._manifest['shards'][0]['rows']
 
+    def _shard_path(self, i: int) -> str:
+        """Path of shard i — manifest entries may carry an explicit 'file'
+        (written by shuffle_shards/add_shard); positional name otherwise."""
+        entry = self._manifest['shards'][i]
+        return os.path.join(self.data_dir,
+                            entry.get('file', f'shard-{i}.joblib'))
+
     def get_shard(self, i: int) -> Batch:
-        """Load shard i (LRU-cached, reference datasets.py:2614 cache)."""
+        """Load shard i (byte-budget LRU cache, reference datasets.py:2614)."""
         with self._lock:
             if i in self._cache:
                 self._cache_order.remove(i)
@@ -548,25 +577,134 @@ class DiskDataset(Dataset):
                 d = self._cache[i]
                 return d['X'], d['y'], d['w'], d['ids']
         import joblib
-        d = joblib.load(os.path.join(self.data_dir, f'shard-{i}.joblib'))
+        d = joblib.load(self._shard_path(i))
         with self._lock:
-            self._cache[i] = d
-            self._cache_order.append(i)
-            # crude size control: keep at most 8 shards cached
-            while len(self._cache_order) > 8:
-                old = self._cache_order.pop(0)
-                self._cache.pop(old, None)
+            if i not in self._cache:
+                self._cache[i] = d
+                self._cache_order.append(i)
+                self._cache_used += self._shard_nbytes(d)
+                self._evict_locked()
         return d['X'], d['y'], d['w'], d['ids']
 
     def set_shard(self, i: int, X, y, w, ids) -> None:
         self._version += 1   # invalidates device-resident data caches
-        DiskDataset.write_shard(self.data_dir, i, X, y, w, ids)
+        entry = self._manifest['shards'][i]
+        fname = entry.get('file', f'shard-{i}.joblib')
+        DiskDataset.write_data_to_disk(self.data_dir, fname[:-len('.joblib')],
+                                       X, y, w, ids)
         with self._lock:
-            self._cache.pop(i, None)
+            gone = self._cache.pop(i, None)
+            if gone is not None:
+                self._cache_used -= self._shard_nbytes(gone)
             if i in self._cache_order:
                 self._cache_order.remove(i)
-            self._manifest['shards'][i] = {'rows': len(X)}
+            self._manifest['shards'][i] = dict(entry, rows=len(X))
         self._save_manifest()
+
+    def add_shard(self, X, y=None, w=None, ids=None) -> None:
+        """Append a data shard (reference datasets.py:2333)."""
+        self._version += 1
+        basename = f'shard-{len(self._manifest["shards"])}-added'
+        row = DiskDataset.write_data_to_disk(self.data_dir, basename,
+                                             X, y, w, ids)
+        self._manifest['shards'].append(row)
+        self._save_manifest()
+
+    @staticmethod
+    def write_data_to_disk(data_dir: str, basename: str,
+                           X, y=None, w=None, ids=None) -> dict:
+        """Write one shard file named ``{basename}.joblib`` and return its
+        manifest row (reference datasets.py:1359 returns a metadata row)."""
+        import joblib
+        n = len(X)
+        y = _as_numpy(y)
+        w = _as_numpy(w)
+        if y is not None and w is None:
+            w = np.ones_like(np.asarray(y), dtype=np.float32)
+        if ids is None:
+            ids = np.arange(n)
+        # compress=1: measured on a real 8192-mol graph shard, level 1
+        # loads 6.3x faster than level 3 (0.85 s vs 5.33 s) and writes
+        # 18% faster for +40% size — and every split/select/transform
+        # re-reads shards, so load speed dominates the pipeline phase
+        joblib.dump(
+            {'X': np.asarray(X) if not isinstance(X, np.ndarray) else X,
+             'y': y, 'w': w, 'ids': np.asarray(ids, dtype=object)},
+            os.path.join(data_dir, f'{basename}.joblib'), compress=1)
+        return {'rows': n, 'file': f'{basename}.joblib'}
+
+    def save_to_disk(self) -> None:
+        """Persist the manifest (reference datasets.py:1429)."""
+        self._save_manifest()
+
+    def load_metadata(self):
+        """Return (tasks, metadata DataFrame) — one row per shard with its
+        file name and row count (reference datasets.py:1289 returns the
+        same information from metadata.csv.gz)."""
+        import pandas as pd
+        rows = [{'file': e.get('file', f'shard-{i}.joblib'),
+                 'rows': e['rows']}
+                for i, e in enumerate(self._manifest['shards'])]
+        return list(self._manifest['tasks']), pd.DataFrame(rows)
+
+    def get_data_shape(self):
+        """Shape of one feature sample (reference datasets.py:1570)."""
+        if not self.get_number_shards():
+            return tuple()
+        X = self.get_shard(0)[0]
+        return np.asarray(X).shape[1:]
+
+    def get_shard_ids(self, i: int) -> np.ndarray:
+        """(reference datasets.py:2272)"""
+        return self.get_shard(i)[3]
+
+    def get_shard_y(self, i: int) -> np.ndarray:
+        """(reference datasets.py:2293)"""
+        return self.get_shard(i)[1]
+
+    def get_shard_w(self, i: int) -> np.ndarray:
+        """(reference datasets.py:2313)"""
+        return self.get_shard(i)[2]
+
+    def get_label_means(self):
+        """Per-shard label means (reference datasets.py:2714 returns the
+        per-shard ``y_means`` metadata column)."""
+        import pandas as pd
+        return pd.Series([np.mean(np.asarray(y, dtype=np.float64), axis=0)
+                          if y is not None else None
+                          for _, y, _, _ in self.itershards()],
+                         name='y_means')
+
+    def get_label_stds(self):
+        """Per-shard label stds (reference datasets.py:2718)."""
+        import pandas as pd
+        return pd.Series([np.std(np.asarray(y, dtype=np.float64), axis=0)
+                          if y is not None else None
+                          for _, y, _, _ in self.itershards()],
+                         name='y_stds')
+
+    def shuffle_shards(self) -> None:
+        """Shuffle the order of shards (reference datasets.py:2197)."""
+        self._version += 1
+        entries = [dict(e, file=e.get('file', f'shard-{i}.joblib'))
+                   for i, e in enumerate(self._manifest['shards'])]
+        random.shuffle(entries)
+        with self._lock:
+            self._manifest['shards'] = entries
+            self._cache.clear()
+            self._cache_order.clear()
+            self._cache_used = 0
+        self._save_manifest()
+
+    def subset(self, shard_nums: Sequence[int],
+               subset_dir: Optional[str] = None) -> 'DiskDataset':
+        """New DiskDataset holding only the given shards (reference
+        datasets.py:2047)."""
+        def gen():
+            for i in shard_nums:
+                yield self.get_shard(i)
+        return DiskDataset.create_dataset(gen(), data_dir=subset_dir,
+                                          tasks=self.get_task_names())
 
     def _save_manifest(self) -> None:
         with open(os.path.join(self.data_dir, self.MANIFEST), 'w') as f:

@@ -84,6 +84,10 @@ class SupportGenerator:
                                    self.n_neg, task)[0]
         return task, support
 
+    def next(self):
+        """Py2-style alias kept by the reference (supports.py:298)."""
+        return self.__next__()
+
 
 class EpisodeGenerator:
     """Iterate (task, support, batch) episodes (reference
@@ -114,3 +118,7 @@ class EpisodeGenerator:
                                    self.n_neg, task)[0]
         batch = get_single_task_test(self.dataset, self.n_test, task)
         return task, support, batch
+
+    def next(self):
+        """Py2-style alias kept by the reference (supports.py:362)."""
+        return self.__next__()
