@@ -39,9 +39,71 @@ class RDKitConformerFeaturizer(MolecularFeaturizer):
     conformer_featurizer.py:84).  Node features: the full 30-dim
     MolGraphConv set; positions in ``node_pos_features``."""
 
+    # OGB-style allowable-value tables (reference conformer_featurizer.py
+    # allowable_features); 'misc' catches out-of-range values.
+    ALLOWABLE = {
+        'atomic_num': list(range(1, 119)) + ['misc'],
+        'chirality': ['CHI_UNSPECIFIED', 'CHI_TETRAHEDRAL_CW',
+                      'CHI_TETRAHEDRAL_CCW', 'CHI_OTHER'],
+        'degree': list(range(11)) + ['misc'],
+        'formal_charge': [-5, -4, -3, -2, -1, 0, 1, 2, 3, 4, 5, 'misc'],
+        'numH': list(range(9)) + ['misc'],
+        'radical_e': list(range(5)) + ['misc'],
+        'hybridization': ['SP', 'SP2', 'SP3', 'SP3D', 'SP3D2', 'misc'],
+        'is_aromatic': [False, True],
+        'is_in_ring': [False, True],
+        'bond_type': ['SINGLE', 'DOUBLE', 'TRIPLE', 'AROMATIC', 'misc'],
+        'bond_stereo': ['STEREONONE', 'STEREOZ', 'STEREOE', 'STEREOCIS',
+                        'STEREOTRANS', 'STEREOANY'],
+        'is_conjugated': [False, True],
+    }
+
+    @staticmethod
+    def _safe_index(table, value):
+        try:
+            return table.index(value)
+        except ValueError:
+            return len(table) - 1
+
     def __init__(self, num_conformers: int = 1):
         super().__init__()
         self.num_conformers = num_conformers
+
+    def atom_to_feature_vector(self, atom) -> List[int]:
+        """OGB-style index features for one atom (reference
+        conformer_featurizer.py:121)."""
+        chirality = ('CHI_UNSPECIFIED' if not atom.chirality else
+                     'CHI_TETRAHEDRAL_CW' if atom.chirality == '@@' else
+                     'CHI_TETRAHEDRAL_CCW')
+        A, idx = self.ALLOWABLE, self._safe_index
+        return [
+            idx(A['atomic_num'], atom.atomic_num),
+            idx(A['chirality'], chirality),
+            idx(A['degree'], atom.degree + atom.total_hs),
+            idx(A['formal_charge'], atom.formal_charge),
+            idx(A['numH'], atom.total_hs),
+            idx(A['radical_e'], atom.num_radical_electrons),
+            idx(A['hybridization'], atom.hybridization.upper()),
+            A['is_aromatic'].index(bool(atom.is_aromatic)),
+            A['is_in_ring'].index(bool(atom.in_ring)),
+        ]
+
+    def bond_to_feature_vector(self, bond) -> List[int]:
+        """OGB-style index features for one bond (reference
+        conformer_featurizer.py:157)."""
+        A, idx = self.ALLOWABLE, self._safe_index
+        if bond.is_aromatic:
+            btype = 'AROMATIC'
+        else:
+            btype = {1.0: 'SINGLE', 2.0: 'DOUBLE',
+                     3.0: 'TRIPLE'}.get(float(bond.order), 'misc')
+        stereo = {'': 'STEREONONE', 'cis': 'STEREOCIS',
+                  'trans': 'STEREOTRANS'}.get(bond.stereo, 'STEREOANY')
+        return [
+            idx(A['bond_type'], btype),
+            A['bond_stereo'].index(stereo),
+            A['is_conjugated'].index(bool(bond.is_conjugated)),
+        ]
 
     def _featurize(self, mol: Molecule, **kwargs) -> GraphData:
         from deepchem_tpu.feat.molecule_featurizers import \

@@ -243,6 +243,11 @@ class Realigner:
         return realigned, windows
 
 
+
+def _decode_one_hot(one_hot_vector, charset=None):
+    charset = charset or ['A', 'C', 'T', 'G', 'N']
+    return ''.join(charset[int(np.argmax(v))] for v in one_hot_vector)
+
 class RealignerFeaturizer(Featurizer):
     """Featurizer wrapper (reference deepvariant_featurizer.py:717):
     datapoint = (reads, reference_seq) -> (realigned_reads, windows)."""
@@ -254,6 +259,11 @@ class RealignerFeaturizer(Featurizer):
         reads, ref = datapoint
         reads = [r if isinstance(r, Read) else Read(*r) for r in reads]
         return self.realigner.realign(reads, ref)
+
+    def decode_one_hot(self, one_hot_vector, charset=None):
+        """Decode a one-hot nucleotide sequence (reference
+        deepvariant_featurizer.py:747)."""
+        return _decode_one_hot(one_hot_vector, charset)
 
 
 _BASE_INTENSITY = {'A': 250.0, 'G': 180.0, 'T': 100.0, 'C': 30.0}
@@ -271,6 +281,11 @@ class PileupFeaturizer(Featurizer):
     def __init__(self, height: int = 100, width: int = 221):
         self.height = height
         self.width = width
+
+    def decode_one_hot(self, one_hot_vector, charset=None):
+        """Decode a one-hot nucleotide sequence (reference
+        deepvariant_pileup_featurizer.py:47)."""
+        return _decode_one_hot(one_hot_vector, charset)
 
     def _featurize(self, datapoint, **kwargs):
         reads, ref, center = datapoint

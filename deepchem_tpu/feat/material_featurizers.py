@@ -104,6 +104,21 @@ class ElemNetFeaturizer(Featurizer):
 
     MAX_Z = 86
 
+    def get_vector(self, comp) -> Optional[np.ndarray]:
+        """Element->fraction dict to an 86-dim fraction vector (reference
+        elemnet_featurizer.py:50).  Keys may be element symbols or atomic
+        numbers; values are (unnormalized) fractions."""
+        from deepchem_tpu.chem.mol import ATOMIC_SYMBOL
+        sym_to_z = {v: k for k, v in ATOMIC_SYMBOL.items()}
+        total = sum(comp.values()) or 1.0
+        v = np.zeros(self.MAX_Z, dtype=np.float32)
+        for key, c in comp.items():
+            z = key if isinstance(key, int) else sym_to_z.get(str(key), 0)
+            if not 1 <= z <= self.MAX_Z:
+                return None
+            v[z - 1] = c / total
+        return v
+
     def _featurize(self, datapoint: str, **kwargs) -> np.ndarray:
         comp = parse_composition(str(datapoint))
         total = sum(comp.values()) or 1.0

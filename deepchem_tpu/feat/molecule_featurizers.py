@@ -544,6 +544,18 @@ class OneHotFeaturizer(Featurizer):
     def featurize(self, datapoints, log_every_n: int = 1000, **kwargs):
         return super().featurize(datapoints, log_every_n, **kwargs)
 
+    def pad_smile(self, smiles: str) -> str:
+        """Space-pad a SMILES to the featurizer length (reference
+        one_hot_featurizer.py:152)."""
+        return self.pad_string(smiles)
+
+    def pad_string(self, string: str) -> str:
+        """Space-pad (and truncate) a string to the featurizer length
+        (reference one_hot_featurizer.py:168)."""
+        if self.max_length is None:
+            return string
+        return string[:self.max_length].ljust(self.max_length)
+
     def untransform(self, one_hot: np.ndarray) -> str:
         chars = []
         for row in one_hot:
@@ -572,6 +584,25 @@ class SmilesToSeq(Featurizer):
         total = self.max_len + 2 * self.pad_len
         seq = seq[:total] + [pad_token] * max(0, total - len(seq))
         return np.array(seq, dtype=np.int32)
+
+    def to_seq(self, smile_chars: Sequence[str]) -> np.ndarray:
+        """Character list -> index array (reference smiles_to_seq.py:97)."""
+        pad_token = self.char_to_idx.get('<pad>', 0)
+        unk = self.char_to_idx.get('<unk>', pad_token)
+        return np.array([self.char_to_idx.get(c, unk) for c in smile_chars])
+
+    def remove_pad(self, characters: Sequence[str]) -> List[str]:
+        """Strip the pad margin and pad tokens (reference
+        smiles_to_seq.py:106)."""
+        characters = list(characters)[
+            self.pad_len:len(characters) - self.pad_len]
+        return [c for c in characters if c != '<pad>']
+
+    def smiles_from_seq(self, seq: Sequence[int]) -> str:
+        """Reconstruct the SMILES from an index sequence (reference
+        smiles_to_seq.py:116)."""
+        return ''.join(self.remove_pad(
+            [self.idx_to_char[int(i)] for i in seq]))
 
 
 def create_char_to_idx(smiles_list: Sequence[str],
@@ -663,6 +694,19 @@ class CoulombMatrix(MolecularFeaturizer):
         self.upper_tri = upper_tri
         self.n_samples = n_samples
         self.rng = np.random.RandomState(seed)
+
+    @staticmethod
+    def get_interatomic_distances(conf) -> np.ndarray:
+        """All-pairs distance matrix for a conformer (reference
+        coulomb_matrices.py:197).  Accepts an (N, 3) coordinate array, a
+        Molecule with a conformer, or any object with ``GetPositions()``."""
+        if hasattr(conf, 'GetPositions'):
+            xyz = np.asarray(conf.GetPositions(), dtype=np.float64)
+        elif hasattr(conf, 'conformer') and conf.conformer is not None:
+            xyz = np.asarray(conf.conformer, dtype=np.float64)
+        else:
+            xyz = np.asarray(conf, dtype=np.float64)
+        return np.linalg.norm(xyz[:, None, :] - xyz[None, :, :], axis=-1)
 
     def coulomb_matrix(self, mol: Molecule) -> np.ndarray:
         if mol.conformer is None:

@@ -78,8 +78,48 @@ class SmilesTokenizer:
     def vocab_size(self) -> int:
         return len(self.vocab)
 
+    @property
+    def vocab_list(self) -> List[str]:
+        """Vocabulary tokens in id order (reference
+        smiles_tokenizer.py:106)."""
+        return list(self.vocab.keys())
+
+    @property
+    def cls_token_id(self) -> int:
+        return self.vocab[self.cls_token]
+
+    @property
+    def sep_token_id(self) -> int:
+        return self.vocab[self.sep_token]
+
     def tokenize(self, text: str) -> List[str]:
         return self.basic.tokenize(text)
+
+    def convert_tokens_to_string(self, tokens: List[str]) -> str:
+        """Join tokens, merging '##' wordpieces (reference
+        smiles_tokenizer.py:147)."""
+        return ' '.join(tokens).replace(' ##', '').strip()
+
+    def add_special_tokens_single_sequence(self,
+                                           tokens: List[str]) -> List[str]:
+        """[CLS] X [SEP] on token strings (reference
+        smiles_tokenizer.py:178)."""
+        return [self.cls_token] + list(tokens) + [self.sep_token]
+
+    def add_special_tokens_ids_single_sequence(
+            self, token_ids: List[int]) -> List[int]:
+        """[CLS] X [SEP] on token ids (reference
+        smiles_tokenizer.py:164)."""
+        return [self.cls_token_id] + list(token_ids) + [self.sep_token_id]
+
+    def add_special_tokens_ids_sequence_pair(
+            self, token_ids_0: List[int],
+            token_ids_1: List[int]) -> List[int]:
+        """[CLS] A [SEP] B [SEP] on token ids (reference
+        smiles_tokenizer.py:189)."""
+        return ([self.cls_token_id] + list(token_ids_0)
+                + [self.sep_token_id] + list(token_ids_1)
+                + [self.sep_token_id])
 
     def convert_tokens_to_ids(self, tokens) -> List[int]:
         if isinstance(tokens, str):
@@ -175,6 +215,11 @@ class VocabularyBuilder:
     feat/vocabulary_builders/vocabulary_builder.py)."""
 
     def build(self, dataset):
+        raise NotImplementedError()
+
+    def extend(self, dataset):
+        """Extend an existing vocabulary from a dataset (reference
+        vocabulary_builders/vocabulary_builder.py:38 abstract hook)."""
         raise NotImplementedError()
 
     @classmethod

@@ -41,20 +41,42 @@ class MATFeaturizer(MolecularFeaturizer):
     node with its own feature column (reference _add_dummy_node:133),
     adjacency, graph distances (3D distances when a conformer exists)."""
 
+    def construct_mol(self, mol: Molecule) -> Molecule:
+        """Input normalization hook (reference mat_featurizer.py
+        construct_mol sanitizes/strips salts); our parser already
+        finalizes perception, so this resolves SMILES strings and
+        passes Molecules through."""
+        if isinstance(mol, str):
+            from deepchem_tpu.chem import mol_from_smiles
+            parsed = mol_from_smiles(mol)
+            if parsed is None:
+                raise ValueError(f'unparseable SMILES {mol!r}')
+            return parsed
+        return mol
+
+    def atom_features(self, atom) -> np.ndarray:
+        """Per-atom MAT feature vector (reference mat_featurizer.py
+        atom_features)."""
+        return np.asarray(
+            fu.one_hot_encode(atom.symbol,
+                              ['B', 'Br', 'C', 'Cl', 'F', 'I', 'N',
+                               'O', 'P', 'S', 'Se', 'Si'], True)
+            + fu.one_hot_encode(atom.degree, [0, 1, 2, 3, 4, 5], False)
+            + fu.one_hot_encode(atom.total_hs, [0, 1, 2, 3, 4], False)
+            + fu.one_hot_encode(atom.formal_charge, [-1, 0, 1], True)
+            + [float(atom.in_ring), float(atom.is_aromatic)],
+            dtype=np.float32)
+
+    def construct_node_features_matrix(self, mol: Molecule) -> np.ndarray:
+        """Stacked atom features (reference mat_featurizer.py
+        construct_node_features_matrix)."""
+        return np.asarray([self.atom_features(a) for a in mol.atoms],
+                          dtype=np.float32)
+
     def _featurize(self, mol: Molecule, **kwargs) -> MATEncoding:
+        mol = self.construct_mol(mol)
         n = mol.num_atoms
-        feats = []
-        for a in mol.atoms:
-            f = (fu.one_hot_encode(a.symbol,
-                                   ['B', 'Br', 'C', 'Cl', 'F', 'I', 'N',
-                                    'O', 'P', 'S', 'Se', 'Si'], True)
-                 + fu.one_hot_encode(a.degree, [0, 1, 2, 3, 4, 5], False)
-                 + fu.one_hot_encode(a.total_hs, [0, 1, 2, 3, 4], False)
-                 + fu.one_hot_encode(a.formal_charge,
-                                     [-1, 0, 1], True)
-                 + [float(a.in_ring), float(a.is_aromatic)])
-            feats.append(f)
-        node = np.asarray(feats, dtype=np.float32)
+        node = self.construct_node_features_matrix(mol)
         adj = np.zeros((n, n), dtype=np.float32)
         for b in mol.bonds:
             adj[b.a1, b.a2] = 1.0
