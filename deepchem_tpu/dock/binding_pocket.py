@@ -27,6 +27,12 @@ class CoordinateBox:
                 self.y_range[0] <= y <= self.y_range[1] and
                 self.z_range[0] <= z <= self.z_range[1])
 
+    def contains(self, coords) -> bool:
+        """True when every coordinate lies inside the box (reference
+        utils/coordinate_box_utils.py CoordinateBox.contains)."""
+        coords = np.atleast_2d(np.asarray(coords, dtype=float))
+        return bool(all(tuple(c) in self for c in coords))
+
     def center(self) -> Tuple[float, float, float]:
         return (sum(self.x_range) / 2, sum(self.y_range) / 2,
                 sum(self.z_range) / 2)

@@ -18,6 +18,30 @@ class RandomHyperparamOpt(HyperparamOpt):
     """Sample ``max_iter`` random configurations.  Values in ``params_dict``
     may be lists (sampled uniformly) or callables f(rng) -> value."""
 
+    @classmethod
+    def generate_random_hyperparam_values(cls, params_dict: Dict,
+                                          n: int) -> list:
+        """Generate ``n`` random hyperparameter combinations (reference
+        random_search.py:253).  Iterable values are sampled uniformly;
+        callables are invoked — zero-arg callables (e.g. scipy ``.rvs``)
+        or f(rng) callables both work."""
+        rng = np.random.RandomState()
+        out = []
+        for _ in range(n):
+            combo = {}
+            for p, v in params_dict.items():
+                if callable(v):
+                    try:
+                        combo[p] = v()
+                    except TypeError:
+                        combo[p] = v(rng)
+                elif isinstance(v, (list, tuple, np.ndarray)):
+                    combo[p] = v[rng.randint(len(v))]
+                else:
+                    combo[p] = v
+            out.append(combo)
+        return out
+
     def hyperparam_search(self, params_dict: Dict, train_dataset,
                           valid_dataset, metric, output_transformers=(),
                           nb_epoch: int = 10, use_max: bool = True,

@@ -158,6 +158,12 @@ class MAML:
                          'opt_state': jax.tree.map(np.asarray,
                                                    self._opt_state)}, f)
 
+    def get_checkpoints(self):
+        """Paths of saved checkpoints in model_dir (reference
+        metalearning/torch_maml.py get_checkpoints)."""
+        path = os.path.join(self.model_dir, 'maml_checkpoint.pkl')
+        return [path] if os.path.exists(path) else []
+
     def restore(self) -> None:
         path = os.path.join(self.model_dir, 'maml_checkpoint.pkl')
         if not os.path.exists(path):

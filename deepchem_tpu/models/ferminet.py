@@ -106,6 +106,7 @@ class FerminetModel:
         n_down = n_elec - n_up
         self.nuclei = coords
         self.charges = charges
+        self.symbols = symbols
         self.n_up, self.n_down = n_up, n_down
         self.net = _FermiNetwork(nuclei=coords, charges=charges,
                                  n_up=n_up, n_down=n_down,
@@ -201,13 +202,89 @@ class FerminetModel:
             return params, opt_state, e_mean
         return jax.jit(step)
 
-    def train(self, iterations: int = 100,
-              burn_in: int = 10) -> float:
-        """VMC optimization (reference ferminet.py train)."""
+    def random_walk(self, x: np.ndarray) -> np.ndarray:
+        """Sampler hook: |psi|^2 at electron configurations (reference
+        torch ferminet.py:493 — the callback the electron sampler calls
+        at every Metropolis step)."""
+        return np.asarray(self._psi2_fn(np.asarray(x, dtype=np.float32)))
+
+    def prepare_hf_solution(self) -> None:
+        """Solve HF for this molecule with the in-repo SCF engine and
+        keep the occupied-orbital coefficients for pretraining targets
+        (reference torch ferminet.py:450 uses pySCF; here the native
+        STO-3G HF stack does the same job with zero dependencies)."""
+        from deepchem_tpu.dft.scf import (DFTSystem, KohnShamSCF,
+                                          scf_loop_unrestricted_stable)
+        import jax.numpy as _jnp
+        system = DFTSystem(self.symbols, self.nuclei, units='bohr',
+                           charge=int(self.charges.sum()
+                                      - self.n_up - self.n_down))
+        S = system.S
+
+        def occupied(D_spin, n_occ):
+            # natural orbitals of a spin density: S^1/2 D S^1/2 = U w U^T,
+            # C = S^-1/2 U; idempotent D gives w in {0, 1}
+            s_val, s_vec = np.linalg.eigh(S)
+            s_half = s_vec @ np.diag(np.sqrt(s_val)) @ s_vec.T
+            s_inv_half = s_vec @ np.diag(1.0 / np.sqrt(s_val)) @ s_vec.T
+            w, U = np.linalg.eigh(s_half @ D_spin @ s_half)
+            order = np.argsort(w)[::-1][:n_occ]
+            return s_inv_half @ U[:, order]
+
+        if self.n_up == self.n_down:
+            calc = KohnShamSCF(xc='hf').run(system)
+            Da = np.asarray(calc.D) / 2.0
+            Db = Da
+        else:
+            solver = KohnShamSCF(xc='hf')
+            _, (Da, Db), _ = scf_loop_unrestricted_stable(
+                _jnp.asarray(system.T + system.V),
+                _jnp.asarray(system.S_invsqrt), _jnp.asarray(system.eri),
+                self.n_up, self.n_down, exc_fn=solver.exc_fn,
+                phi=_jnp.asarray(system.phi),
+                dphi=_jnp.asarray(system.dphi),
+                weights=_jnp.asarray(system.grid_weights),
+                use_sigma=solver.use_sigma, hf_exchange=1.0)
+            Da, Db = np.asarray(Da), np.asarray(Db)
+        self._hf_basis = system.basis
+        self._hf_C_up = occupied(Da, self.n_up)
+        self._hf_C_down = (occupied(Db, self.n_down)
+                           if self.n_down else
+                           np.zeros((S.shape[0], 0)))
+
+    def evaluate_hf(self, x: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Occupied HF orbital values at sampled electron positions
+        (reference torch ferminet.py:422) — the pretraining target.
+        x: [..., n_elec, 3] (Bohr, the model's frame).  Returns
+        (up [..., n_up, n_up], down [..., n_down, n_down]): orbital j
+        evaluated at (up|down) electron i."""
+        if not hasattr(self, '_hf_C_up'):
+            self.prepare_hf_solution()
+        from deepchem_tpu.dft.integrals import ao_values
+        x = np.asarray(x, dtype=np.float64)
+        lead = x.shape[:-2]
+        pts = x.reshape(-1, 3)
+        phi, _ = ao_values(self._hf_basis, pts)
+        mo_up = (phi @ self._hf_C_up).reshape(
+            lead + (x.shape[-2], self.n_up))
+        mo_down = (phi @ self._hf_C_down).reshape(
+            lead + (x.shape[-2], self.n_down))
+        return (mo_up[..., :self.n_up, :],
+                mo_down[..., self.n_up:, :])
+
+    def prepare_train(self, burn_in: int = 10) -> None:
+        """Burn in the sampler and build the jitted VMC step (reference
+        torch ferminet.py:533)."""
         for _ in range(burn_in):
             self.molecule.move()
         if self._train_step is None:
             self._train_step = self._make_train_step()
+
+    def train(self, iterations: int = 100,
+              burn_in: int = 10) -> float:
+        """VMC optimization (reference ferminet.py train)."""
+        self.prepare_train(burn_in)
         energy = 0.0
         for it in range(iterations):
             self.molecule.move()

@@ -136,6 +136,22 @@ class NormalizingFlow(nn.Module):
             - 0.5 * self.dim * jnp.log(2 * jnp.pi) + logdet
         return log_prob
 
+    def log_prob(self, x):
+        """Log-likelihood of x under the flow (reference torch
+        normalizing_flows_pytorch.py NormalizingFlow.log_prob); apply
+        with ``module.apply(params, x, method='log_prob')``."""
+        return self(x)
+
+    def sample(self, num_samples: int, rng):
+        """Draw samples and their log-likelihoods by inverting the flow
+        on base-normal draws (reference normalizing_flows_pytorch.py
+        NormalizingFlow.sample)."""
+        z = jax.random.normal(rng, (num_samples, self.dim))
+        base_lp = (-0.5 * jnp.sum(z * z, axis=-1)
+                   - 0.5 * self.dim * jnp.log(2 * jnp.pi))
+        x, logdet = self.inverse(z)
+        return x, base_lp - logdet
+
 
 class NormalizingFlowModel(JaxModel):
     """Train a flow by maximum likelihood (reference flows.py
@@ -156,6 +172,11 @@ class NormalizingFlowModel(JaxModel):
         """Log-likelihood of samples."""
         ds = NumpyDataset(np.asarray(X, dtype=np.float32))
         return self.predict(ds)
+
+    def create_nll(self, input) -> float:
+        """Negative log-likelihood of a batch (reference
+        normalizing_flows.py:155)."""
+        return float(-np.mean(self.log_prob(np.asarray(input))))
 
     def sample(self, n: int, seed: int = 0) -> np.ndarray:
         """Draw samples by inverting the flow on base-normal draws."""

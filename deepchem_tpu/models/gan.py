@@ -63,6 +63,13 @@ class GAN(Model):
     def get_conditional_input_shapes(self) -> Sequence[Sequence[int]]:
         return []
 
+    def get_noise_batch(self, batch_size: int) -> np.ndarray:
+        """A batch of generator noise — normal by default; subclasses
+        override for other distributions (reference gan.py:389)."""
+        return np.random.normal(
+            size=(batch_size,) + tuple(self.get_noise_input_shape())
+        ).astype(np.float32)
+
     def create_generator(self) -> nn.Module:
         raise NotImplementedError
 

@@ -136,6 +136,33 @@ class GroverAtomVocabularyBuilder:
     def encode(self, mol: Molecule, atom) -> int:
         return self.stoi.get(self.atom_to_vocab(mol, atom), 0)
 
+    def build_from_csv(self, csv_path: str,
+                       smiles_field: str = 'smiles') -> None:
+        """Build the vocabulary from a CSV of SMILES (reference
+        grover_vocab.py build_from_csv)."""
+        import pandas as pd
+        from deepchem_tpu.chem import mol_from_smiles
+        df = pd.read_csv(csv_path)
+        self.build([m for m in (mol_from_smiles(s)
+                                for s in df[smiles_field]) if m is not None])
+
+    def save(self, fname: str) -> None:
+        """Persist the vocabulary as JSON (reference grover_vocab.py
+        save)."""
+        import json
+        with open(fname, 'w') as f:
+            json.dump({'max_size': self.max_size, 'stoi': self.stoi}, f)
+
+    @classmethod
+    def load(cls, fname: str) -> 'GroverAtomVocabularyBuilder':
+        """Reload a saved vocabulary (reference grover_vocab.py load)."""
+        import json
+        with open(fname) as f:
+            data = json.load(f)
+        obj = cls(max_size=data.get('max_size'))
+        obj.stoi = {k: int(v) for k, v in data['stoi'].items()}
+        return obj
+
 
 class GroverBondVocabularyBuilder(GroverAtomVocabularyBuilder):
     """Bond-context vocabulary (reference grover_vocab.py)."""

@@ -1072,6 +1072,13 @@ class JaxModel(Model):
         var += sum_sq_pred / masks - pred * pred     # + epistemic
         return pred, np.sqrt(np.maximum(var, 0))
 
+    def predict_uncertainty_on_batch(self, X: Sequence, masks: int = 50
+                                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """MC-dropout uncertainty for one feature batch (reference
+        torch_model.py:701)."""
+        from deepchem_tpu.data.datasets import NumpyDataset
+        return self.predict_uncertainty(NumpyDataset(X), masks=masks)
+
     def evaluate_generator(self, generator, metrics,
                            transformers: Sequence = (),
                            per_task_metrics: bool = False):

@@ -253,6 +253,21 @@ class MATModel(JaxModel):
         super().__init__(module, loss, output_types=output_types,
                          batch_size=batch_size, **kwargs)
 
+    @staticmethod
+    def pad_array(array: np.ndarray, shape) -> np.ndarray:
+        """Zero-pad an array to the given shape (reference
+        torch_models/mat.py:323)."""
+        result = np.zeros(shape=shape, dtype=np.asarray(array).dtype)
+        result[tuple(slice(s) for s in np.asarray(array).shape)] = array
+        return result
+
+    def pad_sequence(self, sequence) -> np.ndarray:
+        """Pad every array in a sequence to the largest shape and stack
+        (reference torch_models/mat.py:344)."""
+        shapes = np.stack([np.array(np.asarray(t).shape) for t in sequence])
+        max_shape = tuple(np.max(shapes, axis=0))
+        return np.stack([self.pad_array(t, max_shape) for t in sequence])
+
     def _mat_inputs(self, X_b) -> List[np.ndarray]:
         encs = list(X_b)
         B = self.batch_size

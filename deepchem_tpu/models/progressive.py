@@ -129,6 +129,26 @@ class ProgressiveMultitaskRegressor(JaxModel):
         super().__init__(module, L2Loss(), output_types=['prediction'],
                          batch_size=batch_size, **kwargs)
 
+    def fit_task(self, dataset: Dataset, task: int, nb_epoch: int = 10,
+                 **kwargs) -> float:
+        """Train on a single task (reference progressive_multitask.py:466,
+        called by the reference's fit() to train columns sequentially).
+        The jitted module keeps every column resident, so single-task
+        training is expressed as loss masking: the sample weights of all
+        other tasks are zeroed, which stops their gradients exactly —
+        lateral alpha connections still read (frozen-by-zero-grad) earlier
+        columns, matching the progressive-network recipe."""
+        def gen():
+            for inputs, labels, weights in self.default_generator(
+                    dataset, epochs=nb_epoch, **kwargs):
+                w = np.array(weights[0], copy=True)
+                if w.ndim > 1 and w.shape[1] == self.n_tasks:
+                    mask = np.zeros_like(w)
+                    mask[:, task] = 1.0
+                    w = w * mask
+                yield inputs, labels, [w]
+        return self.fit_generator(gen())
+
     def get_num_tasks(self):
         return self.n_tasks
 

@@ -221,23 +221,11 @@ class SeqToSeqModel(JaxModel):
             embs.append(np.asarray(outputs[1])[:real])
         return np.concatenate(embs)
 
-
-SeqToSeq = SeqToSeqModel
-
-
-class AspuruGuzikAutoEncoder(SeqToSeqModel):
-    """Variational molecular autoencoder (reference seqtoseq.py:420)."""
-
-    def __init__(self, num_tokens=None, max_output_length=None,
-                 tokens: Optional[Sequence[str]] = None, **kwargs):
-        if tokens is None and num_tokens is not None:
-            tokens = [chr(ord('a') + i) for i in range(num_tokens)]
-        kwargs.setdefault('variational', True)
-        kwargs.setdefault('reverse_input', False)
-        super().__init__(tokens, tokens, max_output_length, **kwargs)
-
     def predict_from_embeddings(self, embeddings: np.ndarray
                                 ) -> List[List[str]]:
+        """Decode output sequences from embedding vectors (reference
+        seqtoseq.py:275; torch_models/seqtoseq.py:481
+        ``predict_from_embedding``)."""
         embs = np.asarray(embeddings, dtype=np.float32)
         dec = _Decoder(self.module.embedding_dimension,
                        self.module.decoder_layers,
@@ -252,3 +240,21 @@ class AspuruGuzikAutoEncoder(SeqToSeqModel):
             out.append([self._output_tokens[i] for i in ids
                         if i < len(self._output_tokens)])
         return out
+
+    # torch-harness spelling (reference torch_models/seqtoseq.py:481)
+    predict_from_embedding = predict_from_embeddings
+
+
+SeqToSeq = SeqToSeqModel
+
+
+class AspuruGuzikAutoEncoder(SeqToSeqModel):
+    """Variational molecular autoencoder (reference seqtoseq.py:420)."""
+
+    def __init__(self, num_tokens=None, max_output_length=None,
+                 tokens: Optional[Sequence[str]] = None, **kwargs):
+        if tokens is None and num_tokens is not None:
+            tokens = [chr(ord('a') + i) for i in range(num_tokens)]
+        kwargs.setdefault('variational', True)
+        kwargs.setdefault('reverse_input', False)
+        super().__init__(tokens, tokens, max_output_length, **kwargs)

@@ -67,6 +67,13 @@ class WandbLogger:
         prefix = f'{group}/' if group else ''
         self.log_data({prefix + k: v for k, v in values.items()}, step)
 
+    def update_config(self, config_data: Dict[str, Any]) -> None:
+        """Merge additional configuration into the run (reference
+        wandblogger.py:136).  Recorded locally when wandb is absent."""
+        self.config = {**getattr(self, 'config', {}), **config_data}
+        if self.wandb_run is not None:
+            self.wandb_run.config.update(config_data)
+
     def finish(self) -> None:
         if self.wandb_run is not None:
             self.wandb_run.finish()

@@ -108,6 +108,14 @@ class WeaveModel(JaxModel):
             pmask[i, :n, :n] = 1.0
         return [atoms, pairs, amask, pmask]
 
+    def compute_features_on_batch(self, X_b) -> List[np.ndarray]:
+        """Model input tensors for a batch of WeaveMol graphs (reference
+        torch_models/weavemodel_pytorch.py:516).  TPU-first layout: instead
+        of the reference's ragged COO pair lists, returns statically padded
+        ``[atoms (B,A,F), pairs (B,A,A,P), atom_mask (B,A),
+        pair_mask (B,A,A)]``."""
+        return self._weave_inputs(X_b)
+
     def default_generator(self, dataset: Dataset, epochs: int = 1,
                           mode: str = 'fit', deterministic: bool = True,
                           pad_batches: bool = True):
@@ -201,6 +209,24 @@ class DTNNModel(JaxModel):
             output_activation=output_activation)
         super().__init__(module, L2Loss(), output_types=['prediction'],
                          batch_size=batch_size, **kwargs)
+
+    def compute_features_on_batch(self, X_b):
+        """Recover (atom_number, distances, atom_mask) from a batch of
+        Coulomb matrices (reference torch_models/dtnn.py
+        compute_features_on_batch).  Host-side mirror of the recovery the
+        jitted module performs on device (diag = 0.5 z^2.4,
+        offdiag = z_i z_j / d_ij); returns statically padded arrays."""
+        coulomb = np.asarray(X_b, dtype=np.float64)
+        diag = np.diagonal(coulomb, axis1=1, axis2=2)
+        z = np.power(np.maximum(2.0 * diag, 1e-12), 1.0 / 2.4)
+        zi = np.round(z).astype(np.int32)
+        mask = (zi > 0).astype(np.float32)
+        zz = z[:, :, None] * z[:, None, :]
+        d = zz / np.maximum(coulomb, 1e-9)
+        np.einsum('bii->bi', d)[:] = 0.0
+        pair_valid = (mask[:, :, None] * mask[:, None, :]
+                      * (1.0 - np.eye(coulomb.shape[1])[None]))
+        return zi, (d * pair_valid).astype(np.float32), mask
 
     def get_num_tasks(self):
         return self.n_tasks

@@ -239,6 +239,12 @@ class A2C:
             pickle.dump({'params': jax.tree.map(np.asarray, self._params)},
                         f)
 
+    def get_checkpoints(self) -> List[str]:
+        """Paths of saved checkpoints in model_dir (reference a2c.py
+        get_checkpoints delegates to the internal harness)."""
+        path = os.path.join(self.model_dir, 'rl_checkpoint.pkl')
+        return [path] if os.path.exists(path) else []
+
     def restore(self) -> None:
         path = os.path.join(self.model_dir, 'rl_checkpoint.pkl')
         if not os.path.exists(path):

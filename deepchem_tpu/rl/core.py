@@ -23,9 +23,21 @@ class Environment:
         self._state: Any = None
         self._terminated = False
         if state_dtype is None:
-            self._state_dtype = np.float32
+            # list-of-shapes states get one dtype per component
+            # (reference rl/__init__.py:57)
+            if (state_shape and hasattr(state_shape[0], '__len__')
+                    and not isinstance(state_shape[0], (str, bytes))):
+                self._state_dtype = [np.float32] * len(state_shape)
+            else:
+                self._state_dtype = np.float32
         else:
             self._state_dtype = state_dtype
+
+    @property
+    def state_dtype(self):
+        """dtype (or list of dtypes) of the state arrays (reference
+        rl/__init__.py:31)."""
+        return self._state_dtype
 
     @property
     def state(self):

@@ -472,11 +472,18 @@ class CoulombFitTransformer(Transformer):
     def normalize(self, X: np.ndarray) -> np.ndarray:
         return (X - self.mean) / self.std
 
+    def expand(self, X: np.ndarray) -> np.ndarray:
+        """Binarize features with tanh steps (reference
+        transformers.py:1480)."""
+        return self._expand(np.asarray(X, dtype=float))
+
+    def X_transform(self, X: np.ndarray) -> np.ndarray:
+        """Full Coulomb-fit pipeline: realize -> expand -> normalize
+        (reference transformers.py:1502)."""
+        return self.normalize(self._expand(self.realize(X)))
+
     def transform_array(self, X, y, w, ids):
-        X = self.realize(X)
-        X = self._expand(X)
-        X = self.normalize(X)
-        return X, y, w, ids
+        return self.X_transform(X), y, w, ids
 
 
 class IRVTransformer(Transformer):
@@ -491,12 +498,64 @@ class IRVTransformer(Transformer):
         self.y_ref = np.asarray(dataset.y)
         self.w_ref = np.asarray(dataset.w)
 
+    @staticmethod
+    def matrix_mul(X1: np.ndarray, X2: np.ndarray,
+                   shard_size: int = 5000) -> np.ndarray:
+        """X1 @ X2 computed in row shards of X1 to bound peak memory
+        (reference transformers.py:1698)."""
+        X1 = np.asarray(X1, dtype=np.float32)
+        X2 = np.asarray(X2, dtype=np.float32)
+        out = [X1[i:i + shard_size] @ X2
+               for i in range(0, len(X1), shard_size)]
+        return np.concatenate(out) if out else X1 @ X2
+
+    def _similarity(self, X: np.ndarray) -> np.ndarray:
+        """Tanimoto similarity of X against the fitted reference set."""
+        X = np.asarray(X, dtype=np.float32)
+        ref = self.X_ref
+        counts_ref = ref.sum(axis=1)
+        counts = X.sum(axis=1)
+        inter = self.matrix_mul(X, ref.T)
+        union = counts[:, None] + counts_ref[None, :] - inter
+        return np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+
+    def realize(self, similarity: np.ndarray, y: np.ndarray,
+                w: np.ndarray) -> np.ndarray:
+        """IRV features from a precomputed similarity matrix against a
+        labeled reference set (reference transformers.py:1609): per task,
+        the K most-similar valid neighbors' similarities + labels.
+        Exact self-matches (similarity == 1) are skipped."""
+        similarity = np.asarray(similarity)
+        y = np.asarray(y)
+        w = np.asarray(w)
+        n = len(similarity)
+        feats = np.zeros((n, self.n_tasks * 2 * self.K), dtype=np.float32)
+        for t in range(self.n_tasks):
+            valid = w[:, t] != 0
+            s = similarity.copy()
+            s[:, ~valid] = -1
+            order = np.argsort(-s, axis=1)[:, :self.K + 1]
+            for i in range(n):
+                picks = [j for j in order[i]
+                         if not np.isclose(s[i, j], 1.0)][:self.K]
+                picks += [order[i][0]] * (self.K - len(picks))
+                base = t * 2 * self.K
+                feats[i, base:base + self.K] = similarity[i, picks]
+                feats[i, base + self.K:base + 2 * self.K] = y[picks, t]
+        return feats
+
+    def X_transform(self, X_target: np.ndarray) -> np.ndarray:
+        """IRV features for new samples against the fitted reference set
+        (reference transformers.py:1666)."""
+        return self.realize(self._similarity(X_target),
+                            self.y_ref, self.w_ref)
+
     def transform_array(self, X, y, w, ids):
         X = np.asarray(X, dtype=np.float32)
         ref = self.X_ref
         counts_ref = ref.sum(axis=1)
         counts = X.sum(axis=1)
-        inter = X @ ref.T
+        inter = self.matrix_mul(X, ref.T)
         union = counts[:, None] + counts_ref[None, :] - inter
         sim = np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
         n = len(X)
@@ -558,6 +617,15 @@ class DataTransforms:
         from PIL import Image as PILImage
         return np.asarray(
             PILImage.fromarray(self.Image).resize((w, h)))
+
+    def center_crop(self, x_crop: int, y_crop: int) -> np.ndarray:
+        """Crop an (y_crop, x_crop) region around the image center
+        (reference transformers.py:2412)."""
+        y, x = self.Image.shape[0], self.Image.shape[1]
+        x_start = x // 2 - (x_crop // 2)
+        y_start = y // 2 - (y_crop // 2)
+        return self.Image[y_start:y_start + y_crop,
+                          x_start:x_start + x_crop]
 
     def flip(self, direction: str = 'lr') -> np.ndarray:
         if direction == 'lr':

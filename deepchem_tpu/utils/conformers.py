@@ -52,6 +52,76 @@ class ConformerGenerator:
         e = np.sum(np.power(1.5 / d, 12) - 2 * np.power(1.5 / d, 6)) / 2
         return np.array([e])
 
+    def embed_molecule(self, mol: Molecule) -> Molecule:
+        """Generate a pool of distance-geometry embeddings (reference
+        conformers.py embed_molecule; pool_multiplier seeds are tried and
+        the one kept is attached via generate_conformers)."""
+        return self.generate_conformers(mol)
+
+    def get_molecule_force_field(self, mol: Molecule, conf_id=None,
+                                 **kwargs):
+        """The energy model used to rank conformers (reference
+        conformers.py get_molecule_force_field returns an RDKit MMFF/UFF
+        wrapper).  The in-repo stand-in exposes the same CalcEnergy
+        surface over the pairwise LJ energy."""
+        gen = self
+
+        class _ForceField:
+            def CalcEnergy(self_inner) -> float:
+                return float(gen.get_conformer_energies(mol)[0])
+        return _ForceField()
+
+    def minimize_conformers(self, mol: Molecule,
+                            n_steps: int = 50,
+                            lr: float = 1e-3) -> Molecule:
+        """Relax the attached conformer by gradient descent on the LJ
+        stand-in energy (reference conformers.py minimize_conformers
+        runs the RDKit force-field minimizer per conformer)."""
+        coords = np.asarray(mol.conformer, dtype=np.float64)
+        if len(coords) < 2:
+            return mol
+        for _ in range(n_steps):
+            diff = coords[:, None] - coords[None, :]
+            d = np.linalg.norm(diff, axis=-1)
+            np.fill_diagonal(d, np.inf)
+            # dE/dd of (1.5/d)^12 - 2 (1.5/d)^6
+            dE = (-12 * np.power(1.5, 12) / np.power(d, 13)
+                  + 12 * np.power(1.5, 6) / np.power(d, 7))
+            grad = np.sum(dE[..., None] * diff / d[..., None], axis=1)
+            coords = coords - lr * grad
+        mol.conformer = [tuple(c) for c in coords]
+        return mol
+
+    @staticmethod
+    def get_conformer_rmsd(conformers) -> np.ndarray:
+        """Pairwise heavy-atom RMSD matrix over a list of (N, 3)
+        conformer coordinate arrays (reference conformers.py
+        get_conformer_rmsd)."""
+        confs = [np.asarray(c, dtype=np.float64) for c in conformers]
+        n = len(confs)
+        rmsd = np.zeros((n, n))
+        for i in range(n):
+            for j in range(i + 1, n):
+                rmsd[i, j] = rmsd[j, i] = np.sqrt(
+                    np.mean(np.sum((confs[i] - confs[j]) ** 2, axis=-1)))
+        return rmsd
+
+    def prune_conformers(self, conformers) -> list:
+        """Keep at most max_conformers whose mutual RMSD exceeds
+        rmsd_threshold, greedily in the given (energy-sorted) order
+        (reference conformers.py prune_conformers)."""
+        confs = [np.asarray(c, dtype=np.float64) for c in conformers]
+        if not confs:
+            return []
+        rmsd = self.get_conformer_rmsd(confs)
+        keep: list = []
+        for i in range(len(confs)):
+            if len(keep) >= self.max_conformers:
+                break
+            if all(rmsd[i, j] >= self.rmsd_threshold for j in keep):
+                keep.append(i)
+        return [confs[i] for i in keep]
+
 
 def embed_molecule_3d(mol: Molecule, n_iters: int = 200,
                       rng: Optional[np.random.RandomState] = None

@@ -38,6 +38,41 @@ class ElectronSampler:
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
+    def harmonic_mean(self, y: np.ndarray) -> np.ndarray:
+        """Harmonic-mean electron-nucleus distance, used to scale the
+        asymmetric proposal stddev (reference electron_sampler.py:112).
+        y: [batch, n_elec, 1, 3] -> [batch, n_elec, 1, 1]."""
+        diff = np.asarray(y) - self.central_value
+        distance = np.linalg.norm(diff, axis=-1, keepdims=True)
+        return 1.0 / np.mean(1.0 / distance, axis=-2, keepdims=True)
+
+    @staticmethod
+    def log_prob_gaussian(y: np.ndarray, mu: np.ndarray,
+                          sigma: np.ndarray) -> np.ndarray:
+        """Per-batch gaussian log-density (reference
+        electron_sampler.py:130)."""
+        y = np.asarray(y)
+        sigma = np.broadcast_to(np.asarray(sigma, dtype=float),
+                                y.shape[:-1] + (1,))
+        numer = np.sum(-0.5 * ((y - mu) ** 2) / (sigma ** 2),
+                       axis=(1, 2, 3))
+        denom = y.shape[-1] * np.sum(np.log(sigma), axis=(1, 2, 3))
+        return numer - denom
+
+    def electron_update(self, lp1: np.ndarray, lp2: np.ndarray,
+                        move_prob: np.ndarray, ratio: np.ndarray,
+                        x2: np.ndarray) -> np.ndarray:
+        """Metropolis accept/reject + state update (reference
+        electron_sampler.py:181): accepted batches take the proposed
+        configuration and its log-probability."""
+        cond = np.asarray(move_prob) < np.asarray(ratio)
+        x = np.asarray(self.x)
+        self.x = jnp.asarray(np.where(cond[:, None, None], x2, x))
+        if not hasattr(self, 'num_accept'):
+            self.num_accept = 0
+        self.num_accept += int(np.sum(cond))
+        return np.where(cond, lp2, lp1)
+
     def gauss_initialize_position(self, no_sample: np.ndarray,
                                   stddev: float = 0.02) -> jnp.ndarray:
         """Initialize walkers around nuclei (reference

@@ -27,6 +27,10 @@ class AtomShim:
     def GetPartialCharge(self) -> float:
         return self.partial_charge
 
+    def GetCoords(self) -> np.ndarray:
+        """Atom position (reference fragment_utils AtomShim.GetCoords)."""
+        return self.coords
+
 
 class MolecularFragment:
     """A subset of a molecule's atoms with coordinates (reference
