@@ -57,11 +57,18 @@ class DistributedTrainer:
             mesh = model.mesh
 
             def shard_leaf(x):
-                if hasattr(x, 'ndim') and x.ndim >= 1 \
-                        and x.shape[0] % mesh.devices.size == 0 \
-                        and x.size > 65536:
-                    return jax.device_put(
-                        x, NamedSharding(mesh, P('data')))
+                # shard along the largest axis the mesh divides — axis 0
+                # alone fails whenever a layer's fan-in is not a multiple
+                # of the device count (e.g. a (12, 8192) kernel on 8
+                # devices), which silently degraded fsdp to replication
+                if hasattr(x, 'ndim') and x.ndim >= 1 and x.size > 65536:
+                    for axis in sorted(range(x.ndim),
+                                       key=lambda a: -x.shape[a]):
+                        if x.shape[axis] % mesh.devices.size == 0:
+                            spec = [None] * x.ndim
+                            spec[axis] = 'data'
+                            return jax.device_put(
+                                x, NamedSharding(mesh, P(*spec)))
                 return jax.device_put(x, NamedSharding(mesh, P()))
             model.opt_state = jax.tree.map(shard_leaf, model.opt_state)
         if on_device:
