@@ -37,6 +37,12 @@ class MetaLearner:
     def variables(self):
         raise NotImplementedError
 
+    def parameters(self):
+        """Iterate trainable parameter leaves (reference
+        torch_maml.py:69 contract; here the leaves of ``variables``)."""
+        import jax as _jax
+        return iter(_jax.tree_util.tree_leaves(self.variables))
+
     def compute_model(self, inputs, variables, training
                       ) -> Tuple[jnp.ndarray, Sequence[jnp.ndarray]]:
         raise NotImplementedError

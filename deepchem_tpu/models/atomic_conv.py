@@ -364,6 +364,32 @@ class AtomicConvFeaturizer:
             coords, z = coords[keep], z[keep]
         return coords, z
 
+    @staticmethod
+    def get_Z_matrix(z, max_atoms: int) -> np.ndarray:
+        """Atomic numbers zero-padded to max_atoms (reference
+        complex_atomic_coordinates.py:259).  Accepts an atomic-number
+        array or an object with GetAtoms()."""
+        if hasattr(z, 'GetAtoms'):
+            z = np.array([a.GetAtomicNum() for a in z.GetAtoms()])
+        z = np.asarray(z)
+        if len(z) > max_atoms:
+            raise ValueError(
+                'A molecule is larger than permitted by max_atoms. '
+                'Increase max_atoms and try again.')
+        out = np.zeros(max_atoms, dtype=z.dtype)
+        out[:len(z)] = z
+        return out
+
+    def featurize_mol(self, coords, z, max_num_atoms: int):
+        """One fragment -> (padded coords, neighbor dict, padded Z)
+        (reference complex_atomic_coordinates.py:268)."""
+        nbrs = neighbor_dict(np.asarray(coords), self.neighbor_cutoff,
+                             self.max_num_neighbors)
+        zp = self.get_Z_matrix(z, max_num_atoms)
+        cp = np.zeros((max_num_atoms, 3))
+        cp[:len(coords)] = coords
+        return cp, nbrs, zp
+
     def _featurize(self, pair):
         lig, prot = pair
         lc, lz = self._load(lig)

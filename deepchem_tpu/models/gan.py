@@ -70,6 +70,17 @@ class GAN(Model):
             size=(batch_size,) + tuple(self.get_noise_input_shape())
         ).astype(np.float32)
 
+    def gen_loss_fn(self, discrim_output):
+        """Torch-harness spelling of create_generator_loss (reference
+        torch gan.py gen_loss_fn)."""
+        return self.create_generator_loss(discrim_output)
+
+    def discrim_loss_fn(self, discrim_output_train, discrim_output_gen):
+        """Torch-harness spelling of create_discriminator_loss
+        (reference torch gan.py discrim_loss_fn)."""
+        return self.create_discriminator_loss(discrim_output_train,
+                                              discrim_output_gen)
+
     def create_generator(self) -> nn.Module:
         raise NotImplementedError
 

@@ -24,6 +24,7 @@ import flax.linen as nn
 
 from deepchem_tpu.models.graph_models import (GraphModel, _heads,
                                               _gnn_loss_outputs)
+from deepchem_tpu.models.gnn_modular import ModularModel
 from deepchem_tpu.models.pna import PNALayer
 from deepchem_tpu.ops import graph_pool, node_degrees, segment_sum
 
@@ -152,7 +153,7 @@ def ntxent_loss(emb_a: jnp.ndarray, emb_b: jnp.ndarray,
     return -0.5 * (ll_ab.mean() + ll_ba.mean())
 
 
-class InfoMax3DModular(GraphModel):
+class InfoMax3DModular(ModularModel, GraphModel):
     """2D/3D infomax pretraining + downstream finetuning (reference
     gnn3d.py:354 InfoMax3DModular; featurizer RDKitConformerFeaturizer).
 

@@ -39,6 +39,44 @@ class ModularModel:
     component_scopes: Dict[str, Sequence[str]] = {}
     _frozen: set
 
+    def build_components(self) -> Dict[str, dict]:
+        """Named components of the assembled model (reference
+        modular.py:76 returns a dict of torch modules; in this engine a
+        component IS a named flax scope, so the equivalent state is the
+        per-component parameter subtrees).  ``component_scopes`` groups
+        scopes under logical names; without it every top-level scope is
+        its own component."""
+        if getattr(self, 'params', None) is None:
+            return {}
+        tree = self.params['params']
+        if self.component_scopes:
+            return {name: {p: tree[p] for p in prefixes if p in tree}
+                    for name, prefixes in self.component_scopes.items()}
+        return dict(tree)
+
+    @property
+    def components(self) -> Dict[str, dict]:
+        """(reference modular.py components attribute)"""
+        return self.build_components()
+
+    def build_model(self):
+        """The assembled model (reference modular.py:84).  The flax
+        module already composes every component."""
+        return self.module
+
+    def loss_func(self, inputs, labels, weights):
+        """Batch loss through the assembled model (reference
+        modular.py:102 hook).  Default: the engine's configured loss over
+        a forward pass; pretraining subclasses configure their own loss
+        at construction instead of overriding this."""
+        import jax as _jax
+        outputs = self._forward(self.params, [jnp.asarray(x)
+                                              for x in inputs],
+                                training=False, rng=None)
+        labels = [jnp.asarray(x) for x in labels]
+        weights = [jnp.asarray(x) for x in weights]
+        return self._compute_loss(outputs, labels, weights)
+
     def freeze_components(self, names: Sequence[str]) -> None:
         """(reference modular.py:109)"""
         self._frozen = getattr(self, '_frozen', set()) | set(names)

@@ -1064,6 +1064,58 @@ class GroverModel(GraphModel):
     _apply_freeze_mask = _MM._apply_freeze_mask
     save_components = _MM.save_components
     load_components = _MM.load_components
+    build_components = _MM.build_components
+    build_model = _MM.build_model
+    loss_func = _MM.loss_func
+    components = _MM.components
+
+    @staticmethod
+    def atom_vocab_random_mask(atom_vocab, smiles,
+                               percent: float = 0.15,
+                               seed: Optional[int] = None):
+        """Per-atom vocabulary labels with 15% random masking — the
+        atom-vocab pretraining target (reference torch grover.py:750:
+        masked positions carry the vocab id, the rest 0)."""
+        from deepchem_tpu.chem import mol_from_smiles
+        rng = np.random.RandomState(seed)
+        vocab_label: List[int] = []
+        for smi in smiles:
+            mol = mol_from_smiles(str(smi))
+            n = mol.num_atoms
+            mlabel = [0] * n
+            n_mask = int(np.ceil(n * percent))
+            for p in rng.permutation(n)[:n_mask]:
+                mlabel[int(p)] = atom_vocab.stoi.get(
+                    type(atom_vocab).atom_to_vocab(mol, mol.atoms[int(p)]),
+                    0)
+            vocab_label.extend(mlabel)
+        return vocab_label
+
+    @staticmethod
+    def bond_vocab_random_mask(bond_vocab, smiles,
+                               percent: float = 0.15,
+                               seed: Optional[int] = None):
+        """Per-bond vocabulary labels with 15% random masking (reference
+        torch grover.py:798)."""
+        from deepchem_tpu.chem import mol_from_smiles
+        rng = np.random.RandomState(seed)
+        vocab_label: List[int] = []
+        for smi in smiles:
+            mol = mol_from_smiles(str(smi))
+            bonds = list(mol.bonds)
+            n = len(bonds)
+            mlabel = [0] * n
+            n_mask = max(1, int(np.ceil(n * percent))) if n else 0
+            for p in rng.permutation(n)[:n_mask]:
+                mlabel[int(p)] = bond_vocab.stoi.get(
+                    type(bond_vocab).bond_to_vocab(mol, bonds[int(p)]), 0)
+            vocab_label.extend(mlabel)
+        return vocab_label
+
+    def get_loss_func(self):
+        """The configured loss callable (reference torch grover.py
+        get_loss_func)."""
+        return self._loss
 
     # -- grover batch assembly (reference utils/grover.py BatchGroverGraph,
     # rebuilt two ways: a flat ghost-slot layout with static neighbor

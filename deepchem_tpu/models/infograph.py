@@ -19,6 +19,7 @@ import flax.linen as nn
 
 from deepchem_tpu.models.graph_models import (GraphModel, _gnn_loss_outputs,
                                               graph_dp_shards)
+from deepchem_tpu.models.gnn_modular import ModularModel
 from deepchem_tpu.models.graph_layers import GCNLayer
 from deepchem_tpu.models.losses import GlobalMutualInformationLoss
 from deepchem_tpu.ops import graph_pool, node_degrees
@@ -66,7 +67,7 @@ class _InfoGraphModule(nn.Module):
         return global_p, global_p, local_p, gidx, nmask
 
 
-class InfoGraphModel(GraphModel):
+class InfoGraphModel(ModularModel, GraphModel):
     """Unsupervised InfoGraph (reference torch_models/infograph.py).
 
     ``fit`` maximizes global-local MI; ``predict_embedding`` returns graph

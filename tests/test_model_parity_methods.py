@@ -271,3 +271,73 @@ def test_ferminet_hf_surface():
     assert lp.shape == (4,) and np.all(lp >= 0)
     m.prepare_train(burn_in=1)
     assert m._train_step is not None
+
+
+def test_modular_hooks_infograph():
+    from deepchem_tpu.models import InfoGraphModel
+    from deepchem_tpu.feat import MolGraphConvFeaturizer
+    graphs = MolGraphConvFeaturizer(use_edges=True).featurize(
+        ['CCO', 'CCN', 'CCC', 'c1ccccc1'])
+    ds = NumpyDataset(graphs, np.zeros((4, 1)))
+    m = InfoGraphModel(num_features=30, embedding_dim=16, batch_size=4)
+    m.fit(ds, nb_epoch=1)
+    comps = m.build_components()
+    assert comps and m.build_model() is m.module
+    assert set(m.components) == set(comps)
+    inputs, labels, weights = next(iter(m.default_generator(ds, epochs=1)))
+    assert np.isfinite(float(m.loss_func(inputs, labels, weights)))
+
+
+def test_grover_vocab_random_masks():
+    from deepchem_tpu.models.grover import (GroverModel,
+                                            GroverAtomVocabularyBuilder,
+                                            GroverBondVocabularyBuilder)
+    from deepchem_tpu.chem import mol_from_smiles
+    mols = [mol_from_smiles('CCO'), mol_from_smiles('CCN')]
+    av = GroverAtomVocabularyBuilder()
+    av.build(mols)
+    bv = GroverBondVocabularyBuilder()
+    bv.build(mols)
+    lab = GroverModel.atom_vocab_random_mask(av, ['CCO', 'CCN'], seed=0)
+    assert len(lab) == 6 and any(v > 0 for v in lab)
+    # 15% of 3 atoms -> exactly 1 masked per molecule
+    assert lab.count(0) == 4
+    blab = GroverModel.bond_vocab_random_mask(bv, ['CCO', 'CCN'], seed=0)
+    assert len(blab) == 4 and any(v > 0 for v in blab)
+    assert callable(GroverModel.__dict__['get_loss_func'])
+
+
+def test_metalearner_parameters():
+    from deepchem_tpu.metalearning.maml import MetaLearner
+
+    class L(MetaLearner):
+        @property
+        def variables(self):
+            return {'w': np.ones(3), 'b': np.zeros(2)}
+
+    assert len(list(L().parameters())) == 2
+
+
+def test_atomic_conv_featurizer_helpers():
+    from deepchem_tpu.models.atomic_conv import AtomicConvFeaturizer
+    acf = AtomicConvFeaturizer(neighbor_cutoff=4.0, max_num_neighbors=4)
+    coords = np.array([[0., 0, 0], [1.5, 0, 0], [20, 0, 0]])
+    cp, nbrs, zp = acf.featurize_mol(coords, np.array([6, 8, 1]), 5)
+    assert cp.shape == (5, 3) and zp.shape == (5,) and zp[1] == 8
+    assert 1 in nbrs[0] and 2 not in nbrs[0]
+    assert np.all(AtomicConvFeaturizer.get_Z_matrix([6, 8], 4)
+                  == [6, 8, 0, 0])
+    with pytest.raises(ValueError):
+        AtomicConvFeaturizer.get_Z_matrix([6, 8, 7], 2)
+
+
+def test_gan_loss_fn_aliases():
+    import jax.numpy as jnp
+    from deepchem_tpu.models import GAN
+    g = GAN.__new__(GAN)
+    d_out = jnp.asarray([0.9, 0.8])
+    assert np.allclose(g.gen_loss_fn(d_out),
+                       g.create_generator_loss(d_out))
+    d_gen = jnp.asarray([0.1, 0.2])
+    assert np.allclose(g.discrim_loss_fn(d_out, d_gen),
+                       g.create_discriminator_loss(d_out, d_gen))
