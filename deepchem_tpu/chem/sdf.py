@@ -76,8 +76,16 @@ def _parse_molblock(block: str) -> Molecule:
 
 def parse_sdf(text: str) -> Iterator[Tuple[Optional[Molecule], Dict[str, str]]]:
     """Iterate (molecule, properties) records from SDF text."""
-    for record in text.split('$$$$'):
-        record = record.strip('\n')
+    for idx, record in enumerate(text.split('$$$$')):
+        # after a $$$$ separator, remove exactly its trailing newline —
+        # a blanket strip('\n') would eat an EMPTY TITLE LINE and shift
+        # the molblock header by one row (common in generated SDFs)
+        if idx > 0:
+            if record.startswith('\r\n'):
+                record = record[2:]
+            elif record.startswith('\n'):
+                record = record[1:]
+        record = record.rstrip('\n')
         if not record.strip():
             continue
         if 'M  END' in record:

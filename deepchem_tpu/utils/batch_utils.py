@@ -81,3 +81,16 @@ def create_output_array(sequences: Sequence[str], max_output_length: int,
         for j in range(len(seq), max_output_length):
             out[i, j] = output_dict.get(end_mark, 0)
     return out
+
+
+def batch_elements(elements, batch_size: int):
+    """Yield successive batches from a list (reference
+    batch_utils.py:135)."""
+    batch = []
+    for e in elements:
+        batch.append(e)
+        if len(batch) == batch_size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch

@@ -53,3 +53,9 @@ class Cache:
     def _flush(self) -> None:
         if self._fname:
             np.savez_compressed(self._fname, **self._mem)
+
+
+def normalize_prefix(prefix: str) -> str:
+    """Ensure a cache prefix ends with a dot (reference
+    cache_utils.py:704)."""
+    return prefix if prefix.endswith('.') else prefix + '.'

@@ -104,3 +104,11 @@ def real_spherical_harmonics(l: int, xyz: jnp.ndarray) -> jnp.ndarray:
         else:
             out.append(math.sqrt(2) * norm * p * jnp.cos(am * phi))
     return jnp.stack(out, axis=-1)
+
+
+def commutator(A, B):
+    """[A, B] = AB - BA (reference equivariance_utils.py:341)."""
+    import jax.numpy as jnp
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    return A @ B - B @ A

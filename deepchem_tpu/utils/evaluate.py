@@ -168,3 +168,25 @@ class GeneratorEvaluator:
         if per_task_metrics:
             return multitask_scores, all_task_scores
         return multitask_scores
+
+
+def output_statistics(scores: Dict, stats_out: str) -> None:
+    """Write a computed-stats dict to a file (reference
+    evaluate.py:20 module-level function)."""
+    with open(stats_out, 'w') as f:
+        f.write(str(scores))
+
+
+def output_predictions(dataset, y_preds: np.ndarray,
+                       csv_out: str) -> None:
+    """Write per-id predictions to CSV (reference evaluate.py:37
+    module-level function)."""
+    import csv
+    data_ids = dataset.ids
+    n_tasks = len(dataset.get_task_names())
+    y_preds = np.reshape(y_preds, (len(y_preds), n_tasks))
+    with open(csv_out, 'w', newline='') as f:
+        writer = csv.writer(f)
+        writer.writerow(['ID'] + list(dataset.get_task_names()))
+        for mol_id, y_pred in zip(data_ids, y_preds):
+            writer.writerow([mol_id] + list(y_pred))

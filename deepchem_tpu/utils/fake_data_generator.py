@@ -55,3 +55,22 @@ class FakeGraphGenerator:
             else:
                 labels.append(self.rng.randint(0, self.n_classes, n))
         return graphs, np.asarray(labels, dtype=float)
+
+
+def remove_self_loops(edge_index: np.ndarray) -> np.ndarray:
+    """Drop i->i edges from a (2, E) edge index (reference
+    fake_data_generator.py:152)."""
+    edge_index = np.asarray(edge_index)
+    mask = edge_index[0] != edge_index[1]
+    return edge_index[:, mask]
+
+
+def generate_edge_index(n_nodes: int, avg_degree: int,
+                        remove_loops: bool = True) -> np.ndarray:
+    """Random (2, n_nodes*avg_degree) edge index (reference
+    fake_data_generator.py:128)."""
+    edge_index = np.random.randint(0, n_nodes,
+                                   size=(2, n_nodes * avg_degree))
+    if remove_loops:
+        edge_index = remove_self_loops(edge_index)
+    return edge_index

@@ -11,6 +11,11 @@ import numpy as np
 from deepchem_tpu.chem.mol import Atom, Molecule
 
 
+class MoleculeLoadException(Exception):
+    """Raised when a structure file cannot be parsed (reference
+    rdkit_utils.py:19; re-exported there)."""
+
+
 class AtomShim:
     """Lightweight atom with coordinates (reference fragment_utils
     AtomShim)."""
@@ -134,3 +139,10 @@ def merge_molecular_fragments(molecules):
         all_atoms.extend(m.GetAtoms())
         all_coords.append(np.asarray(m.GetCoords()))
     return MolecularFragment(all_atoms, np.concatenate(all_coords, 0))
+
+
+def compute_charges(mol):
+    """Gasteiger charges (reference fragment_utils re-exports the
+    rdkit_utils implementation)."""
+    from deepchem_tpu.utils.rdkit_utils import compute_charges as _cc
+    return _cc(mol)

@@ -33,3 +33,9 @@ def vectorize(hash_function: Callable, feature_dict=None,
                        for key, feature in feature_dict.items()]
         vector[on_channels] += 1
     return vector
+
+
+def hash_sybyl(sybyl, sybyl_types):
+    """Index of a SYBYL atom type in the type list (reference
+    hash_utils.py:36)."""
+    return sybyl_types.index(sybyl)

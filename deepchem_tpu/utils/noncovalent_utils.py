@@ -121,3 +121,137 @@ def compute_cation_pi(ring_centers: Sequence[np.ndarray],
         for j in np.nonzero(d < cutoff)[0]:
             out.append((i, int(j)))
     return out
+
+
+# -- reference fragment-tuple API (reference noncovalent_utils.py) -----------
+
+def _frag_atoms(mol):
+    """Atoms of a loaded fragment or chem Molecule."""
+    return mol.GetAtoms() if hasattr(mol, 'GetAtoms') else mol.atoms
+
+
+def _atomic_num(atom) -> int:
+    return (atom.GetAtomicNum() if hasattr(atom, 'GetAtomicNum')
+            else atom.atomic_num)
+
+
+def is_salt_bridge(atom_i, atom_j) -> bool:
+    """Two atoms whose partial charges differ by ~2e form a salt bridge
+    (reference noncovalent_utils.py:11)."""
+    from deepchem_tpu.utils.fragment_utils import get_partial_charge
+    return bool(abs(2.0 - abs(get_partial_charge(atom_i)
+                              - get_partial_charge(atom_j))) < 0.01)
+
+
+def is_hydrogen_bond(frag1, frag2, contact,
+                     hbond_angle_cutoff: float = 40.0) -> bool:
+    """Whether the (i, j) contact between two (coords, mol) fragments is a
+    hydrogen bond (reference noncovalent_utils.py:52): both heavy atoms
+    N/O, with a hydrogen within 1.3 A of either whose donor->H->acceptor
+    angle deviates from linear by less than the cutoff."""
+    frag1_xyz, frag1_mol = frag1
+    frag2_xyz, frag2_mol = frag2
+    i, j = int(contact[0]), int(contact[1])
+    a1 = np.asarray(frag1_xyz)[i]
+    a2 = np.asarray(frag2_xyz)[j]
+    atoms1 = _frag_atoms(frag1_mol)
+    atoms2 = _frag_atoms(frag2_mol)
+    if _atomic_num(atoms1[i]) not in (7, 8) or \
+            _atomic_num(atoms2[j]) not in (7, 8):
+        return False
+    hydrogens = []
+    for xyz, mol, heavy in ((frag2_xyz, frag2_mol, a2),
+                            (frag1_xyz, frag1_mol, a1)):
+        xyz = np.asarray(xyz)
+        for k, atom in enumerate(_frag_atoms(mol)):
+            if _atomic_num(atom) == 1 and \
+                    np.linalg.norm(xyz[k] - heavy) < 1.3:
+                hydrogens.append(xyz[k])
+    for h in hydrogens:
+        v1 = a1 - h
+        v2 = a2 - h
+        cosang = np.dot(v1, v2) / max(np.linalg.norm(v1)
+                                      * np.linalg.norm(v2), 1e-12)
+        angle = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+        if angle > 180.0 - hbond_angle_cutoff:
+            return True
+    return False
+
+
+def compute_hbonds_in_range(frag1, frag2, pairwise_distances,
+                            hbond_dist_bin, hbond_angle_cutoff
+                            ) -> List[Tuple[int, int]]:
+    """All hydrogen-bond contacts within one distance bin (reference
+    noncovalent_utils.py:113)."""
+    lo, hi = hbond_dist_bin
+    ii, jj = np.nonzero((pairwise_distances > lo)
+                        & (pairwise_distances < hi))
+    return [(int(i), int(j)) for i, j in zip(ii, jj)
+            if is_hydrogen_bond(frag1, frag2, (i, j), hbond_angle_cutoff)]
+
+
+def compute_hydrogen_bonds(frag1, frag2, pairwise_distances,
+                           hbond_dist_bins, hbond_angle_cutoffs
+                           ) -> List[List[Tuple[int, int]]]:
+    """Hydrogen bonds per distance bin (reference
+    noncovalent_utils.py:143)."""
+    return [compute_hbonds_in_range(frag1, frag2, pairwise_distances,
+                                    dist_bin, hbond_angle_cutoffs[i])
+            for i, dist_bin in enumerate(hbond_dist_bins)]
+
+
+def is_cation_pi(cation_position, ring_center, ring_normal,
+                 dist_cutoff: float = 6.5,
+                 angle_cutoff: float = 30.0) -> bool:
+    """Cation within dist_cutoff of a ring center, near the ring axis
+    (reference noncovalent_utils.py:232)."""
+    vec = np.asarray(cation_position) - np.asarray(ring_center)
+    dist = np.linalg.norm(vec)
+    cosang = np.dot(vec, ring_normal) / max(
+        dist * np.linalg.norm(ring_normal), 1e-12)
+    angle = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+    return bool((angle < angle_cutoff or angle > 180.0 - angle_cutoff)
+                and dist < dist_cutoff)
+
+
+def _cation_pi_counts(pi_mol, cation_mol, **kwargs):
+    """Rings of pi_mol vs formally-positive atoms of cation_mol ->
+    (ring-atom counter, cation counter)."""
+    from collections import Counter
+    from deepchem_tpu.utils.rdkit_utils import (get_xyz_from_mol,
+                                                compute_ring_center,
+                                                compute_ring_normal)
+    pi_counts: 'Counter' = Counter()
+    cation_counts: 'Counter' = Counter()
+    if not hasattr(pi_mol, 'rings'):
+        return pi_counts, cation_counts
+    rings = [r for r in pi_mol.rings()
+             if all(pi_mol.atoms[i].is_aromatic for i in r)]
+    cation_xyz = get_xyz_from_mol(cation_mol)
+    cations = [i for i, a in enumerate(_frag_atoms(cation_mol))
+               if getattr(a, 'formal_charge', 0) > 0]
+    for r in rings:
+        center = compute_ring_center(pi_mol, r)
+        normal = compute_ring_normal(pi_mol, r)
+        for ci in cations:
+            if is_cation_pi(cation_xyz[ci], center, normal, **kwargs):
+                for ai in r:
+                    pi_counts[int(ai)] += 1
+                cation_counts[int(ci)] += 1
+    return pi_counts, cation_counts
+
+
+def compute_binding_pocket_cation_pi(mol1, mol2, **kwargs):
+    """Cation-pi interaction counts both ways between two molecules
+    (reference noncovalent_utils.py:430): returns dicts mapping atom
+    index -> number of interactions, for mol1 and mol2."""
+    from collections import Counter
+    m1_pi, m2_cation = _cation_pi_counts(mol1, mol2, **kwargs)
+    m2_pi, m1_cation = _cation_pi_counts(mol2, mol1, **kwargs)
+    mol1_counts: 'Counter' = Counter()
+    mol1_counts.update(m1_pi)
+    mol1_counts.update(m1_cation)
+    mol2_counts: 'Counter' = Counter()
+    mol2_counts.update(m2_pi)
+    mol2_counts.update(m2_cation)
+    return dict(mol1_counts), dict(mol2_counts)

@@ -74,3 +74,11 @@ def safe_cdist(a, b, add_diag_eps: bool = False,
         n = min(d.shape[-2], d.shape[-1])
         d = d.at[..., jnp.arange(n), jnp.arange(n)].set(jnp.inf)
     return d
+
+
+def safedenom(r, eps: float):
+    """Replace zero elements with eps to avoid division by zero —
+    used in CG/BiCGStab (reference safeops_utils.py:352)."""
+    import jax.numpy as jnp
+    r = jnp.asarray(r)
+    return jnp.where(r == 0, jnp.asarray(eps, r.dtype), r)

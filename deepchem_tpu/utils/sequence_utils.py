@@ -90,3 +90,11 @@ def one_hot_protein(seq: str) -> np.ndarray:
     for i, c in enumerate(seq.upper()):
         out[i, AA.index(c) if c in AA else len(AA) - 1] = 1.0
     return out
+
+
+def system_call(command: str) -> bytes:
+    """Run a shell command and return its stdout (reference
+    sequence_utils.py:6)."""
+    import subprocess
+    p = subprocess.Popen([command], stdout=subprocess.PIPE, shell=True)
+    return p.stdout.read()
