@@ -88,6 +88,8 @@ __all__ = [
     'AtomicConvFeaturizer',
     'ComplexNeighborListFragmentAtomicCoordinates', 'MATFeaturizer',
     'MXMNetFeaturizer', 'GroverFeaturizer',
+    'GroverAtomVocabularyBuilder', 'GroverBondVocabularyBuilder',
+    'GroverAtomVocabTokenizer', 'GroverBondVocabTokenizer',
 ]
 
 # Featurizers that live next to their models (the reference keeps them
@@ -99,6 +101,11 @@ _MODEL_FEATURIZERS = {
     'MATFeaturizer': 'deepchem_tpu.models.mat',
     'MXMNetFeaturizer': 'deepchem_tpu.models.mxmnet',
     'GroverFeaturizer': 'deepchem_tpu.models.grover',
+    # reference feat/vocabulary_builders/__init__.py:1-5
+    'GroverAtomVocabularyBuilder': 'deepchem_tpu.feat.vocabulary_builders',
+    'GroverBondVocabularyBuilder': 'deepchem_tpu.feat.vocabulary_builders',
+    'GroverAtomVocabTokenizer': 'deepchem_tpu.feat.vocabulary_builders',
+    'GroverBondVocabTokenizer': 'deepchem_tpu.feat.vocabulary_builders',
 }
 
 

@@ -68,9 +68,11 @@ class MathWarning(Warning):
 
 
 class Uniquifier:
-    """Tracks unique objects (by ``id``) within a list so expensive
-    per-object work runs once per unique object (reference
-    misc_utils.py:79).
+    """Deduplicate a sequence by object identity so expensive
+    per-object work runs once per distinct object, then broadcast the
+    results back to the original positions (same contract as reference
+    misc_utils.py:79; independent implementation on dict insertion
+    order).
 
     >>> u = Uniquifier([1, 2, 3, 1, 1])
     >>> u.get_unique_objs()
@@ -78,60 +80,63 @@ class Uniquifier:
     """
 
     def __init__(self, allobjs: List):
+        # One pass: dict keyed by id() keeps first-seen order, and each
+        # position records which unique slot it refers to.
+        slot_of: Dict[int, Tuple[int, Any]] = {}
+        positions: List[int] = []
+        first_seen: List[int] = []
+        for pos, obj in enumerate(allobjs):
+            entry = slot_of.get(id(obj))
+            if entry is None:
+                # keep a reference to obj alive so id() stays stable
+                entry = (len(slot_of), obj)
+                slot_of[id(obj)] = entry
+                first_seen.append(pos)
+            positions.append(entry[0])
         self.nobjs = len(allobjs)
-        id2idx: Dict[int, int] = {}
-        unique_objs: List = []
-        unique_idxs: List[int] = []
-        nonunique_map_idxs: List[int] = [-self.nobjs * 2] * self.nobjs
-        num_unique = 0
-        for i, obj in enumerate(allobjs):
-            id_obj = id(obj)
-            if id_obj in id2idx:
-                nonunique_map_idxs[i] = id2idx[id_obj]
-                continue
-            id2idx[id_obj] = num_unique
-            unique_objs.append(obj)
-            nonunique_map_idxs[i] = num_unique
-            unique_idxs.append(i)
-            num_unique += 1
-        self.unique_objs = unique_objs
-        self.unique_idxs = unique_idxs
-        self.nonunique_map_idxs = nonunique_map_idxs
-        self.num_unique = num_unique
-        self.all_unique = self.nobjs == self.num_unique
+        self.num_unique = len(slot_of)
+        self.all_unique = self.num_unique == self.nobjs
+        self.unique_objs = [obj for _, obj in slot_of.values()]
+        self.unique_idxs = first_seen
+        self.nonunique_map_idxs = positions
 
     def get_unique_objs(self, allobjs: Optional[List] = None) -> List:
+        """Unique objects in first-seen order; with ``allobjs`` given,
+        the parallel elements of another same-length list."""
         if allobjs is None:
             return self.unique_objs
-        assert len(allobjs) == self.nobjs, \
-            'The allobjs must have %d elements' % self.nobjs
+        if len(allobjs) != self.nobjs:
+            raise ValueError('expected %d objects, got %d' %
+                             (self.nobjs, len(allobjs)))
         if self.all_unique:
             return allobjs
-        return [allobjs[i] for i in self.unique_idxs]
+        return [allobjs[pos] for pos in self.unique_idxs]
 
     def map_unique_objs(self, uniqueobjs: List) -> List:
-        assert len(uniqueobjs) == self.num_unique, \
-            'The uniqueobjs must have %d elements' % self.num_unique
+        """Broadcast per-unique results back to original positions."""
+        if len(uniqueobjs) != self.num_unique:
+            raise ValueError('expected %d unique objects, got %d' %
+                             (self.num_unique, len(uniqueobjs)))
         if self.all_unique:
             return uniqueobjs
-        return [uniqueobjs[idx] for idx in self.nonunique_map_idxs]
+        return [uniqueobjs[slot] for slot in self.nonunique_map_idxs]
 
 
 def memoize_method(fcn: Callable[[Any], T]) -> Callable[[Any], T]:
-    """Memoize a 0-argument method per instance (reference
-    misc_utils.py:176).  The cache lives on the instance, so it dies
-    with the object."""
-    cachename = '__memo_' + str(id(fcn))
+    """Cache a no-argument method's result on the instance (same
+    contract as reference misc_utils.py:176).  Each decorated method
+    gets its own per-instance slot; the cache dies with the object and
+    is never shared across instances."""
+    slot = f'_memoized_{fcn.__qualname__}'
 
     @functools.wraps(fcn)
-    def new_fcn(self) -> T:
-        if cachename in self.__dict__:
-            return self.__dict__[cachename]
-        res = fcn(self)
-        self.__dict__[cachename] = res
-        return res
+    def wrapper(self) -> T:
+        try:
+            return self.__dict__[slot]
+        except KeyError:
+            return self.__dict__.setdefault(slot, fcn(self))
 
-    return new_fcn
+    return wrapper
 
 
 def get_option(name: str, s: K, options: Mapping[K, T]) -> T:
