@@ -70,10 +70,13 @@ def enable_compile_cache(cache_dir=None) -> str:
             os.makedirs(cache_dir, exist_ok=True)
             import jax
             jax.config.update('jax_compilation_cache_dir', cache_dir)
-            # persist anything that took >= 1 s to compile; no size floor
-            # (the scan executables that matter here are large anyway)
+            # persist EVERYTHING, even sub-second compiles: on the
+            # tunneled dev backend the remote compile service's latency
+            # is wildly variable (measured 0.5 s to 300 s for the SAME
+            # tiny program), so any non-persisted program is a warm-run
+            # latency lottery; local-disk IO is orders cheaper
             jax.config.update('jax_persistent_cache_min_compile_time_secs',
-                              1.0)
+                              0.0)
             jax.config.update('jax_persistent_cache_min_entry_size_bytes',
                               0)
             _enabled_dir = cache_dir
