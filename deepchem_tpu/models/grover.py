@@ -57,6 +57,7 @@ from deepchem_tpu.feat.graph_data import GraphData, bucket_caps
 from deepchem_tpu.feat import feature_utils as fu
 from deepchem_tpu.models.graph_models import GraphModel, _gnn_loss_outputs
 from deepchem_tpu.ops import graph_pool
+from deepchem_tpu.parallel.tp import GROVER_TP_RULES
 
 # a compact functional-group SMARTS-free detector set (predicate based)
 _FG_CHECKS = [
@@ -939,6 +940,10 @@ class GroverModel(GraphModel):
     uses_edge_features = True
     component_scopes = {'encoder': ['encoder'],
                         'heads': ['head', 'ffn_out', 'mol_atom_from']}
+    #: one-switch tensor parallelism (distribute(tensor_parallel=k)):
+    #: Megatron column/row pairing over the attention blocks' flax-MHA
+    #: q/k/v (heads column-split) and out (heads row-split) kernels
+    tp_rules = GROVER_TP_RULES
     #: static width of the padded incoming-neighbor lists (molecular
     #: graphs have max degree ~6; one static width avoids recompiles)
     max_neighbors = 8

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from deepchem_tpu.data import Dataset, NumpyDataset
 from deepchem_tpu.models.jax_model import JaxModel
+from deepchem_tpu.parallel.tp import HF_TP_RULES
 from deepchem_tpu.models.losses import (L2Loss, SoftmaxCrossEntropy,
                                         SparseSoftmaxCrossEntropy)
 
@@ -55,7 +56,13 @@ class _HFModuleAdapter:
 
 class HuggingFaceModel(JaxModel):
     """(reference hf_models.py:23 contract: fit/predict/fill_mask with an
-    HF tokenizer + model; task in 'mlm', 'classification', 'regression')."""
+    HF tokenizer + model; task in 'mlm', 'classification', 'regression').
+
+    One-switch tensor parallelism: ``model.distribute(tensor_parallel=k)``
+    applies the Megatron column/row pairing (parallel/tp.py HF_TP_RULES)
+    to the transformers-Flax BERT/RoBERTa weights before fit/predict."""
+
+    tp_rules = HF_TP_RULES
 
     def __init__(self, model, tokenizer, task: str = 'classification',
                  mlm_probability: float = 0.15,

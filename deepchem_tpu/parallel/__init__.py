@@ -1,7 +1,8 @@
 from deepchem_tpu.parallel.mesh import (get_default_mesh, replicate,
                                         shard_batch_axis, mesh_context,
                                         device_count)
-from deepchem_tpu.parallel.tp import (BERT_TP_RULES, get_mesh_2d,
+from deepchem_tpu.parallel.tp import (BERT_TP_RULES, GROVER_TP_RULES,
+                                      HF_TP_RULES, get_mesh_2d,
                                       local_shard_shapes, param_specs,
                                       shard_batch, shard_params, spec_for)
 from deepchem_tpu.parallel.pp import (get_pipeline_mesh, stack_stage_params,
@@ -9,7 +10,8 @@ from deepchem_tpu.parallel.pp import (get_pipeline_mesh, stack_stage_params,
                                       pipeline_loss_fn)
 
 __all__ = ['get_default_mesh', 'replicate', 'shard_batch_axis',
-           'mesh_context', 'device_count', 'BERT_TP_RULES', 'get_mesh_2d',
+           'mesh_context', 'device_count', 'BERT_TP_RULES',
+           'GROVER_TP_RULES', 'HF_TP_RULES', 'get_mesh_2d',
            'local_shard_shapes', 'param_specs', 'shard_batch',
            'shard_params', 'spec_for', 'get_pipeline_mesh',
            'stack_stage_params', 'shard_pipeline_params', 'pipeline_apply',

@@ -52,6 +52,34 @@ BERT_TP_RULES: Rules = (
     (r'.*', P()),
 )
 
+#: Same Megatron pairing for the transformers-Flax BERT/RoBERTa param
+#: naming (`.../attention/self/query/kernel` etc.) used by
+#: HuggingFaceModel/Chemberta/ProtBERT/DeepAbLLM: q/k/v and the MLP
+#: intermediate are column-parallel, both `output/dense` projections
+#: (attention out and MLP out) are row-parallel.
+HF_TP_RULES: Rules = (
+    (r'.*/attention/self/(query|key|value)/kernel$', P(None, 'model')),
+    (r'.*/attention/self/(query|key|value)/bias$', P('model')),
+    (r'.*/intermediate/dense/kernel$', P(None, 'model')),
+    (r'.*/intermediate/dense/bias$', P('model')),
+    (r'.*/output/dense/kernel$', P('model', None)),
+    (r'.*', P()),
+)
+
+#: flax ``nn.MultiHeadDotProductAttention`` naming (GROVER's transformer
+#: blocks, models/grover.py): q/k/v kernels are (in, heads, head_dim) —
+#: sharding the heads axis is column-parallel; the out kernel is
+#: (heads, head_dim, out) — sharding heads is row-parallel (XLA reduces
+#: the per-device partial sums).  The grouped MPN that feeds the
+#: attention stays replicated: its message-passing gathers are
+#: node-flat, not feature-parallel.
+GROVER_TP_RULES: Rules = (
+    (r'.*/(query|key|value)/kernel$', P(None, 'model')),
+    (r'.*/(query|key|value)/bias$', P('model')),
+    (r'.*attention[^/]*/out/kernel$', P('model')),
+    (r'.*', P()),
+)
+
 
 def get_mesh_2d(model_parallel: int,
                 devices: Optional[Sequence] = None,

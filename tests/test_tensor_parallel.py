@@ -132,3 +132,83 @@ def test_param_specs_tree_matches_structure():
     assert len(flat_params) == len(flat_specs)
     assert all(isinstance(s, P) for s in flat_specs)
     assert any(s != P() for s in flat_specs)
+
+
+class TestOneSwitchTP:
+    """VERDICT r4 item 3: tensor parallelism reachable through the
+    public engine — ``model.distribute(tensor_parallel=k)`` + ``fit()``,
+    no hand-rolled optax in user code."""
+
+    def _tiny_chemberta(self, task='classification'):
+        from deepchem_tpu.models import Chemberta
+        return Chemberta(task=task, n_tasks=1, max_length=16,
+                         batch_size=4, num_hidden_layers=2,
+                         num_attention_heads=2, hidden_size=32,
+                         intermediate_size=64)
+
+    def _smiles_ds(self):
+        from deepchem_tpu.data import NumpyDataset
+        smiles = ['CCO', 'c1ccccc1', 'CC(=O)O', 'CCN',
+                  'CCCC', 'C1CC1', 'CCOC', 'CN(C)C']
+        y = (np.arange(len(smiles)) % 2).astype(np.float32)[:, None]
+        return NumpyDataset(np.asarray(smiles, dtype=object), y)
+
+    def test_distribute_tensor_parallel_really_shards(self):
+        m = self._tiny_chemberta()
+        m.distribute(tensor_parallel=2, devices=jax.devices()[:2])
+        assert m.mesh.shape == {'data': 1, 'model': 2}
+        ds = self._smiles_ds()
+        m.fit(ds, nb_epoch=1, deterministic=True, checkpoint_interval=0)
+        shapes = local_shard_shapes(m.params)
+        qk = {k: v for k, v in shapes.items()
+              if k.endswith('query/kernel')}
+        assert qk and all(l == (g[0], g[1] // 2) for g, l in qk.values())
+        row = {k: v for k, v in shapes.items()
+               if k.endswith('attention/output/dense/kernel')}
+        assert row and all(l == (g[0] // 2, g[1])
+                           for g, l in row.values())
+        # optimizer moments inherit the weight layout (suffix-anchored
+        # rules match mu/nu paths)
+        opt_shapes = local_shard_shapes(m.opt_state)
+        mu_qk = {k: v for k, v in opt_shapes.items()
+                 if k.endswith('query/kernel') and 'mu/' in k}
+        assert mu_qk, sorted(opt_shapes)[:5]
+        assert all(l == (g[0], g[1] // 2) for g, l in mu_qk.values())
+
+    def test_tp_fit_loss_and_predict_match_single_device(self):
+        ds = self._smiles_ds()
+        ref = self._tiny_chemberta()
+        ref_loss = ref.fit(ds, nb_epoch=2, deterministic=True,
+                           checkpoint_interval=0)
+        ref_preds = np.asarray(ref.predict(ds))
+
+        tp = self._tiny_chemberta()
+        tp.distribute(tensor_parallel=2, devices=jax.devices()[:2])
+        tp_loss = tp.fit(ds, nb_epoch=2, deterministic=True,
+                         checkpoint_interval=0)
+        tp_preds = np.asarray(tp.predict(ds))
+        assert np.isclose(ref_loss, tp_loss, atol=1e-4), \
+            (ref_loss, tp_loss)
+        assert np.allclose(ref_preds, tp_preds, atol=1e-4)
+
+    def test_model_without_rules_raises(self):
+        from deepchem_tpu.models import MultitaskClassifier
+        m = MultitaskClassifier(n_tasks=2, n_features=8,
+                                layer_sizes=[8])
+        with pytest.raises(ValueError, match='tensor-parallel'):
+            m.distribute(tensor_parallel=2, devices=jax.devices()[:2])
+
+    def test_custom_rules_accepted(self):
+        from jax.sharding import PartitionSpec as P
+        from deepchem_tpu.models import MultitaskClassifier
+        m = MultitaskClassifier(n_tasks=2, n_features=8,
+                                layer_sizes=[8])
+        rules = ((r'.*/kernel$', P(None, 'model')), (r'.*', P()))
+        m.distribute(tensor_parallel=2, devices=jax.devices()[:2],
+                     tp_rules=rules)
+        from deepchem_tpu.data import NumpyDataset
+        rng = np.random.RandomState(0)
+        ds = NumpyDataset(rng.rand(16, 8).astype(np.float32),
+                          rng.randint(0, 2, (16, 2)).astype(np.float32))
+        loss = m.fit(ds, nb_epoch=1, checkpoint_interval=0)
+        assert np.isfinite(loss)
