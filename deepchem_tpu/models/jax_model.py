@@ -346,18 +346,40 @@ class JaxModel(Model):
             self._loss_fn_compiled = None
         return self
 
+    @property
+    def _multiprocess(self) -> bool:
+        """True when the mesh spans devices of more than one process
+        (multi-host DP over DCN; parallel/distributed.py)."""
+        return (self.mesh is not None
+                and self.mesh.devices.size > len([
+                    d for d in self.mesh.devices.flat
+                    if d.process_index == jax.process_index()]))
+
     def _place_state(self, tree):
         """Place params/opt_state on the mesh: TP rules when active
         (suffix-anchored regexes match optimizer-moment leaves too —
         Adam's mu/nu paths end with the parameter path, so moments
         inherit the weight layout and the update step stays
-        collective-free), replicated otherwise."""
+        collective-free), replicated otherwise.  On a multi-host mesh,
+        replication goes through make_array_from_process_local_data
+        (device_put cannot target non-addressable devices); every
+        process holds identical values by construction (same model
+        seed)."""
         if self.mesh is None:
             return tree
         if getattr(self, '_tp_active', False):
+            if self._multiprocess:
+                raise NotImplementedError(
+                    'tensor parallelism across hosts is not supported; '
+                    'use a single-host model-parallel mesh per slice')
             from deepchem_tpu.parallel.tp import shard_params
             return shard_params(tree, self.mesh, self.tp_rules)
-        return jax.device_put(tree, NamedSharding(self.mesh, P()))
+        rep = NamedSharding(self.mesh, P())
+        if self._multiprocess:
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    rep, np.asarray(x)), tree)
+        return jax.device_put(tree, rep)
 
     #: subclasses whose inputs are NOT batch-major (e.g. flat COO graph
     #: arrays) set this False so inputs replicate instead of shard —
@@ -368,6 +390,8 @@ class JaxModel(Model):
     def _shard_batch(self, arrays: List[jnp.ndarray]) -> List[jnp.ndarray]:
         if self.mesh is None:
             return arrays
+        if self._multiprocess:
+            return self._shard_batch_multiprocess(arrays)
         out = []
         # P('data') splits only the data axis — divisibility is against
         # that axis size, not the whole mesh (2-D TP meshes replicate
@@ -380,6 +404,32 @@ class JaxModel(Model):
                     a, NamedSharding(self.mesh, P('data'))))
             else:
                 out.append(jax.device_put(a, NamedSharding(self.mesh, P())))
+        return out
+
+    def _shard_batch_multiprocess(self, arrays: List) -> List:
+        """Multi-host batch assembly: each process contributes its LOCAL
+        batch (its rows of the dataset, parallel/distributed.py
+        process_shard) and the global batch is their concatenation along
+        the 'data' axis — the jitted step then runs SPMD with XLA's
+        cross-host all-reduces on the gradients.  ``batch_size`` is
+        per-process; it must divide by the local device count."""
+        n_local = len([d for d in self.mesh.devices.flat
+                       if d.process_index == jax.process_index()])
+        spec_data = NamedSharding(self.mesh, P('data'))
+        spec_rep = NamedSharding(self.mesh, P())
+        out = []
+        for a in arrays:
+            a_np = np.asarray(a)
+            if self.batch_axis_shardable and a_np.ndim >= 1:
+                if a_np.shape[0] % max(n_local, 1):
+                    raise ValueError(
+                        f'per-process batch {a_np.shape[0]} not divisible '
+                        f'by the {n_local} local devices')
+                out.append(jax.make_array_from_process_local_data(
+                    spec_data, a_np))
+            else:
+                out.append(jax.make_array_from_process_local_data(
+                    spec_rep, a_np))
         return out
 
     # -- fitting -----------------------------------------------------------
@@ -424,6 +474,10 @@ class JaxModel(Model):
             return False
         from deepchem_tpu.models.kfac import KFAC
         if isinstance(self.optimizer, KFAC):
+            return False
+        if self._multiprocess:
+            # the device-resident scan uploads whole-epoch stacks; the
+            # multi-host path assembles global batches per step instead
             return False
         return all(hasattr(c, 'interval') for c in callbacks)
 
@@ -541,6 +595,12 @@ class JaxModel(Model):
                 # artifacts (K-FAC curvature probes)
                 self._train_step_fn = self._make_train_step()
             inputs = self._shard_batch(inputs)
+            if self._multiprocess:
+                # labels/weights must join the global batch too — a raw
+                # per-process host array would enter the SPMD program as
+                # "replicated" while actually differing across hosts
+                labels = self._shard_batch_multiprocess(labels)
+                weights = self._shard_batch_multiprocess(weights)
             rng = self._next_rng()
             self.params, self.opt_state, loss_val = self._train_step_fn(
                 self.params, self.opt_state, rng, inputs, labels, weights)
