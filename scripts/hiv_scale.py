@@ -30,7 +30,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument('--epochs', type=int, default=40)
     ap.add_argument('--batch-size', type=int, default=256)
+    ap.add_argument('--seeds', type=str, default='0,1,2',
+                    help='comma-separated model-init seeds; the run '
+                         'reports per-seed scores plus mean+-sd '
+                         '(scaffold split itself is deterministic)')
     args = ap.parse_args()
+    seeds = [int(s) for s in args.seeds.split(',') if s.strip()]
 
     import jax
     from deepchem_tpu.molnet import load_hiv
@@ -50,46 +55,79 @@ def main() -> None:
           f"{timings['featurize_and_split_s']}s ({feat_rate:.0f} mol/s)",
           file=sys.stderr)
 
-    model = GraphConvModel(n_tasks=len(tasks),
-                           batch_size=args.batch_size,
-                           mode='classification',
-                           learning_rate=0.002,
-                           graph_conv_layers=[64, 64],
-                           dense_layer_size=128)
-
-    t0 = time.time()
-    model.fit_on_device(train, nb_epoch=1)
-    timings['warmup_compile_s'] = round(time.time() - t0, 1)
-    print(f"# warmup(+compile) {timings['warmup_compile_s']}s",
-          file=sys.stderr)
-
-    t0 = time.time()
-    model.fit_on_device(train, nb_epoch=args.epochs - 1)
-    timings['train_steady_s'] = round(time.time() - t0, 1)
-    mols_per_sec = n_train * (args.epochs - 1) / timings['train_steady_s']
-    print(f'# train: {mols_per_sec:.0f} mol-graphs/s steady-state',
-          file=sys.stderr)
-
-    t0 = time.time()
     metric = Metric(roc_auc_score, np.mean)
-    valid_auc = model.evaluate_on_device(valid, [metric],
-                                         transformers)['roc_auc_score']
-    test_auc = model.evaluate_on_device(test, [metric],
-                                        transformers)['roc_auc_score']
-    train_auc = model.evaluate_on_device(train, [metric],
-                                         transformers)['roc_auc_score']
-    timings['eval_s'] = round(time.time() - t0, 1)
+    repeats = []
+    for seed in seeds:
+        model = GraphConvModel(n_tasks=len(tasks),
+                               batch_size=args.batch_size,
+                               mode='classification',
+                               learning_rate=0.002,
+                               graph_conv_layers=[64, 64],
+                               dense_layer_size=128,
+                               seed=seed)
 
+        # warmup epoch: first seed pays any compile; later seeds hit the
+        # persistent XLA cache (identical HLO, different param values)
+        t0 = time.time()
+        model.fit_on_device(train, nb_epoch=1, seed=seed)
+        warm_s = round(time.time() - t0, 1)
+        print(f'# seed {seed}: warmup(+compile) {warm_s}s',
+              file=sys.stderr)
+
+        t0 = time.time()
+        model.fit_on_device(train, nb_epoch=args.epochs - 1, seed=seed)
+        steady_s = round(time.time() - t0, 1)
+        mols_per_sec = n_train * (args.epochs - 1) / steady_s
+        print(f'# seed {seed}: {mols_per_sec:.0f} mol-graphs/s '
+              'steady-state', file=sys.stderr)
+
+        t0 = time.time()
+        valid_auc = model.evaluate_on_device(
+            valid, [metric], transformers)['roc_auc_score']
+        test_auc = model.evaluate_on_device(
+            test, [metric], transformers)['roc_auc_score']
+        train_auc = model.evaluate_on_device(
+            train, [metric], transformers)['roc_auc_score']
+        eval_s = round(time.time() - t0, 1)
+        print(f'# seed {seed}: valid {valid_auc:.4f} test {test_auc:.4f} '
+              f'train {train_auc:.4f} (eval {eval_s}s)', file=sys.stderr)
+        repeats.append({
+            'seed': seed,
+            'valid_roc_auc': round(float(valid_auc), 4),
+            'test_roc_auc': round(float(test_auc), 4),
+            'train_roc_auc': round(float(train_auc), 4),
+            'warmup_compile_s': warm_s,
+            'train_steady_s': steady_s,
+            'eval_s': eval_s,
+            'mols_per_sec': round(mols_per_sec, 1),
+        })
+
+    # headline phase timings: first seed (pays the compile); totals are
+    # the single-run story the reference row corresponds to
+    timings['warmup_compile_s'] = repeats[0]['warmup_compile_s']
+    timings['train_steady_s'] = repeats[0]['train_steady_s']
+    timings['eval_s'] = repeats[0]['eval_s']
     total_s = sum(timings.values())
+
+    def _ms(key):
+        vals = [r[key] for r in repeats]
+        return (round(float(np.mean(vals)), 4),
+                round(float(np.std(vals)), 4))
+
+    v_mean, v_sd = _ms('valid_roc_auc')
+    t_mean, t_sd = _ms('test_roc_auc')
+    tr_mean, tr_sd = _ms('train_roc_auc')
     result = {
         'metric': 'graphconv_hiv_40epoch_scaffold',
         'dataset_molecules': n_total,
         'train_molecules': n_train,
-        'value': round(mols_per_sec, 1),
+        'value': round(repeats[0]['mols_per_sec'], 1),
         'unit': 'mol-graphs/s/chip',
-        'valid_roc_auc': round(float(valid_auc), 4),
-        'test_roc_auc': round(float(test_auc), 4),
-        'train_roc_auc': round(float(train_auc), 4),
+        'n_seeds': len(seeds),
+        'valid_roc_auc': v_mean, 'valid_roc_auc_sd': v_sd,
+        'test_roc_auc': t_mean, 'test_roc_auc_sd': t_sd,
+        'train_roc_auc': tr_mean, 'train_roc_auc_sd': tr_sd,
+        'repeats': repeats,
         'literature_test_roc_auc': LITERATURE_TEST_AUC,
         'total_seconds': round(total_s, 1),
         'phase_timings': timings,

@@ -38,7 +38,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument('--epochs', type=int, default=40)
     ap.add_argument('--batch-size', type=int, default=256)
+    ap.add_argument('--seeds', type=str, default='0,1,2,3',
+                    help='comma-separated model-init seeds; the run '
+                         'reports per-seed scores plus mean+-sd (the '
+                         'split itself is pinned by splitter_seed=123)')
     args = ap.parse_args()
+    seeds = [int(s) for s in args.seeds.split(',') if s.strip()]
 
     import jax
     from deepchem_tpu.molnet import load_muv
@@ -64,47 +69,78 @@ def main() -> None:
           f"{timings['featurize_and_split_s']}s ({feat_rate:.0f} mol/s)",
           file=sys.stderr)
 
-    model = GraphConvModel(n_tasks=len(tasks),
-                           batch_size=args.batch_size,
-                           mode='classification',
-                           learning_rate=0.002,
-                           graph_conv_layers=[64, 64],
-                           dense_layer_size=128)
-
-    # warmup epoch: compile + prepared-batch cache build
-    t0 = time.time()
-    model.fit_on_device(train, nb_epoch=1)
-    timings['warmup_compile_s'] = round(time.time() - t0, 1)
-    print(f"# warmup(+compile) {timings['warmup_compile_s']}s",
-          file=sys.stderr)
-
-    # steady-state training: the remaining 39 epochs of the protocol
-    t0 = time.time()
-    model.fit_on_device(train, nb_epoch=args.epochs - 1)
-    timings['train_steady_s'] = round(time.time() - t0, 1)
-    mols_per_sec = n_train * (args.epochs - 1) / timings['train_steady_s']
-    print(f'# train: {mols_per_sec:.0f} mol-graphs/s steady-state',
-          file=sys.stderr)
-
-    t0 = time.time()
     metric = Metric(roc_auc_score, np.mean)
-    # device-resident eval: one scanned dispatch per dataset instead of
-    # a tunnel round trip per batch (was 230 s of the 989 s total)
-    valid_auc = model.evaluate_on_device(valid, [metric],
-                                         transformers)['roc_auc_score']
-    train_auc = model.evaluate_on_device(train, [metric],
-                                         transformers)['roc_auc_score']
-    timings['eval_s'] = round(time.time() - t0, 1)
+    repeats = []
+    for seed in seeds:
+        model = GraphConvModel(n_tasks=len(tasks),
+                               batch_size=args.batch_size,
+                               mode='classification',
+                               learning_rate=0.002,
+                               graph_conv_layers=[64, 64],
+                               dense_layer_size=128,
+                               seed=seed)
 
+        # warmup epoch: first seed pays any compile; later seeds hit the
+        # persistent XLA cache (identical HLO, different param values)
+        t0 = time.time()
+        model.fit_on_device(train, nb_epoch=1, seed=seed)
+        warm_s = round(time.time() - t0, 1)
+        print(f'# seed {seed}: warmup(+compile) {warm_s}s',
+              file=sys.stderr)
+
+        # steady-state training: the remaining 39 epochs of the protocol
+        t0 = time.time()
+        model.fit_on_device(train, nb_epoch=args.epochs - 1, seed=seed)
+        steady_s = round(time.time() - t0, 1)
+        mols_per_sec = n_train * (args.epochs - 1) / steady_s
+        print(f'# seed {seed}: {mols_per_sec:.0f} mol-graphs/s '
+              'steady-state', file=sys.stderr)
+
+        t0 = time.time()
+        # device-resident eval: one scanned dispatch per dataset instead
+        # of a tunnel round trip per batch; sticky padding caps make it
+        # dispatch the very executable the training scan compiled
+        valid_auc = model.evaluate_on_device(
+            valid, [metric], transformers)['roc_auc_score']
+        train_auc = model.evaluate_on_device(
+            train, [metric], transformers)['roc_auc_score']
+        eval_s = round(time.time() - t0, 1)
+        print(f'# seed {seed}: valid {valid_auc:.4f} '
+              f'train {train_auc:.4f} (eval {eval_s}s)', file=sys.stderr)
+        repeats.append({
+            'seed': seed,
+            'valid_roc_auc': round(float(valid_auc), 4),
+            'train_roc_auc': round(float(train_auc), 4),
+            'warmup_compile_s': warm_s,
+            'train_steady_s': steady_s,
+            'eval_s': eval_s,
+            'mols_per_sec': round(mols_per_sec, 1),
+        })
+
+    # headline phase timings: first seed (pays the compile); the single-
+    # run total is what the reference's 1389 s row corresponds to
+    timings['warmup_compile_s'] = repeats[0]['warmup_compile_s']
+    timings['train_steady_s'] = repeats[0]['train_steady_s']
+    timings['eval_s'] = repeats[0]['eval_s']
     total_s = sum(timings.values())
+
+    def _ms(key):
+        vals = [r[key] for r in repeats]
+        return (round(float(np.mean(vals)), 4),
+                round(float(np.std(vals)), 4))
+
+    v_mean, v_sd = _ms('valid_roc_auc')
+    tr_mean, tr_sd = _ms('train_roc_auc')
     result = {
         'metric': 'graphconv_muv_40epoch',
         'dataset_molecules': n_total,
         'train_molecules': n_train,
-        'value': round(mols_per_sec, 1),
+        'value': round(repeats[0]['mols_per_sec'], 1),
         'unit': 'mol-graphs/s/chip',
-        'valid_roc_auc': round(float(valid_auc), 4),
-        'train_roc_auc': round(float(train_auc), 4),
+        'n_seeds': len(seeds),
+        'valid_roc_auc': v_mean, 'valid_roc_auc_sd': v_sd,
+        'train_roc_auc': tr_mean, 'train_roc_auc_sd': tr_sd,
+        'repeats': repeats,
         'reference_valid_roc_auc': REFERENCE_VALID_AUC,
         'reference_seconds': REFERENCE_SECONDS,
         'total_seconds': round(total_s, 1),
