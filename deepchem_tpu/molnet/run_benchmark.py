@@ -131,16 +131,20 @@ def benchmark_classification(train, valid, test, tasks, transformers,
                      learning_rate=hp['learning_rate'])
     else:
         raise ValueError(f'unknown classification model {model}')
+    t0 = time.time()
     if nb_epoch is None:
         m.fit(train)
     else:
         _fit_fast(m, train, nb_epoch)
+    phases = {'fit_s': round(time.time() - t0, 1)}
+    t0 = time.time()
     scores = {
-        'train': m.evaluate(train, [metric], transformers),
-        'valid': m.evaluate(valid, [metric], transformers)}
+        'train': _eval_fast(m, train, metric, transformers),
+        'valid': _eval_fast(m, valid, metric, transformers)}
     if test_on:
-        scores['test'] = m.evaluate(test, [metric], transformers)
-    return scores, m
+        scores['test'] = _eval_fast(m, test, metric, transformers)
+    phases['eval_s'] = round(time.time() - t0, 1)
+    return scores, m, phases
 
 
 def benchmark_regression(train, valid, test, tasks, transformers,
@@ -181,13 +185,17 @@ def benchmark_regression(train, valid, test, tasks, transformers,
                      learning_rate=hp['learning_rate'])
     else:
         raise ValueError(f'unknown regression model {model}')
+    t0 = time.time()
     _fit_fast(m, train, nb_epoch)
+    phases = {'fit_s': round(time.time() - t0, 1)}
+    t0 = time.time()
     scores = {
-        'train': m.evaluate(train, [metric], transformers),
-        'valid': m.evaluate(valid, [metric], transformers)}
+        'train': _eval_fast(m, train, metric, transformers),
+        'valid': _eval_fast(m, valid, metric, transformers)}
     if test_on:
-        scores['test'] = m.evaluate(test, [metric], transformers)
-    return scores, m
+        scores['test'] = _eval_fast(m, test, metric, transformers)
+    phases['eval_s'] = round(time.time() - t0, 1)
+    return scores, m, phases
 
 
 def _fit_fast(model, train, nb_epoch: int) -> None:
@@ -203,6 +211,21 @@ def _fit_fast(model, train, nb_epoch: int) -> None:
     model.fit(train, nb_epoch=nb_epoch)
 
 
+def _eval_fast(model, dataset, metric, transformers):
+    """Device-resident eval on accelerators (one scanned dispatch per
+    dataset instead of a tunnel round trip per batch); host path on CPU
+    or for models without the device loop."""
+    import jax
+    if hasattr(model, 'evaluate_on_device') and \
+            jax.devices()[0].platform != 'cpu':
+        try:
+            return model.evaluate_on_device(dataset, [metric],
+                                            transformers)
+        except Exception as e:
+            logger.debug('evaluate_on_device fell back: %s', e)
+    return model.evaluate(dataset, [metric], transformers)
+
+
 def run_benchmark(datasets: Sequence[str], model: str,
                   split: Optional[str] = None,
                   metric=None,
@@ -211,8 +234,13 @@ def run_benchmark(datasets: Sequence[str], model: str,
                   hyper_parameters: Optional[Dict] = None,
                   test: bool = False,
                   reload: bool = True,
-                  seed: int = 123) -> List[Dict]:
-    """(reference run_benchmark.py:18)"""
+                  seed: int = 123,
+                  out_file: Optional[str] = None) -> List[Dict]:
+    """(reference run_benchmark.py:18)
+
+    Rows carry per-phase seconds (load/fit/eval) alongside the scores so
+    a committed results CSV doubles as a wall-clock record — the
+    reference's stable_results.csv only records scores."""
     results = []
     for dataset in datasets:
         if dataset in CLASSIFICATION_DATASETS:
@@ -230,16 +258,17 @@ def run_benchmark(datasets: Sequence[str], model: str,
         t0 = time.time()
         tasks, (train, valid, tst), transformers = loader(
             featurizer=feat, splitter=split_name, reload=reload)
+        load_s = round(time.time() - t0, 1)
         n_features = (train.get_shape()[0][1]
                       if train.get_shape()[0] is not None and
                       len(train.get_shape()[0]) > 1 else 1024)
         if mode == 'classification':
-            scores, _ = benchmark_classification(
+            scores, _, phases = benchmark_classification(
                 train, valid, tst, tasks, transformers, n_features,
                 metric_obj, model, test_on=test, seed=seed,
                 hyper_parameters=hyper_parameters)
         else:
-            scores, _ = benchmark_regression(
+            scores, _, phases = benchmark_regression(
                 train, valid, tst, tasks, transformers, n_features,
                 metric_obj, model, test_on=test, seed=seed,
                 hyper_parameters=hyper_parameters)
@@ -248,11 +277,12 @@ def run_benchmark(datasets: Sequence[str], model: str,
                'split': split_name,
                'train_score': list(scores['train'].values())[0],
                'valid_score': list(scores['valid'].values())[0],
-               'time': elapsed}
+               'time': round(elapsed, 1), 'load_s': load_s,
+               'fit_s': phases['fit_s'], 'eval_s': phases['eval_s']}
         if test:
             row['test_score'] = list(scores['test'].values())[0]
         results.append(row)
-        out_file = os.path.join(out_path, 'results.csv')
+        out_file = out_file or os.path.join(out_path, 'results.csv')
         write_header = not os.path.exists(out_file)
         with open(out_file, 'a', newline='') as f:
             writer = csv.DictWriter(f, fieldnames=list(row.keys()))
