@@ -402,3 +402,41 @@ def test_saliency_linear_model_equals_weights():
     s = np.asarray(m.compute_saliency(X[3]))
     assert s.shape == (1, 6)
     np.testing.assert_allclose(s[0], W[0], atol=0.25)
+
+
+def test_reinitialize_matches_fresh_model_and_keeps_executables():
+    """reinitialize(seed=k) on a built model draws exactly the params a
+    fresh Model(..., seed=k) would, resets step/loss telemetry, and
+    keeps the jitted executables + prepared-batch cache (the repeat-
+    protocol fast path: tracing is paid once per process, not per
+    seed)."""
+    import jax
+    ds = _cls_dataset()
+    m = MultitaskClassifier(n_tasks=2, n_features=16, layer_sizes=[16],
+                            batch_size=20, seed=0)
+    m.fit(ds, nb_epoch=3, checkpoint_interval=0)
+    assert m._global_step > 0 and len(m.all_losses) >= 1
+    caches_before = (m._fit_data_cache, dict(m._predict_fn_cache))
+
+    m.reinitialize(seed=7)
+    fresh = MultitaskClassifier(n_tasks=2, n_features=16,
+                                layer_sizes=[16], batch_size=20, seed=7)
+    fresh.predict(ds)                                  # build only
+    flat_m = {jax.tree_util.keystr(p): a for p, a in
+              jax.tree_util.tree_flatten_with_path(m.params)[0]}
+    flat_f = {jax.tree_util.keystr(p): a for p, a in
+              jax.tree_util.tree_flatten_with_path(fresh.params)[0]}
+    assert set(flat_m) == set(flat_f)
+    for k in flat_m:
+        np.testing.assert_allclose(np.asarray(flat_m[k]),
+                                   np.asarray(flat_f[k]), rtol=1e-6)
+    # telemetry reset; caches survive
+    assert m._global_step == 0 and m.all_losses == []
+    assert m._fit_data_cache is caches_before[0]
+    for k, v in caches_before[1].items():
+        assert m._predict_fn_cache.get(k) is v
+
+    # the reinitialized model trains to the same losses as the fresh one
+    l1 = m.fit(ds, nb_epoch=2, checkpoint_interval=0)
+    l2 = fresh.fit(ds, nb_epoch=2, checkpoint_interval=0)
+    np.testing.assert_allclose(l1, l2, rtol=1e-5)
