@@ -141,6 +141,7 @@ class GraphModel(JaxModel):
             self.edge_quantum = max(64, -(-max_e // 64) * 64)
             # prepared batches baked the old padding caps
             self._fit_data_cache = None
+            self._predict_data_cache = {}
             self._sticky_caps = None
         return self.node_quantum, self.edge_quantum
 

@@ -304,6 +304,20 @@ class JaxModel(Model):
             return params, opt_state, loss
         return jax.jit(step, donate_argnums=(0, 1))
 
+    def _jit_stored(self, fn, example_args, donate_argnums=(), tag=''):
+        """jit ``fn`` through the persistent executable store
+        (utils/exec_store.py): on backends whose PJRT supports
+        executable serialization, a warm process deserializes the
+        stored executable instead of compiling — the only compile-tax
+        countermeasure that works under the tunnel's remote_compile,
+        which bypasses XLA's content-addressed cache for large
+        programs.  Distributed lowerings (mesh active) keep plain jit:
+        their device assignment is topology-bound."""
+        from deepchem_tpu.utils.exec_store import jit_with_store
+        return jit_with_store(fn, example_args,
+                              donate_argnums=donate_argnums,
+                              enabled=self.mesh is None, tag=tag)
+
     # -- distribution ------------------------------------------------------
     #: (path-regex, PartitionSpec) tensor-parallel sharding rules for
     #: this model family (parallel/tp.py); None = family has no
@@ -359,6 +373,7 @@ class JaxModel(Model):
                 self.mesh = None
                 self._tp_active = False
                 self._fit_data_cache = None
+                self._predict_data_cache = {}
                 self._train_step_fn = None
                 self._predict_fn_cache = {}
                 return self
@@ -382,6 +397,7 @@ class JaxModel(Model):
         # prepared-batch cache bakes the OLD batch layout (shard count /
         # padding caps) — always invalid after redistribution
         self._fit_data_cache = None
+        self._predict_data_cache = {}
         if self._built:
             self.params = self._place_state(self.params)
             self.opt_state = self._place_state(self.opt_state)
@@ -868,15 +884,16 @@ class JaxModel(Model):
                 m = len(idx)
                 key = ('fit_scan', m,
                        tuple(a.shape for a in cache['host_in']))
+                args = (self.params, self.opt_state, rng, d_in, d_lab,
+                        d_w, jnp.asarray(idx, dtype=jnp.int32),
+                        jnp.asarray(step0 + lo, dtype=jnp.int32))
                 run_jit = self._predict_fn_cache.get(key)
                 if run_jit is None:
-                    run_jit = jax.jit(self._make_indexed_run(m),
-                                      donate_argnums=(0, 1))
+                    run_jit = self._jit_stored(
+                        self._make_indexed_run(m), args,
+                        donate_argnums=(0, 1), tag='fit_scan')
                     self._predict_fn_cache[key] = run_jit
-                self.params, self.opt_state, losses = run_jit(
-                    self.params, self.opt_state, rng, d_in, d_lab, d_w,
-                    jnp.asarray(idx, dtype=jnp.int32),
-                    jnp.asarray(step0 + lo, dtype=jnp.int32))
+                self.params, self.opt_state, losses = run_jit(*args)
                 parts.append(losses)
             return parts
         per_batch = max(1, cache['nbytes'] // S)
@@ -894,20 +911,21 @@ class JaxModel(Model):
             m = len(idx)
             key = ('fit_stream', m,
                    tuple(a.shape[1:] for a in cache['host_in']))
-            run_jit = self._predict_fn_cache.get(key)
-            if run_jit is None:
-                run_jit = jax.jit(self._make_indexed_run(m),
-                                  donate_argnums=(0, 1))
-                self._predict_fn_cache[key] = run_jit
             # numpy fancy-index slices; upload is enqueued while the
             # previous chunk still executes (async dispatch)
             c_in = [a[idx] for a in cache['host_in']]
             c_lab = [a[idx] for a in cache['host_lab']]
             c_w = [a[idx] for a in cache['host_w']]
-            self.params, self.opt_state, losses_c = run_jit(
-                self.params, self.opt_state, rng, c_in, c_lab, c_w,
-                jnp.arange(m, dtype=jnp.int32),
-                jnp.asarray(step0 + lo, dtype=jnp.int32))
+            args = (self.params, self.opt_state, rng, c_in, c_lab, c_w,
+                    jnp.arange(m, dtype=jnp.int32),
+                    jnp.asarray(step0 + lo, dtype=jnp.int32))
+            run_jit = self._predict_fn_cache.get(key)
+            if run_jit is None:
+                run_jit = self._jit_stored(
+                    self._make_indexed_run(m), args,
+                    donate_argnums=(0, 1), tag='fit_stream')
+                self._predict_fn_cache[key] = run_jit
+            self.params, self.opt_state, losses_c = run_jit(*args)
             parts.append(losses_c)
         return parts
 
@@ -955,22 +973,64 @@ class JaxModel(Model):
         self._train_step_fn = None
         return float(per_epoch[-1])
 
+    def _predict_input_arrays(self, dataset: Dataset):
+        """Prepared input batches for device-resident prediction, as
+        ``(host_stacked, device_resident, n_batches)`` — exactly one of
+        the first two is non-None.
+
+        Three tiers, cheapest first:
+
+        1. the dataset IS the fit cache's dataset and its data is
+           resident in HBM → return the training upload's input arrays
+           (zero collection, zero transfer).  Sound because fit and
+           predict both collect deterministically with pad_batches, so
+           the stacked order is the dataset order (shuffling happens via
+           scan-time ``order`` indices, never in collection).
+        2. a previous predict call collected this dataset → cached host
+           stack (skips the per-call batch build + caps pre-pass, which
+           dominated eval cost on the MUV scale run: 130-205 s/seed of
+           host-side re-collection for identical arrays).
+        3. collect + stack now, and cache (4-entry FIFO on dataset
+           identity + mutation version).
+        """
+        version = getattr(dataset, '_version', 0)
+        fc = getattr(self, '_fit_data_cache', None)
+        if isinstance(fc, dict) and fc.get('dataset') is dataset \
+                and fc.get('version') == version and fc.get('S', 0) > 0:
+            if fc.get('dev') is not None:
+                return None, fc['dev'][0], fc['S']
+            return fc['host_in'], None, fc['S']
+        pc = getattr(self, '_predict_data_cache', None)
+        if pc is None:
+            pc = self._predict_data_cache = {}
+        ent = pc.get(id(dataset))
+        if ent is not None and ent['dataset'] is dataset \
+                and ent['version'] == version:
+            return ent['host'], None, ent['S']
+        batches = self._collect_uniform_batches(dataset,
+                                                deterministic=True)
+        if not batches:
+            return None, None, 0
+        inputs0 = batches[0][0]
+        if not self._built:
+            self.build([jnp.asarray(a) for a in inputs0])
+        host = [np.stack([b[0][i] for b in batches])
+                for i in range(len(inputs0))]
+        while len(pc) >= 4:
+            pc.pop(next(iter(pc)))
+        pc[id(dataset)] = {'dataset': dataset, 'version': version,
+                           'host': host, 'S': len(batches)}
+        return host, None, len(batches)
+
     def predict_on_device(self, dataset: Dataset,
                           transformers: Sequence[Transformer] = (),
                           output_types: Optional[Sequence[str]] = None
                           ) -> np.ndarray:
         """Device-resident batched prediction: upload all batches once and
         scan the forward pass — companion to fit_on_device."""
-        batches = self._collect_uniform_batches(dataset,
-                                                deterministic=True)
-        if not batches:
+        host, dev_in, S = self._predict_input_arrays(dataset)
+        if S == 0:
             return np.zeros(0)
-        inputs0 = batches[0][0]
-        if not self._built:
-            self.build([jnp.asarray(a) for a in inputs0])
-        host = [np.stack([b[0][i] for b in batches])
-                for i in range(len(inputs0))]
-        S = len(batches)
         # FIXED scan length: pad the batch axis to a multiple of CP and
         # run CP-sized chunks, so ONE executable (keyed on per-batch
         # shapes only) serves every dataset size — on the tunneled
@@ -982,9 +1042,6 @@ class JaxModel(Model):
         # compile separately (VERDICT r4 weak #2).
         CP = self.predict_chunk
         Spad = -(-S // CP) * CP
-        if Spad != S:
-            host = [np.concatenate(
-                [a, np.repeat(a[-1:], Spad - S, axis=0)]) for a in host]
 
         def run(params, s_in):
             def body(_, inputs):
@@ -993,17 +1050,42 @@ class JaxModel(Model):
                 return _, tuple(outs)
             _, outs = jax.lax.scan(body, None, tuple(s_in))
             return outs
-        cache_key = ('predict_on_device', CP,
-                     tuple(a.shape[1:] for a in host))
+        if dev_in is not None:
+            # device-resident fit data: chunks are ON-DEVICE slices of
+            # the training upload — no collection, no host->device
+            # transfer at all.  dynamic_slice with a runtime start keeps
+            # this ONE cached slice program for every chunk offset (a
+            # static slice per offset would be a fresh tiny compile each
+            # on the tunneled backend); the sliced chunks then feed the
+            # same CP-chunk forward executable the host path uses.
+            if Spad != S:
+                dev_in = [jnp.concatenate(
+                    [a, jnp.repeat(a[-1:], Spad - S, axis=0)])
+                    for a in dev_in]
+            chunks = [[jax.lax.dynamic_slice_in_dim(a, lo, CP)
+                       for a in dev_in]
+                      for lo in range(0, Spad, CP)]
+            shapes_key = tuple(a.shape[1:] for a in dev_in)
+        else:
+            def hslice(a, lo):
+                # pad only the tail chunk (a full-stack np.concatenate
+                # would copy the whole ~GB array every eval call)
+                if lo + CP <= S:
+                    return jnp.asarray(a[lo:lo + CP])
+                return jnp.asarray(np.concatenate(
+                    [a[lo:S], np.repeat(a[-1:], lo + CP - S, axis=0)]))
+            chunks = [[hslice(a, lo) for a in host]
+                      for lo in range(0, Spad, CP)]
+            shapes_key = tuple(a.shape[1:] for a in host)
+        cache_key = ('predict_on_device', CP, shapes_key)
         fn = self._predict_fn_cache.get(cache_key)
         if fn is None:
-            fn = jax.jit(run)
+            fn = self._jit_stored(run, (self.params, chunks[0]),
+                                  tag='predict_scan')
             self._predict_fn_cache[cache_key] = fn
         # dispatch every chunk before fetching any result: uploads and
         # forward passes pipeline against each other on the device queue
-        parts = [fn(self.params, [jnp.asarray(a[lo:lo + CP])
-                                  for a in host])
-                 for lo in range(0, Spad, CP)]
+        parts = [fn(self.params, c) for c in chunks]
         outs = [np.concatenate([np.asarray(p[i]) for p in parts])
                 for i in range(len(parts[0]))]
         outs = [o.reshape((-1,) + o.shape[2:]) for o in outs]
