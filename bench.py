@@ -46,6 +46,9 @@ def main() -> None:
     xla_cache_dir = os.path.join(get_data_dir(), 'xla_cache')
     n_cache_entries = len(os.listdir(xla_cache_dir)) \
         if os.path.isdir(xla_cache_dir) else 0
+    exec_store_dir = os.path.join(get_data_dir(), 'exec_store')
+    n_exec_entries = len(os.listdir(exec_store_dir)) \
+        if os.path.isdir(exec_store_dir) else 0
     data_cached = os.path.isdir(
         os.path.join(get_data_dir(), 'tox21-featurized'))
 
@@ -128,6 +131,7 @@ def main() -> None:
                      'train_steady': round(dt + fit_dt, 1),
                      'eval': round(eval_s, 1)},
         'started_warm': {'xla_cache_entries': n_cache_entries,
+                         'exec_store_entries': n_exec_entries,
                          'dataset_featurized': bool(data_cached)},
         'valid_roc_auc': round(float(valid_score), 4),
     }
