@@ -14,13 +14,19 @@ the uploaded epoch) and report vs_baseline = ours / 1710.
 End-to-end wall-clock (VERDICT r4 item 1): the JSON carries the phase
 split — load (featurize or disk cache), warmup (compile or persistent
 XLA-cache hit), steady train, eval — plus whether the compile cache and
-dataset cache were warm at start.  Cold-for-cold the r5 engine finishes
-the whole protocol in ~163 s (vs the 2018 reference's 159.5 s of which
-zero is compile); warm (the steady production state: dataset featurized
-once, executables persisted once) it is under 40 s.  The r4 number was
-493.6 s: the runtime upgrade fixed the remote-compile bypass of JAX's
-persistent cache, and the engine now compiles ONE train executable
-(fixed-length masked scan segments) instead of one per epoch count.
+dataset cache were warm at start.  Measured 2026-08-20 on the tunneled
+v5e chip: **cold-for-cold 46.4 s total** (load 13.2, warmup 22.7,
+train 0.7, eval 8.1 — vs the 2018 reference's 159.5 s of which zero is
+compile); warm repeats 128.7 s worst-observed (the tunnel's
+remote-compile latency varies 22-121 s run-to-run; every observed run
+beats the reference).  The r4 number was 493.6 s: r5 compiles ONE
+train executable (fixed-length masked scan segments, constant predict
+chunks) instead of one program per epoch count, and the upgraded
+runtime's server-side compile cache absorbs repeats.  The
+executable-serialization store (utils/exec_store.py) stays for
+standard PJRT backends but is gated OFF on the tunnel: a deserialized
+executable's first execution measured 146-258 s there — slower than
+just compiling.
 """
 
 import json

@@ -90,6 +90,21 @@ def _backend_supported() -> bool:
             import jax.numpy as jnp
             from jax.experimental import serialize_executable as se
             dev = jax.devices()[0]
+            if dev.platform == 'axon':
+                # Measured on the tunneled dev backend (2026-08-20,
+                # tox21 graphconv fit scan): a deserialized executable's
+                # FIRST execution pays a 146-258 s server-side load,
+                # while a plain jit compile of the same program goes
+                # through the (r5-fixed) persistent compile cache in
+                # 22-28 s.  Serialization round-trips *work* here, so
+                # the functional probe below cannot catch the inversion;
+                # gate on the platform instead.  Standard PJRT TPU/CPU
+                # backends load stored executables in <1 s and keep the
+                # store.
+                logger.info('executable store disabled: axon tunnel '
+                            'loads are slower than cache-warm compiles')
+                _probe_result = False
+                return _probe_result
             tag = f'{dev.platform}-{getattr(dev, "device_kind", "")}-' \
                   f'{jax.__version__}'
             tag = ''.join(c if c.isalnum() or c in '.-' else '_'
