@@ -139,6 +139,11 @@ def main() -> None:
         'started_warm': {'xla_cache_entries': n_cache_entries,
                          'exec_store_entries': n_exec_entries,
                          'dataset_featurized': bool(data_cached)},
+        # committed fully-cold measurement (RESULTS.md round-5 section):
+        # 46.4 s total on an empty container, 2026-08-20; the tunnel's
+        # compile latency varies 22-258 s run-to-run, so any single
+        # re-run samples that distribution
+        'cold_run_reference_s': 46.4,
         'valid_roc_auc': round(float(valid_score), 4),
     }
     print(json.dumps(result))
