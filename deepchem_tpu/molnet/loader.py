@@ -130,6 +130,11 @@ class _MolnetLoader:
         else:
             featurizer_name = _dirname(self.featurizer)
             splitter_name = _dirname(self.splitter)
+            # a seeded split is a DIFFERENT split — key the cache on it,
+            # or a reload would silently return another seed's split
+            sseed = self.args.get('splitter_seed')
+            if sseed is not None:
+                splitter_name = f'{splitter_name}-seed{sseed}'
             save_folder = os.path.join(
                 self.save_dir, f'{name}-featurized', featurizer_name,
                 splitter_name)

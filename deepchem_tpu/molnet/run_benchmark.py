@@ -87,7 +87,7 @@ def benchmark_classification(train, valid, test, tasks, transformers,
         m = MultitaskClassifier(
             n_tasks, n_features, layer_sizes=hp['layer_sizes'],
             dropouts=hp['dropouts'], batch_size=hp['batch_size'],
-            learning_rate=hp['learning_rate'])
+            learning_rate=hp['learning_rate'], seed=seed)
     elif model == 'tf_robust':
         m = RobustMultitaskClassifier(
             n_tasks, n_features, layer_sizes=hp['layer_sizes'],
@@ -95,7 +95,7 @@ def benchmark_classification(train, valid, test, tasks, transformers,
             dropouts=hp['dropouts'],
             bypass_dropouts=hp['bypass_dropouts'],
             batch_size=hp['batch_size'],
-            learning_rate=hp['learning_rate'])
+            learning_rate=hp['learning_rate'], seed=seed)
     elif model == 'logreg':
         from sklearn.linear_model import LogisticRegression
         from deepchem_tpu.models.multitask import SingletaskToMultitask
@@ -109,26 +109,26 @@ def benchmark_classification(train, valid, test, tasks, transformers,
             graph_conv_layers=[hp['n_filters']] * 2,
             dense_layer_size=hp['n_fully_connected_nodes'],
             batch_size=hp['batch_size'],
-            learning_rate=hp['learning_rate'])
+            learning_rate=hp['learning_rate'], seed=seed)
     elif model == 'weave':
         m = WeaveModel(n_tasks, mode='classification',
                        n_graph_feat=hp.get('n_graph_feat', 128),
                        batch_size=hp['batch_size'],
-                       learning_rate=hp['learning_rate'])
+                       learning_rate=hp['learning_rate'], seed=seed)
     elif model == 'textcnn':
         cd, sl = TextCNNModel.build_char_dict(train)
         m = TextCNNModel(n_tasks, char_dict=cd, seq_length=sl,
                          mode='classification',
                          batch_size=hp['batch_size'],
-                         learning_rate=hp['learning_rate'])
+                         learning_rate=hp['learning_rate'], seed=seed)
     elif model == 'gcn':
         m = GCNModel(n_tasks, mode='classification',
                      batch_size=hp['batch_size'],
-                     learning_rate=hp['learning_rate'])
+                     learning_rate=hp['learning_rate'], seed=seed)
     elif model == 'gat':
         m = GATModel(n_tasks, mode='classification',
                      batch_size=hp['batch_size'],
-                     learning_rate=hp['learning_rate'])
+                     learning_rate=hp['learning_rate'], seed=seed)
     else:
         raise ValueError(f'unknown classification model {model}')
     t0 = time.time()
@@ -163,26 +163,27 @@ def benchmark_regression(train, valid, test, tasks, transformers,
         m = MultitaskRegressor(
             n_tasks, n_features, layer_sizes=hp['layer_sizes'],
             dropouts=hp['dropouts'], batch_size=hp['batch_size'],
-            learning_rate=hp['learning_rate'])
+            learning_rate=hp['learning_rate'], seed=seed)
     elif model == 'graphconvreg':
         m = GraphConvModel(
             n_tasks, mode='regression',
             graph_conv_layers=[hp['n_filters']] * 2,
             dense_layer_size=hp['n_fully_connected_nodes'],
             batch_size=hp['batch_size'],
-            learning_rate=hp['learning_rate'])
+            learning_rate=hp['learning_rate'], seed=seed)
     elif model == 'weave_regression':
         m = WeaveModel(n_tasks, mode='regression',
                        batch_size=hp.get('batch_size', 64),
-                       learning_rate=hp.get('learning_rate', 5e-4))
+                       learning_rate=hp.get('learning_rate', 5e-4),
+                       seed=seed)
     elif model == 'gcn':
         m = GCNModel(n_tasks, mode='regression',
                      batch_size=hp['batch_size'],
-                     learning_rate=hp['learning_rate'])
+                     learning_rate=hp['learning_rate'], seed=seed)
     elif model == 'gat':
         m = GATModel(n_tasks, mode='regression',
                      batch_size=hp['batch_size'],
-                     learning_rate=hp['learning_rate'])
+                     learning_rate=hp['learning_rate'], seed=seed)
     else:
         raise ValueError(f'unknown regression model {model}')
     t0 = time.time()
@@ -256,8 +257,14 @@ def run_benchmark(datasets: Sequence[str], model: str,
         feat = featurizer or MODEL_FEATURIZERS.get(model, 'ecfp')
         split_name = split or 'random'
         t0 = time.time()
+        # the benchmark seed pins BOTH the split (splitter_seed, cached
+        # under a seed-keyed folder) and every model's parameter init —
+        # two calls with the same seed reproduce byte-identical scores,
+        # different seeds actually vary (the r5 CSV predates this: its
+        # splits came from the loader's default cached split)
         tasks, (train, valid, tst), transformers = loader(
-            featurizer=feat, splitter=split_name, reload=reload)
+            featurizer=feat, splitter=split_name, reload=reload,
+            splitter_seed=seed)
         load_s = round(time.time() - t0, 1)
         n_features = (train.get_shape()[0][1]
                       if train.get_shape()[0] is not None and
